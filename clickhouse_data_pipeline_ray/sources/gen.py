@@ -1,0 +1,224 @@
+"""Deterministic CDC change-log generator (the workload model).
+
+Re-expresses the reference's seeder workload over the tokenized-sequence
+payload: batch seed = parents-before-children bulk inserts
+(/root/reference/seeder/seed.py:110-143) → here a pure-insert base prefix of
+the log; periodic seed = 30% insert / 70% update mix against existing keys
+(/root/reference/seeder/periodic_seed.py:101) → here a configurable c/u/d mix
+(deletes added per the north rule; the reference drops them,
+/root/reference/stream_etl/core/processor.py:214-217). The reference picks
+update targets uniformly (periodic_seed.py:120); we add Zipf key-skew and a
+hot-source knob to exercise salting.
+
+Everything is seeded and segment-local: segment i is a pure function of
+(params, i, plan), so generation parallelizes over Ray tasks and replays are
+bit-reproducible. Output: ``seg-{first:012d}-{last:012d}.parquet`` files with
+dense, globally unique LSNs from 1.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..schemas import CHANGE_SCHEMA, EVOLVED_CHANGE_SCHEMA
+from .wal import segment_path
+
+SOURCES = ("web", "books", "code", "wiki", "chat")
+SOURCE_CUMW = np.cumsum((0.5, 0.2, 0.15, 0.1, 0.05))
+LANGS = ("en", "de", "zh")
+
+
+@dataclass(frozen=True)
+class GenParams:
+    total_events: int = 5_000
+    base_events: int = 1_000          # pure-insert prefix ("full load")
+    events_per_segment: int = 2_000
+    mix: tuple[float, float, float] = (0.3, 0.6, 0.1)  # c/u/d after the base
+    seed: int = 42
+    zipf_a: float = 1.5               # update/delete target key skew
+    hot_frac: float = 0.5             # fraction of updates forced onto SOURCES[0]
+    tok_min: int = 8
+    tok_max: int = 512
+    vocab: int = 50_257
+    evolve_frac: float | None = None  # fraction of log after which schema evolves
+
+
+@dataclass(frozen=True)
+class SegPlan:
+    index: int
+    first_lsn: int
+    n_c: int
+    n_u: int
+    n_d: int
+    n_before: int   # keys inserted before this segment
+    evolved: bool
+
+    @property
+    def n(self) -> int:
+        return self.n_c + self.n_u + self.n_d
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def source_index_of(key_idx: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic source per key index — lets segment tasks resolve any
+    key's source without coordination (no shared key table)."""
+    with np.errstate(over="ignore"):
+        salt = np.uint64((seed * 0x5851F42D4C957F2D) % (1 << 64))
+        z = _splitmix64(key_idx.astype(np.uint64) ^ salt)
+    u = z.astype(np.float64) / float(2**64)
+    return np.searchsorted(SOURCE_CUMW, u, side="right").clip(0, len(SOURCES) - 1)
+
+
+def plan_segments(params: GenParams) -> list[SegPlan]:
+    """Driver-side plan: per-segment op counts + cumulative insert totals.
+
+    O(num_segments) work/state. (At the 10^10-event design point the plan is
+    computed lazily per LSN range, not materialized — each SegPlan is already
+    derivable from (params, index) alone given the running insert count.)
+    """
+    plans: list[SegPlan] = []
+    lsn, n_before, i = 1, 0, 0
+    remaining = params.total_events
+    while remaining > 0:
+        n = min(params.events_per_segment, remaining)
+        in_base = max(0, min(params.base_events - (lsn - 1), n))
+        rest = n - in_base
+        rng = np.random.default_rng([params.seed, 500_009 + i])
+        if rest > 0 and n_before > 0:
+            n_c_r, n_u, n_d = rng.multinomial(rest, params.mix)
+        else:  # nothing to update/delete yet
+            n_c_r, n_u, n_d = rest, 0, 0
+        evolved = (
+            params.evolve_frac is not None
+            and (lsn - 1) >= params.evolve_frac * params.total_events
+        )
+        plans.append(SegPlan(i, lsn, in_base + int(n_c_r), int(n_u), int(n_d), n_before, evolved))
+        n_before += in_base + int(n_c_r)
+        lsn += n
+        remaining -= n
+        i += 1
+    return plans
+
+
+def _pick_targets(rng: np.random.Generator, n: int, n_before: int, params: GenParams) -> np.ndarray:
+    """Zipf-skewed existing-key targets; ``hot_frac`` of them forced onto the
+    hottest source (SOURCES[0]) by vectorized rejection resampling."""
+    if params.zipf_a > 1.0:
+        ranks = rng.zipf(params.zipf_a, n)
+        tgt = (ranks - 1) % n_before  # hot keys = stable low indices
+    else:
+        tgt = rng.integers(0, n_before, n)
+    if params.hot_frac > 0 and n > 0:
+        force = rng.random(n) < params.hot_frac
+        idx = np.flatnonzero(force)
+        for _ in range(24):
+            if idx.size == 0:
+                break
+            cand = rng.integers(0, n_before, idx.size)
+            ok = source_index_of(cand, params.seed) == 0
+            tgt[idx[ok]] = cand[ok]
+            idx = idx[~ok]
+    return tgt.astype(np.int64)
+
+
+def gen_segment(params: GenParams, plan: SegPlan) -> pa.Table:
+    """Materialize one WAL segment as an Arrow table (fully vectorized)."""
+    rng = np.random.default_rng([params.seed, 1_000_003 + plan.index])
+    n = plan.n
+    ops = np.array(["c"] * plan.n_c + ["u"] * plan.n_u + ["d"] * plan.n_d, dtype=object)
+    rng.shuffle(ops)
+    lsn = np.arange(plan.first_lsn, plan.first_lsn + n, dtype=np.int64)
+
+    key_idx = np.empty(n, dtype=np.int64)
+    c_mask = ops == "c"
+    key_idx[c_mask] = plan.n_before + np.arange(plan.n_c)
+    n_t = plan.n_u + plan.n_d
+    if n_t > 0:
+        key_idx[~c_mask] = _pick_targets(rng, n_t, plan.n_before, params)
+
+    src_idx = source_index_of(key_idx, params.seed)
+    doc_ids = pa.array(
+        [f"{SOURCES[s]}-{k:08d}" for s, k in zip(src_idx, key_idx)], pa.string()
+    )
+
+    alive = ops != "d"
+    alive_pa = pa.array(alive)
+    lens_full = np.zeros(n, dtype=np.int64)
+    lens_full[alive] = rng.integers(params.tok_min, params.tok_max + 1, int(alive.sum()))
+    flat = rng.integers(0, params.vocab, int(lens_full.sum()), dtype=np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens_full, out=offsets[1:])
+    tokens = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(flat)).cast(
+        pa.list_(pa.int32())
+    )
+    tokens = pc.if_else(alive_pa, tokens, pa.scalar(None, type=pa.list_(pa.int32())))
+
+    n_tok_type = pa.int64() if plan.evolved else pa.int32()
+    n_tok = pa.array(lens_full, type=n_tok_type, mask=~alive)
+    source_col = pc.if_else(
+        alive_pa,
+        pa.array([SOURCES[s] for s in src_idx], pa.string()),
+        pa.scalar(None, type=pa.string()),
+    )
+
+    cols = {
+        "lsn": pa.array(lsn),
+        "op": pa.array(ops, pa.string()),
+        "doc_id": doc_ids,
+        "tokens": tokens,
+        "n_tok": n_tok,
+        "source": source_col,
+    }
+    if plan.evolved:
+        lang = pa.array([LANGS[j] for j in rng.integers(0, len(LANGS), n)], pa.string())
+        cols["lang"] = pc.if_else(alive_pa, lang, pa.scalar(None, type=pa.string()))
+        return pa.table(cols, schema=EVOLVED_CHANGE_SCHEMA)
+    return pa.table(cols, schema=CHANGE_SCHEMA)
+
+
+def write_segment(wal_dir: str, params: GenParams, plan: SegPlan) -> str:
+    table = gen_segment(params, plan)
+    path = segment_path(wal_dir, plan.first_lsn, plan.first_lsn + plan.n - 1)
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, path)
+    return path
+
+
+def generate_wal(wal_dir: str, params: GenParams, parallel: bool = False) -> list[str]:
+    """Write all segments. ``parallel=True`` fans segment tasks out over Ray
+    (each segment is an independent pure function of (params, plan))."""
+    os.makedirs(wal_dir, exist_ok=True)
+    plans = plan_segments(params)
+    if parallel:
+        import ray
+
+        if ray.is_initialized():
+            write_remote = ray.remote(num_cpus=1)(write_segment)
+            return ray.get([write_remote.remote(wal_dir, params, p) for p in plans])
+    return [write_segment(wal_dir, params, p) for p in plans]
+
+
+def ensure_wal(cache_root: str, params: GenParams, tag: str, parallel: bool = False) -> str:
+    """Idempotent cached generation: /{cache_root}/{tag}/ with a DONE marker."""
+    wal_dir = os.path.join(cache_root, tag)
+    marker = os.path.join(wal_dir, "_DONE")
+    if os.path.exists(marker):
+        return wal_dir
+    generate_wal(wal_dir, params, parallel=parallel)
+    with open(marker, "w") as f:
+        f.write(repr(params))
+    return wal_dir

@@ -1,0 +1,54 @@
+"""WAL segment discovery with LSN-range pruning.
+
+The binlog/CDC tail: a directory of LSN-ordered Parquet segments named
+``seg-{first_lsn:012d}-{last_lsn:012d}.parquet`` (contiguous, non-overlapping).
+Segment names carry the watermark predicate, so incremental scans
+(the analog of the reference's ``updated_at > since`` extraction,
+/root/reference/etl/core/pipeline.py:17-51, and of Kafka offset seeks,
+/root/reference/stream_etl/core/consumer.py:86-109) never even *open*
+already-applied segments — pushdown at the file-listing level.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+SEG_RE = re.compile(r"^seg-(\d{12})-(\d{12})\.parquet$")
+
+
+@dataclass(frozen=True)
+class Segment:
+    first_lsn: int
+    last_lsn: int
+    path: str
+
+    @property
+    def name(self) -> str:
+        return os.path.basename(self.path)
+
+
+def segment_path(wal_dir: str, first_lsn: int, last_lsn: int) -> str:
+    return os.path.join(wal_dir, f"seg-{first_lsn:012d}-{last_lsn:012d}.parquet")
+
+
+def list_segments(wal_dir: str) -> list[Segment]:
+    segs = []
+    for name in os.listdir(wal_dir):
+        m = SEG_RE.match(name)
+        if m:
+            segs.append(Segment(int(m.group(1)), int(m.group(2)), os.path.join(wal_dir, name)))
+    segs.sort(key=lambda s: s.first_lsn)
+    for a, b in zip(segs, segs[1:]):
+        if b.first_lsn <= a.last_lsn:
+            raise ValueError(f"overlapping WAL segments: {a.name} / {b.name}")
+    return segs
+
+
+def pending_segments(
+    wal_dir: str, watermark: int, max_segments: int | None = None
+) -> list[Segment]:
+    """Segments containing any LSN > watermark, in LSN order."""
+    segs = [s for s in list_segments(wal_dir) if s.last_lsn > watermark]
+    return segs[:max_segments] if max_segments else segs
