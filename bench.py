@@ -1,0 +1,193 @@
+"""Benchmark harness: headline CDC-replay throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "extra": {...}}
+
+Env knobs: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), BENCH_EVENTS (default 1_000_000), BENCH_HEADLINE_ONLY=1.
+
+``--scaling`` runs the headline job in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same (cached) input and reports both
+throughputs + scaling efficiency = T(8)/T(32)/4. The sandbox host exposes a
+single physical CPU, so num_cpus oversubscribes; results are still a valid
+relative-parallelism probe of the pipeline's scheduling behavior (see
+BENCH/BASELINE.md for the caveat and aggregate-task-time view).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_EVENTS = int(os.environ.get("BENCH_EVENTS", "1000000"))
+CACHE_ROOT = os.environ.get("BENCH_CACHE", "/tmp/cdp_ray_bench")
+
+
+def bench_cdc(ray) -> dict:
+    """Headline: full CDC replay (gen cached WAL -> engine replay)."""
+    import tempfile
+
+    from clickhouse_data_pipeline_ray.pipelines.apply import (
+        ApplyConfig,
+        create_table,
+        replay,
+    )
+    from clickhouse_data_pipeline_ray.sources.gen import GenParams, ensure_wal
+    from clickhouse_data_pipeline_ray.state.manifest import load_manifest
+
+    params = GenParams(
+        total_events=BENCH_EVENTS,
+        base_events=BENCH_EVENTS // 4,
+        events_per_segment=50_000,
+        seed=42,
+        tok_min=8,
+        tok_max=96,
+    )
+    tag = f"bench-{BENCH_EVENTS}"
+    t_gen0 = time.perf_counter()
+    wal_dir = ensure_wal(CACHE_ROOT, params, tag, parallel=True)
+    gen_s = time.perf_counter() - t_gen0
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    for name in os.listdir(wal_dir):
+        if name.endswith(".parquet"):
+            with open(os.path.join(wal_dir, name), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+    table_dir = tempfile.mkdtemp(prefix="cdp_bench_table_", dir=CACHE_ROOT)
+    create_table(table_dir, num_partitions=64)
+    cfg = ApplyConfig(max_segments=10, salt_factor=8, hot_ratio=4.0,
+                      merge_concurrency=(2, max(4, NUM_CPUS // 2)))
+    t0 = time.perf_counter()
+    epochs = replay(table_dir, wal_dir, cfg)
+    wall = time.perf_counter() - t0
+    man = load_manifest(table_dir)
+    return {
+        "wall_s": round(wall, 3),
+        "events": BENCH_EVENTS,
+        "events_per_s": round(BENCH_EVENTS / wall, 1),
+        "epochs": len(epochs),
+        "final_rows": man.total_rows(),
+        "gen_s": round(gen_s, 3),
+    }
+
+
+BENCH_QUERIES = [
+    "lww_latest_event_per_user",
+    "kpi_daily_events",
+    "kpi_source_stats",
+    "ctr_daily",
+    "orders_by_nation",
+    "revenue_by_brand",
+    "top5_users_by_value",
+    "sessionize_events",
+    "dedup_exact_documents",
+    "token_counts_documents",
+    "quality_score_documents",
+    "ann_topk_embeddings",
+    "minhash_dedup_documents",
+    "simhash_documents",
+    "lang_id_documents",
+]
+
+
+def bench_queries(ray) -> dict:
+    import pyarrow as pa
+
+    import ray.data as rd
+    from clickhouse_data_pipeline_ray.pipelines.queries import QUERIES
+
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = QUERIES[name](SF_DIR)
+        if isinstance(res, rd.Dataset):
+            for _ in res.iter_batches(batch_format="pyarrow"):
+                pass
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        cdc = bench_cdc(ray)
+        queries = {"cdc_replay": cdc["wall_s"]}
+        if os.environ.get("BENCH_HEADLINE_ONLY") != "1":
+            queries.update(bench_queries(ray))
+        return {
+            "metric": "cdc_replay_wall_seconds (change-events/s applied to exactly-once parquet upsert)",
+            "value": cdc["wall_s"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "extra": {
+                "events": cdc["events"],
+                "events_per_s": cdc["events_per_s"],
+                "epochs": cdc["epochs"],
+                "final_rows": cdc["final_rows"],
+            },
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_HEADLINE_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = sub(lo_cpus)
+    hi = sub(hi_cpus)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "cdc_replay_scaling",
+        "num_cpus_lo": lo_cpus,
+        "num_cpus_hi": hi_cpus,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "events_per_s_lo": lo["extra"]["events_per_s"],
+        "events_per_s_hi": hi["extra"]["events_per_s"],
+        "scaling_efficiency": round(eff, 3),
+        "events": lo["extra"]["events"],
+    }
+
+
+if __name__ == "__main__":
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -1,0 +1,160 @@
+"""CLI entry points (the analog of the reference's service mains:
+/root/reference/etl/main.py:15-44 CLI flags, /root/reference/seeder/main.py
+subcommands). Owns the Ray session (the library never does).
+
+    python -m clickhouse_data_pipeline_ray.cli init  --table /tmp/t --num-partitions 64
+    python -m clickhouse_data_pipeline_ray.cli gen   --wal /tmp/wal --events 100000
+    python -m clickhouse_data_pipeline_ray.cli apply --table /tmp/t --wal /tmp/wal --follow
+    python -m clickhouse_data_pipeline_ray.cli kpi   --table /tmp/t
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cdp-ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("init", help="create an empty table layout + manifest")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--num-partitions", type=int, default=64)
+
+    sp = sub.add_parser("gen", help="generate a deterministic CDC WAL")
+    sp.add_argument("--wal", required=True)
+    sp.add_argument("--events", type=int, default=100_000)
+    sp.add_argument("--base-events", type=int, default=None)
+    sp.add_argument("--events-per-segment", type=int, default=2_000)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--mix", default="0.3,0.6,0.1", help="c,u,d fractions")
+    sp.add_argument("--zipf-a", type=float, default=1.5)
+    sp.add_argument("--hot-frac", type=float, default=0.5)
+    sp.add_argument("--tok-min", type=int, default=8)
+    sp.add_argument("--tok-max", type=int, default=512)
+    sp.add_argument("--evolve-frac", type=float, default=None)
+    sp.add_argument("--parallel", action="store_true")
+
+    sp = sub.add_parser("apply", help="apply pending WAL epochs to a table")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--wal", required=True)
+    sp.add_argument("--epoch-segments", type=int, default=None)
+    sp.add_argument("--salt-factor", type=int, default=8)
+    sp.add_argument("--hot-ratio", type=float, default=4.0)
+    sp.add_argument("--once", action="store_true", help="apply one epoch only")
+    sp.add_argument("--follow", action="store_true", help="poll for new segments")
+    sp.add_argument("--interval", type=float, default=5.0)
+
+    sp = sub.add_parser("kpi", help="KPI report over a committed table")
+    sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser("status", help="print the manifest summary")
+    sp.add_argument("--table", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "init":
+        from .pipelines.apply import create_table
+
+        man = create_table(args.table, num_partitions=args.num_partitions)
+        print(json.dumps({"table": args.table, "epoch": man.epoch,
+                          "num_partitions": man.num_partitions}))
+        return 0
+
+    if args.cmd == "gen":
+        from .sources.gen import GenParams, generate_wal
+
+        mix = tuple(float(x) for x in args.mix.split(","))
+        params = GenParams(
+            total_events=args.events,
+            base_events=args.base_events if args.base_events is not None else args.events // 4,
+            events_per_segment=args.events_per_segment,
+            mix=mix,
+            seed=args.seed,
+            zipf_a=args.zipf_a,
+            hot_frac=args.hot_frac,
+            tok_min=args.tok_min,
+            tok_max=args.tok_max,
+            evolve_frac=args.evolve_frac,
+        )
+        if args.parallel:
+            _init_ray(args.num_cpus)
+        paths = generate_wal(args.wal, params, parallel=args.parallel)
+        print(json.dumps({"wal": args.wal, "segments": len(paths),
+                          "events": args.events}))
+        if args.parallel:
+            import ray
+
+            ray.shutdown()
+        return 0
+
+    if args.cmd in ("apply", "kpi"):
+        ray = _init_ray(args.num_cpus)
+        try:
+            if args.cmd == "apply":
+                from .pipelines.apply import ApplyConfig, apply_once
+
+                cfg = ApplyConfig(
+                    max_segments=args.epoch_segments,
+                    salt_factor=args.salt_factor,
+                    hot_ratio=args.hot_ratio,
+                )
+                while True:
+                    stats = apply_once(args.table, args.wal, cfg)
+                    if stats:
+                        print(json.dumps(stats))
+                    if args.once or (stats is None and not args.follow):
+                        break
+                    if stats is None:
+                        time.sleep(args.interval)
+            else:
+                from .pipelines.kpi import kpi_report
+
+                print(json.dumps(kpi_report(args.table), default=str))
+        finally:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "status":
+        from .state.manifest import load_manifest
+
+        man = load_manifest(args.table)
+        print(
+            json.dumps(
+                {
+                    "epoch": man.epoch,
+                    "num_partitions": man.num_partitions,
+                    "watermark": man.watermark,
+                    "rows": man.total_rows(),
+                    "schema": str(man.schema).replace("\n", ", "),
+                    "last": man.history[-1] if man.history else None,
+                }
+            )
+        )
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,195 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul against a
+broadcast query matrix (queries ship once per actor via constructor args,
+never per batch), emitting per-batch partial top-k; a tiny groupby over
+(num_queries × k × num_batches) partials produces the global top-k. Only
+partials move — the corpus never shuffles.
+
+Scale path: IVF — centroid assignment per batch (broadcast centroid matrix),
+then the same brute-force search restricted to the query's nprobe nearest
+centroid buckets (a filter, not a shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    arr = col.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return m / norm
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch cosine top-k against broadcast queries."""
+
+    def __init__(
+        self,
+        queries: np.ndarray,       # (Q, dim) — ships once per actor
+        query_ids: list,
+        k: int = 5,
+        key_col: str = "vec_id",
+        vec_col: str = "embedding",
+        exclude_self: bool = True,
+    ):
+        self.q = _normalize(np.asarray(queries, dtype=np.float64))
+        self.query_ids = np.asarray(query_ids)
+        self.k, self.key_col, self.vec_col = k, key_col, vec_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_to_matrix(batch.column(self.vec_col)))
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+        sims = self.q @ emb.T  # (Q, batch)
+        if self.exclude_self:
+            mask = self.query_ids[:, None] == keys[None, :]
+            sims[mask] = -np.inf
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = top[qi]
+            rows_q.extend([self.query_ids[qi]] * len(idx))
+            rows_n.extend(keys[idx].tolist())
+            rows_s.extend(sims[qi, idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q),
+                "neighbor_id": pa.array(rows_n),
+                "score": pa.array(np.asarray(rows_s, dtype=np.float64)),
+            }
+        )
+
+
+def _final_topk(k: int):
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["score"] = g["score"].round(6)
+        g = g.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        g["rank"] = range(1, len(g) + 1)
+        return g[["query_id", "rank", "neighbor_id", "score"]]
+
+    return fn
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 5,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int | tuple = 2,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Global cosine top-k for each query vector. Deterministic: scores are
+    rounded to 6 decimals and ties break by neighbor_id ascending."""
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={
+            "queries": queries,
+            "query_ids": query_ids,
+            "k": k,
+            "key_col": key_col,
+            "vec_col": vec_col,
+            "exclude_self": exclude_self,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    out = partials.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def kmeans_centroids(
+    ds: ray.data.Dataset,
+    n_centroids: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 17,
+) -> np.ndarray:
+    """Mini k-means on a driver-side sample (centroids are tiny; the corpus
+    itself never leaves the cluster)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    x = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+class IVFAssign:
+    """Actor-pool stage: nearest-centroid bucket id per vector."""
+
+    def __init__(self, centroids: np.ndarray, vec_col: str = "embedding"):
+        self.cents = np.asarray(centroids, dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_to_matrix(batch.column(self.vec_col)))
+        assign = np.argmax(emb @ self.cents.T, axis=1)
+        return batch.append_column("ivf_bucket", pa.array(assign.astype(np.int32)))
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int | tuple = 2,
+) -> pd.DataFrame:
+    """Approximate top-k: search only the nprobe nearest centroid buckets per
+    query (the 100 TB path — prunes the scan instead of sharding it)."""
+    cents = kmeans_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
+    bucketed = ds.map_batches(
+        IVFAssign,
+        fn_constructor_kwargs={"centroids": cents, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(b) for row in probe for b in row})
+    import pyarrow.compute as pc
+
+    pruned = bucketed.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("ivf_bucket"), value_set=pa.array(wanted, pa.int32()))),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(
+        pruned, queries, query_ids, k=k, key_col=key_col, vec_col=vec_col,
+        concurrency=concurrency,
+    )

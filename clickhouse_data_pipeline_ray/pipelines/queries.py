@@ -1,0 +1,685 @@
+"""Driver-contract queries over the testdata tables + matching oracle SQL.
+
+Each entry demonstrates one operator family from SURVEY.md §2 as an idiomatic
+Ray Data pipeline, paired (where SQL-expressible) with the exact ANSI-SQL
+DuckDB equivalent. Conventions for order-insensitive value-hash parity:
+
+- identical output column NAMES on both sides;
+- no raw double aggregations: doubles are fixed-pointed per row with
+  ``floor(x*scale + 0.5)`` (bit-identical IEEE ops on both sides) and summed
+  as int64; ratios divide identical integers and round identically;
+- dates/timestamps returned as strings via the same strftime format;
+- sorts/limits carry a deterministic tie-break key.
+
+CDC / non-SQL-expressible operators (full replay, MinHash/SimHash dedup,
+IVF ANN, multimodal decode) return deterministic results and are covered by
+the pytest oracle suite instead of SQL.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from ..functions import dedup as F_dedup
+from ..functions import similarity as F_sim
+from ..functions import textstats as F_text
+from ..functions.multimodal import ImageDecode
+from ..sources.gen import GenParams, ensure_wal
+from ..stages.merge import lww_compact
+from .apply import ApplyConfig, create_table, replay, snapshot_table
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _fixed_point(col: pa.ChunkedArray, scale: float) -> pa.ChunkedArray:
+    """floor(x*scale + 0.5) as int64 — the SQL twin is
+    CAST(FLOOR(x*scale + 0.5) AS BIGINT). Same IEEE ops → same integers."""
+    return pc.floor(pc.add(pc.multiply(col.cast(pa.float64()), scale), 0.5)).cast(pa.int64())
+
+
+def _date_str(ts: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.strftime(ts, format="%Y-%m-%d")
+
+
+# --------------------------------------------------------------------------
+# CDC engine (flagship; non-SQL — correctness is pinned by the pytest oracle)
+# --------------------------------------------------------------------------
+
+_CDC_SIZES = {"sf0.001": 10_000, "sf0.01": 40_000, "sf0.1": 200_000}
+
+
+def _cdc_params(sf_dir: str, evolve: bool) -> tuple[GenParams, str]:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sfX"
+    total = _CDC_SIZES.get(tag, 10_000)
+    params = GenParams(
+        total_events=total,
+        base_events=total // 4,
+        events_per_segment=max(2_000, total // 10),
+        seed=42,
+        tok_min=8,
+        tok_max=96,
+        evolve_frac=0.5 if evolve else None,
+    )
+    return params, f"{tag}{'-evolved' if evolve else ''}"
+
+
+def cdc_replay(sf_dir: str, evolve: bool = False) -> pa.Table:
+    """Full CDC replay: generate (cached) a deterministic WAL sized to the
+    scale factor, replay it through the complete engine path (read →
+    normalize → hash shuffle → LWW merge actors → exactly-once commit),
+    return the final snapshot."""
+    params, tag = _cdc_params(sf_dir, evolve)
+    cache_root = os.path.join(tempfile.gettempdir(), "cdp_ray_wal")
+    wal_dir = ensure_wal(cache_root, params, tag)
+    table_dir = tempfile.mkdtemp(prefix=f"cdp_table_{tag}_")
+    create_table(table_dir, num_partitions=16)
+    replay(table_dir, wal_dir, ApplyConfig(max_segments=4))
+    return snapshot_table(table_dir).drop_columns(["tokens"])  # scalars suffice for checks
+
+
+def cdc_kpi_source_stats(sf_dir: str) -> pa.Table:
+    """KPI views over the CDC snapshot (groupby parity with kpi_views.sql)."""
+    params, tag = _cdc_params(sf_dir, evolve=False)
+    cache_root = os.path.join(tempfile.gettempdir(), "cdp_ray_wal")
+    wal_dir = ensure_wal(cache_root, params, tag)
+    table_dir = tempfile.mkdtemp(prefix=f"cdp_kpi_{tag}_")
+    create_table(table_dir, num_partitions=16)
+    replay(table_dir, wal_dir, ApplyConfig())
+    from .apply import read_snapshot
+    from .kpi import source_stats
+
+    pdf = source_stats(read_snapshot(table_dir)).to_pandas()
+    pdf = pdf.sort_values("source").reset_index(drop=True)
+    for c in ("n_docs", "sum_tok", "min_tok", "max_tok"):
+        pdf[c] = pdf[c].astype("int64")
+    pdf["avg_tok"] = pdf["avg_tok"].round(4)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# --------------------------------------------------------------------------
+# Incremental scan / normalize / LWW (SQL-checked)
+# --------------------------------------------------------------------------
+
+_SCAN_CUTOFF = _dt.datetime(2024, 1, 25)
+
+
+def q_incremental_scan_events(sf_dir: str) -> ray.data.Dataset:
+    """S1-S4: watermark-predicate incremental extraction (updated_at > since,
+    reference etl/core/pipeline.py:17-51) as a pushed-down parquet filter."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=(pc.field("ts") > _SCAN_CUTOFF),
+    )
+    return ds.select_columns(["event_id", "user_id", "event_type"])
+
+
+def q_normalize_documents(sf_dir: str) -> ray.data.Dataset:
+    """T1-T4: null-coalesce + derived-column recompute, vectorized."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        lang = pc.coalesce(b.column("lang"), pa.scalar("unknown"))
+        n_chars = pc.utf8_length(b.column("text")).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang_filled": lang,
+                "n_chars_re": n_chars,
+                "source": b.column("source"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_lww_latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
+    """U1/U2: the LWW kernel itself, SQL-verified — per user, the event with
+    max event_id wins (batch pre-compaction + per-key final merge, the same
+    two-level shape as the CDC apply path)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    partial = ds.map_batches(
+        lambda b: lww_compact(b, key="user_id", version="event_id"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        w = lww_compact(g, key="user_id", version="event_id")
+        return pa.table(
+            {
+                "user_id": w.column("user_id"),
+                "last_event_id": w.column("event_id"),
+                "last_event_type": w.column("event_type"),
+                "last_value": w.column("value"),
+            }
+        )
+
+    return partial.groupby("user_id").map_groups(finalize, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# KPI aggregates (SQL-checked; mirror kpi_views.sql shapes)
+# --------------------------------------------------------------------------
+
+
+def q_kpi_source_stats(sf_dir: str) -> pa.Table:
+    """A1/A5 shape: per-source counts + exact int sums + derived ratio."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    out = ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+    pdf = out.to_pandas().sort_values("source").reset_index(drop=True)
+    pdf["avg_chars"] = (pdf["sum_chars"].astype(float) / pdf["n_docs"]).round(4)
+    pdf["sum_chars"] = pdf["sum_chars"].astype("int64")
+    pdf["n_docs"] = pdf["n_docs"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_kpi_daily_events(sf_dir: str) -> pa.Table:
+    """A2 shape: per-day events, DISTINCT users (two-level pre-aggregated
+    distinct — no raw-row shuffle), fixed-point value sum."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_date": _date_str(b.column("ts")),
+                "user_id": b.column("user_id"),
+                "value_milli": _fixed_point(b.column("value"), 1000.0),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    daily = prepped.groupby("event_date").aggregate(
+        Count(alias_name="n_events"), Sum("value_milli", alias_name="sum_value_milli")
+    )
+    # distinct users: pre-aggregate (date,user) pairs, then count per date
+    per_user = prepped.groupby(["event_date", "user_id"]).count()
+    users = per_user.groupby("event_date").aggregate(Count(alias_name="n_users"))
+    a = daily.to_pandas()
+    b = users.to_pandas()
+    pdf = a.merge(b, on="event_date").sort_values("event_date").reset_index(drop=True)
+    for c in ("n_events", "sum_value_milli", "n_users"):
+        pdf[c] = pdf[c].astype("int64")
+    return pa.Table.from_pandas(
+        pdf[["event_date", "n_events", "n_users", "sum_value_milli"]],
+        preserve_index=False,
+    )
+
+
+def q_kpi_type_daily(sf_dir: str) -> pa.Table:
+    """A3 shape: composite-key groupby (event_date, event_type)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_date": _date_str(b.column("ts")),
+                "event_type": b.column("event_type"),
+                "value_milli": _fixed_point(b.column("value"), 1000.0),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_date", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_milli", alias_name="sum_value_milli"))
+    )
+    pdf = out.to_pandas().sort_values(["event_date", "event_type"]).reset_index(drop=True)
+    pdf["n_events"] = pdf["n_events"].astype("int64")
+    pdf["sum_value_milli"] = pdf["sum_value_milli"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_ctr_daily(sf_dir: str) -> pa.Table:
+    """A4 shape: ratio with null-guard (clicks/views per day), computed from
+    conditional partial sums — the aggregate-first CTR plan (SURVEY.md §2.6)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        return pa.table(
+            {
+                "event_date": _date_str(b.column("ts")),
+                "is_click": pc.equal(et, pa.scalar("click")).cast(pa.int64()),
+                "is_view": pc.equal(et, pa.scalar("view")).cast(pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_date")
+        .aggregate(Sum("is_click", alias_name="clicks"), Sum("is_view", alias_name="views"))
+    )
+    pdf = out.to_pandas().sort_values("event_date").reset_index(drop=True)
+    pdf["clicks"] = pdf["clicks"].astype("int64")
+    pdf["views"] = pdf["views"].astype("int64")
+    ctr = pdf["clicks"].astype(float) / pdf["views"].replace(0, np.nan)
+    pdf["ctr"] = ctr.round(6)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# --------------------------------------------------------------------------
+# Joins (broadcast small side; aggregate-first) — SQL-checked
+# --------------------------------------------------------------------------
+
+
+class BroadcastJoin:
+    """Actor-pool lookup join: the small side ships once per actor via
+    constructor args (J1-J6 pattern — dims are tiny, facts never shuffle)."""
+
+    def __init__(self, small: pd.DataFrame, on: str):
+        self.small = small
+        self.on = on
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.small, on=self.on, how="left")
+
+
+def q_orders_by_nation(sf_dir: str) -> pa.Table:
+    """J1/J6: two-level rollup with broadcast dims — orders pre-aggregated by
+    custkey, then customer→nation lookup, then nation rollup."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "price_cents": _fixed_point(b.column("o_totalprice"), 100.0),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_cents"))
+    )
+    customer = pd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).rename(columns={"c_custkey": "o_custkey"})
+    nation = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).rename(columns={"n_nationkey": "c_nationkey"})
+    joined = per_cust.map_batches(
+        BroadcastJoin,
+        fn_constructor_kwargs={"small": customer, "on": "o_custkey"},
+        batch_format="pandas",
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    rolled = joined.groupby("c_nationkey").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("sum_cents", alias_name="sum_totalprice_cents"),
+    )
+    pdf = rolled.to_pandas().merge(nation, on="c_nationkey")
+    pdf = pdf[["n_name", "n_orders", "sum_totalprice_cents"]].sort_values("n_name")
+    pdf["n_orders"] = pdf["n_orders"].astype("int64")
+    pdf["sum_totalprice_cents"] = pdf["sum_totalprice_cents"].astype("int64")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def q_revenue_by_brand(sf_dir: str) -> pa.Table:
+    """J5 shape: facts pre-aggregated on the join key, dim broadcast."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice").cast(pa.float64()),
+            pc.subtract(1.0, b.column("l_discount").cast(pa.float64())),
+        )
+        rev_cents = pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)).cast(pa.int64())
+        return pa.table({"l_partkey": b.column("l_partkey"), "rev_cents": rev_cents})
+
+    per_part = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Count(alias_name="n_items"), Sum("rev_cents", alias_name="rev_cents"))
+    )
+    part = pd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    ).rename(columns={"p_partkey": "l_partkey"})
+    joined = per_part.map_batches(
+        BroadcastJoin,
+        fn_constructor_kwargs={"small": part, "on": "l_partkey"},
+        batch_format="pandas",
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    out = joined.groupby("p_brand").aggregate(
+        Sum("n_items", alias_name="n_items"), Sum("rev_cents", alias_name="revenue_cents")
+    )
+    pdf = out.to_pandas().sort_values("p_brand").reset_index(drop=True)
+    pdf["n_items"] = pdf["n_items"].astype("int64")
+    pdf["revenue_cents"] = pdf["revenue_cents"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# --------------------------------------------------------------------------
+# Sort / top-k, sessionize, dedup, text, similarity
+# --------------------------------------------------------------------------
+
+
+def q_top5_users_by_value(sf_dir: str) -> pa.Table:
+    """§2.8: grouped aggregate → sort desc → limit, deterministic tie-break."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "value_milli": _fixed_point(b.column("value"), 1000.0),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("value_milli", alias_name="total_milli"))
+    )
+    pdf = out.to_pandas()
+    pdf["total_milli"] = pdf["total_milli"].astype("int64")
+    pdf = pdf.sort_values(["total_milli", "user_id"], ascending=[False, True]).head(5)
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def q_sessionize_events(sf_dir: str) -> ray.data.Dataset:
+    """Windowed custom op (SURVEY streaming analog): 30-min-gap sessions per
+    user via groupby(key).map_groups over ts-sorted groups."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds() > 1800
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_dedup_exact_documents(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup: content fingerprint → hash groupby → keep smallest key."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    with_fp = ds.map_batches(
+        lambda b: F_text.fingerprint_batch(b, "text"), batch_format="pyarrow"
+    )
+
+    def keeper(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [g["doc_id"].min()], "n_copies": [len(g)]}
+        )
+
+    return with_fp.groupby("fingerprint").map_groups(keeper, batch_format="pandas")
+
+
+def q_token_counts_documents(sf_dir: str) -> ray.data.Dataset:
+    """Token counting (regex word tokens; RE2 on both sides)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: F_text.token_count_batch(b).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_quality_score_documents(sf_dir: str) -> ray.data.Dataset:
+    """Quality scoring (stopword/alpha ratios) — actor-pool stage."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scored = ds.map_batches(
+        F_text.QualityScore, batch_format="pyarrow", concurrency=2
+    )
+    return scored.select_columns(
+        ["doc_id", "q_n_words", "q_stop_ratio", "q_alpha_ratio"]
+    )
+
+
+def q_ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-5 for the first 8 vectors (broadcast queries,
+    per-batch partial top-k). Score dropped from output (float-order safety);
+    rank ties break by neighbor_id on both sides."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = pd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qdf = qdf[qdf["vec_id"] < 8].sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy())
+    out = F_sim.brute_force_topk(
+        ds, queries, qdf["vec_id"].tolist(), k=5, concurrency=2
+    )
+    return out[["query_id", "rank", "neighbor_id"]]
+
+
+# ---- non-SQL-expressible (rows-only driver check; pytest covers behavior) --
+
+
+def q_minhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return F_dedup.minhash_lsh_pairs(ds, threshold=0.2, shingle_k=2)
+
+
+def q_simhash_documents(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return F_dedup.simhash_pairs(ds, max_hamming=3)
+
+
+def q_ngram_jaccard_documents(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return F_dedup.ngram_jaccard_pairs(ds, threshold=0.1, n=2)
+
+
+def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    return F_dedup.embedding_neardup_pairs(ds, dim=dim, threshold=0.8)
+
+
+def q_lang_id_documents(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        F_text.LangId, batch_format="pyarrow", concurrency=2
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def q_ivf_topk_embeddings(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = pd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qdf = qdf[qdf["vec_id"] < 4].sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy())
+    return F_sim.ivf_topk(ds, queries, qdf["vec_id"].tolist(), k=5, nprobe=4)
+
+
+def q_multimodal_image_decode(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal plumbing: binary payload column → actor-pool decode stage
+    (deterministic fake codec; real codec stubbed, see functions/multimodal)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": b.column("doc_id"),
+                "mime": pa.nulls(b.num_rows, pa.string()).fill_null("image/fake"),
+                "payload": b.column("text").cast(pa.binary()),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    decoded = media.map_batches(
+        ImageDecode,
+        fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    return decoded.select_columns(["media_id", "height", "width", "channels"])
+
+
+# --------------------------------------------------------------------------
+# Registry + oracle SQL
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "cdc_replay": cdc_replay,
+    "cdc_replay_evolved": lambda sf: cdc_replay(sf, evolve=True),
+    "cdc_kpi_source_stats": cdc_kpi_source_stats,
+    "incremental_scan_events": q_incremental_scan_events,
+    "normalize_documents": q_normalize_documents,
+    "lww_latest_event_per_user": q_lww_latest_event_per_user,
+    "kpi_source_stats": q_kpi_source_stats,
+    "kpi_daily_events": q_kpi_daily_events,
+    "kpi_type_daily": q_kpi_type_daily,
+    "ctr_daily": q_ctr_daily,
+    "orders_by_nation": q_orders_by_nation,
+    "revenue_by_brand": q_revenue_by_brand,
+    "top5_users_by_value": q_top5_users_by_value,
+    "sessionize_events": q_sessionize_events,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "token_counts_documents": q_token_counts_documents,
+    "quality_score_documents": q_quality_score_documents,
+    "ann_topk_embeddings": q_ann_topk_embeddings,
+    "minhash_dedup_documents": q_minhash_dedup_documents,
+    "simhash_documents": q_simhash_documents,
+    "ngram_jaccard_documents": q_ngram_jaccard_documents,
+    "embedding_neardup": q_embedding_neardup,
+    "lang_id_documents": q_lang_id_documents,
+    "ivf_topk_embeddings": q_ivf_topk_embeddings,
+    "multimodal_image_decode": q_multimodal_image_decode,
+}
+
+_STOP_SQL = " + ".join(
+    f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in F_text.QualityScore.STOPWORDS
+)
+
+ORACLE_SQL = {
+    "incremental_scan_events": """
+        SELECT event_id, user_id, event_type
+        FROM events WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+    """,
+    "normalize_documents": """
+        SELECT doc_id, COALESCE(lang, 'unknown') AS lang_filled,
+               LENGTH(text) AS n_chars_re, source
+        FROM documents
+    """,
+    "lww_latest_event_per_user": """
+        SELECT user_id,
+               max(event_id) AS last_event_id,
+               arg_max(event_type, event_id) AS last_event_type,
+               arg_max(value, event_id) AS last_value
+        FROM events GROUP BY user_id
+    """,
+    "kpi_source_stats": """
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_chars) AS sum_chars,
+               round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+        FROM documents GROUP BY source
+    """,
+    "kpi_daily_events": """
+        SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS sum_value_milli
+        FROM events GROUP BY 1
+    """,
+    "kpi_type_daily": """
+        SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+               count(*) AS n_events,
+               sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS sum_value_milli
+        FROM events GROUP BY 1, 2
+    """,
+    "ctr_daily": """
+        SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+               round(CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+                     / NULLIF(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0),
+                     6) AS ctr
+        FROM events GROUP BY 1
+    """,
+    "orders_by_nation": """
+        SELECT n_name,
+               count(*) AS n_orders,
+               sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_totalprice_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "revenue_by_brand": """
+        SELECT p_brand,
+               count(*) AS n_items,
+               sum(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT))
+                   AS revenue_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "top5_users_by_value": """
+        SELECT user_id,
+               sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS total_milli
+        FROM events GROUP BY user_id
+        ORDER BY total_milli DESC, user_id ASC
+        LIMIT 5
+    """,
+    "sessionize_events": """
+        WITH flagged AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts - lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+        FROM flagged GROUP BY user_id
+    """,
+    "dedup_exact_documents": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "token_counts_documents": """
+        SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words
+        FROM documents
+    """,
+    "quality_score_documents": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS q_n_words,
+               round(CAST(({_STOP_SQL}) AS DOUBLE)
+                     / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1),
+                     6) AS q_stop_ratio,
+               round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                     / greatest(LENGTH(text), 1), 6) AS q_alpha_ratio
+        FROM documents
+    """,
+    "ann_topk_embeddings": """
+        WITH q AS (
+          SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
+        ),
+        scored AS (
+          SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.qe, e.embedding), 6) AS score
+          FROM q CROSS JOIN embeddings e
+          WHERE e.vec_id <> q.qid
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+    """,
+}
