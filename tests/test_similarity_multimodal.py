@@ -1,0 +1,119 @@
+"""Similarity-search correctness vs a numpy oracle + multimodal plumbing."""
+
+import numpy as np
+import pytest
+
+import ray.data
+
+
+def _emb_ds(n=200, dim=16, seed=9):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    rows = [{"vec_id": i, "embedding": m[i].tolist()} for i in range(n)]
+    return ray.data.from_items(rows), m
+
+
+def _numpy_topk(m, q_idx, k):
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = {}
+    for qi in q_idx:
+        sims = mn @ mn[qi]
+        sims[qi] = -np.inf
+        order = np.argsort(-np.round(sims, 6) + np.arange(len(sims)) * 1e-12)
+        # deterministic: sort by (-rounded score, id)
+        pairs = sorted(
+            ((-(round(s, 6)), i) for i, s in enumerate(sims) if i != qi)
+        )
+        out[qi] = [i for _, i in pairs[:k]]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    from clickhouse_data_pipeline_ray.functions.similarity import brute_force_topk
+
+    ds, m = _emb_ds()
+    q_idx = [0, 1, 2]
+    got = brute_force_topk(ds, m[q_idx], q_idx, k=5)
+    want = _numpy_topk(m, q_idx, 5)
+    for qi in q_idx:
+        g = got[got["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        assert g == want[qi], f"query {qi}: {g} != {want[qi]}"
+
+
+def test_ivf_topk_high_recall(ray_session):
+    from clickhouse_data_pipeline_ray.functions.similarity import ivf_topk
+
+    ds, m = _emb_ds(n=300)
+    q_idx = [0, 1]
+    got = ivf_topk(ds, m[q_idx], q_idx, k=5, n_centroids=8, nprobe=4)
+    want = _numpy_topk(m, q_idx, 5)
+    for qi in q_idx:
+        g = set(got[got["query_id"] == qi]["neighbor_id"])
+        recall = len(g & set(want[qi])) / 5
+        assert recall >= 0.4, f"query {qi}: recall {recall}"
+
+
+def _media_ds():
+    rows = [
+        {"media_id": f"m-{i}", "mime": "image/fake", "payload": bytes([i]) * (100 + i)}
+        for i in range(10)
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_image_decode_plumbing(ray_session):
+    from clickhouse_data_pipeline_ray.functions.multimodal import (
+        IMAGE_FEATURE_DIM,
+        ImageDecode,
+    )
+
+    out = _media_ds().map_batches(
+        ImageDecode,
+        fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    pdf = out.to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(pdf) == 10
+    assert set(pdf.columns) == {"media_id", "height", "width", "channels", "feature"}
+    assert all(len(f) == IMAGE_FEATURE_DIM for f in pdf["feature"])
+    # deterministic: same payload -> same decode
+    pdf2 = (
+        _media_ds()
+        .map_batches(
+            ImageDecode,
+            fn_constructor_kwargs={"decoder": "fake"},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert (pdf["height"] == pdf2["height"]).all()
+
+
+def test_image_decode_real_is_stubbed():
+    from clickhouse_data_pipeline_ray.functions.multimodal import ImageDecode
+
+    dec = ImageDecode(decoder="real")
+    with pytest.raises(NotImplementedError):
+        dec._decode_one(b"abc")
+
+
+def test_video_frame_sample(ray_session):
+    from clickhouse_data_pipeline_ray.functions.multimodal import VideoFrameSample
+
+    out = _media_ds().map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"decoder": "fake", "frames_per_video": 3},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=1,
+    )
+    pdf = out.to_pandas()
+    assert len(pdf) == 30  # 10 videos x 3 frames
+    assert set(pdf["frame_index"]) == {0, 1, 2}
