@@ -120,14 +120,25 @@ def apply_once(table_dir: str, wal_dir: str, cfg: ApplyConfig | None = None) -> 
     # Raw change events in this epoch (pre-compaction), from parquet metadata.
     n_events = sum(pq.ParquetFile(s.path).metadata.num_rows for s in segs)
 
-    # Skew detection: per-pid post-compaction row counts (small aggregate).
+    # Skew detection: per-pid post-compaction row counts via per-batch
+    # partials (no shuffle — only tiny (pid, n) rows leave the map stage,
+    # the combiner pattern from the Ray guide).
     hot_pids: list[int] = []
     if cfg.salt_factor > 1 and man.num_partitions > 1:
-        counts = changes.groupby("pid").count().to_pandas()
-        if len(counts) > 1:
-            mean = counts["count()"].mean()
-            hot = counts[counts["count()"] > cfg.hot_ratio * mean]
-            hot_pids = [int(p) for p in hot["pid"]]
+        def pid_counts(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            vc = _pc.value_counts(b.column("pid"))
+            return pa.table(
+                {"pid": vc.field("values"), "n": vc.field("counts")}
+            )
+
+        partials = changes.map_batches(pid_counts, batch_format="pyarrow").to_pandas()
+        if not partials.empty:
+            counts = partials.groupby("pid")["n"].sum()
+            if len(counts) > 1:
+                hot = counts[counts > cfg.hot_ratio * counts.mean()]
+                hot_pids = sorted(int(p) for p in hot.index)
 
     if hot_pids:
         # Two-level salted merge: L1 compacts (pid, salt) sub-groups in
