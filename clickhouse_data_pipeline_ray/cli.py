@@ -65,6 +65,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--once", action="store_true", help="apply one epoch only")
     sp.add_argument("--follow", action="store_true", help="poll for new segments")
     sp.add_argument("--interval", type=float, default=5.0)
+    sp.add_argument(
+        "--write-mode", choices=("delta", "snapshot"), default="delta",
+        help="delta: append O(changes) per-partition deltas (MERGE-on-read); "
+             "snapshot: rewrite touched partitions each epoch",
+    )
+    sp.add_argument("--compact-threshold", type=int, default=8,
+                    help="compact a partition when its file chain reaches this")
+
+    sp = sub.add_parser(
+        "compact", help="fold delta chains into clean per-partition snapshots"
+    )
+    sp.add_argument("--table", required=True)
 
     sp = sub.add_parser("kpi", help="KPI report over a committed table")
     sp.add_argument("--table", required=True)
@@ -109,7 +121,7 @@ def main(argv: list[str] | None = None) -> int:
             ray.shutdown()
         return 0
 
-    if args.cmd in ("apply", "kpi"):
+    if args.cmd in ("apply", "compact", "kpi"):
         ray = _init_ray(args.num_cpus)
         try:
             if args.cmd == "apply":
@@ -119,6 +131,8 @@ def main(argv: list[str] | None = None) -> int:
                     max_segments=args.epoch_segments,
                     salt_factor=args.salt_factor,
                     hot_ratio=args.hot_ratio,
+                    write_mode=args.write_mode,
+                    compact_threshold=args.compact_threshold,
                 )
                 while True:
                     stats = apply_once(args.table, args.wal, cfg)
@@ -128,6 +142,11 @@ def main(argv: list[str] | None = None) -> int:
                         break
                     if stats is None:
                         time.sleep(args.interval)
+            elif args.cmd == "compact":
+                from .pipelines.apply import compact_table
+
+                stats = compact_table(args.table)
+                print(json.dumps(stats if stats else {"compacted": 0, "clean": True}))
             else:
                 from .pipelines.kpi import kpi_report
 
@@ -140,13 +159,20 @@ def main(argv: list[str] | None = None) -> int:
         from .state.manifest import load_manifest
 
         man = load_manifest(args.table)
+        dirty = sum(
+            1 for p in man.partitions.values() if not p.get("exact_rows", True)
+        )
         print(
             json.dumps(
                 {
                     "epoch": man.epoch,
                     "num_partitions": man.num_partitions,
                     "watermark": man.watermark,
+                    # exact after compaction; a lower bound while delta chains
+                    # are pending (run `compact` for an exact count)
                     "rows": man.total_rows(),
+                    "rows_exact": dirty == 0,
+                    "partitions_with_pending_deltas": dirty,
                     "schema": str(man.schema).replace("\n", ", "),
                     "last": man.history[-1] if man.history else None,
                 }

@@ -13,10 +13,17 @@ resumable micro-batch loop:
       → groupby(pid).map_groups(MergeApply actor pool)      [stateful merge]
       → driver: rename tmp snapshots + atomic manifest swap [exactly-once]
 
-The per-epoch change volume is bounded by ``max_segments``; the normalized
-change set is materialized once (bounded) so hot-partition detection and the
-merge pass don't re-read the WAL. Driver never holds row data — only O(P)
+The per-epoch change volume is bounded by ``max_segments``. Each epoch is ONE
+streaming Dataset execution (read → normalize → shuffle → merge): hot-partition
+detection uses the previous epoch's per-pid applied counts from the manifest
+(skew is sticky in CDC streams), so no extra counting pass and no
+materialization of the change set. Driver never holds row data — only O(P)
 stats rows from the merge stage.
+
+Write modes (``ApplyConfig.write_mode``): ``delta`` (default) appends
+O(changes) per-partition delta files and compacts when a partition's chain
+reaches ``compact_threshold`` — the MERGE-on-read scale path; ``snapshot``
+fully rewrites touched partitions every epoch (MERGE-on-write).
 """
 
 from __future__ import annotations
@@ -57,6 +64,15 @@ class ApplyConfig:
     merge_concurrency: int | tuple = (1, 8)
     batch_size: int | None = None         # normalize batch size (None = blocks)
     gc: bool = True
+    # "delta": append O(changes) per-partition deltas, compact at threshold
+    # (MERGE-on-read — the 10^10-event scale path). "snapshot": rewrite
+    # touched partitions fully every epoch (MERGE-on-write).
+    write_mode: str = "delta"
+    compact_threshold: int = 8
+    # "prev": predict hot pids from last epoch's manifest histogram (free);
+    # "scan": exact per-epoch counting pass (materializes the change set);
+    # "off": never salt.
+    hot_detect: str = "prev"
 
 
 def create_table(table_dir: str, num_partitions: int = 64, schema: pa.Schema | None = None) -> Manifest:
@@ -75,16 +91,72 @@ def _epoch_change_schema(man: Manifest, segs: list[Segment]) -> pa.Schema:
 
 def _read_segments(segs: list[Segment]) -> ray.data.Dataset:
     """Read segments grouped by file schema (a WAL spanning a schema change
-    has heterogeneous files; per-group reads + union keep each read clean)."""
+    has heterogeneous files; per-group reads + union keep each read clean).
+
+    Block count is pinned to ~cluster CPUs: Ray's default read splitting
+    (read_op_min_num_blocks=200) shatters a bounded WAL micro-batch into tiny
+    blocks, and the downstream sort shuffle's task-launch overhead scales with
+    block count — measured 2× epoch wall time at 64 vs 32 blocks on a
+    200k-event epoch. One block per core keeps full parallelism with minimum
+    scheduling overhead."""
+    cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
     groups: dict[bytes, list[str]] = {}
     for s in segs:
         key = pq.read_schema(s.path).serialize().to_pybytes()
         groups.setdefault(key, []).append(s.path)
-    datasets = [ray.data.read_parquet(paths) for paths in groups.values()]
+    total = sum(len(p) for p in groups.values())
+    datasets = [
+        ray.data.read_parquet(
+            paths,
+            override_num_blocks=max(len(paths), round(cpus * len(paths) / total)),
+        )
+        for paths in groups.values()
+    ]
     ds = datasets[0]
     for other in datasets[1:]:
         ds = ds.union(other)
     return ds
+
+
+def _detect_hot_pids(
+    man: Manifest, changes: ray.data.Dataset, cfg: ApplyConfig
+) -> tuple[list[int], ray.data.Dataset]:
+    """Partitions whose change volume warrants two-level salted compaction.
+
+    Default (``hot_detect="prev"``): read the previous epoch's per-pid applied
+    histogram straight from the manifest — O(P) driver work, zero data passes;
+    CDC skew is sticky (a hot source stays hot across epochs), and salting is
+    correctness-neutral either way (max-LSN LWW is associative), so a
+    one-epoch prediction lag only costs a little balance on the first hot
+    epoch. ``"scan"`` runs an exact per-batch counting pass instead (the
+    combiner pattern: only tiny (pid, n) partials leave the map stage) at the
+    price of materializing the change set (returned so the merge shares the
+    single WAL scan)."""
+    if cfg.salt_factor <= 1 or man.num_partitions <= 1 or cfg.hot_detect == "off":
+        return [], changes
+    if cfg.hot_detect == "prev":
+        counts = {int(p): n for p, n in man.last_applied.items() if n > 0}
+        if len(counts) <= 1:
+            return [], changes
+        mean = sum(counts.values()) / len(counts)
+        return sorted(p for p, n in counts.items() if n > cfg.hot_ratio * mean), changes
+
+    changes = changes.materialize()
+
+    def pid_counts(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        vc = _pc.value_counts(b.column("pid"))
+        return pa.table({"pid": vc.field("values"), "n": vc.field("counts")})
+
+    partials = changes.map_batches(pid_counts, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return [], changes
+    counts = partials.groupby("pid")["n"].sum()
+    if len(counts) <= 1:
+        return [], changes
+    hot = counts[counts > cfg.hot_ratio * counts.mean()]
+    return sorted(int(p) for p in hot.index), changes
 
 
 def apply_once(table_dir: str, wal_dir: str, cfg: ApplyConfig | None = None) -> dict | None:
@@ -114,32 +186,10 @@ def apply_once(table_dir: str, wal_dir: str, cfg: ApplyConfig | None = None) -> 
         zero_copy_batch=True,
         batch_size=cfg.batch_size,
     )
-    # Bounded by the per-epoch segment cap; lets hot-pid detection and the
-    # merge pass share one scan of the WAL.
-    changes = changes.materialize()
     # Raw change events in this epoch (pre-compaction), from parquet metadata.
     n_events = sum(pq.ParquetFile(s.path).metadata.num_rows for s in segs)
 
-    # Skew detection: per-pid post-compaction row counts via per-batch
-    # partials (no shuffle — only tiny (pid, n) rows leave the map stage,
-    # the combiner pattern from the Ray guide).
-    hot_pids: list[int] = []
-    if cfg.salt_factor > 1 and man.num_partitions > 1:
-        def pid_counts(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as _pc
-
-            vc = _pc.value_counts(b.column("pid"))
-            return pa.table(
-                {"pid": vc.field("values"), "n": vc.field("counts")}
-            )
-
-        partials = changes.map_batches(pid_counts, batch_format="pyarrow").to_pandas()
-        if not partials.empty:
-            counts = partials.groupby("pid")["n"].sum()
-            if len(counts) > 1:
-                hot = counts[counts > cfg.hot_ratio * counts.mean()]
-                hot_pids = sorted(int(p) for p in hot.index)
-
+    hot_pids, changes = _detect_hot_pids(man, changes, cfg)
     if hot_pids:
         # Two-level salted merge: L1 compacts (pid, salt) sub-groups in
         # parallel (each doc_id lives in exactly one sub-group, so L1 output
@@ -155,6 +205,8 @@ def apply_once(table_dir: str, wal_dir: str, cfg: ApplyConfig | None = None) -> 
             "epoch": epoch,
             "partitions": man.partitions,
             "snapshot_schema_b64": schema_to_b64(snap_schema),
+            "write_mode": cfg.write_mode,
+            "compact_threshold": cfg.compact_threshold,
         },
         batch_format="pyarrow",
         concurrency=cfg.merge_concurrency,
@@ -163,24 +215,32 @@ def apply_once(table_dir: str, wal_dir: str, cfg: ApplyConfig | None = None) -> 
     stats = stats_ds.take_all()  # O(P) rows only
 
     # ---- commit point: rename all tmp parts, then atomic manifest swap ----
+    import json as _json
+
     seg_names = [s.name for s in segs]
     merged_rows = 0  # post-compaction change rows that reached the merge
+    man.last_applied = {}
     for row in stats:
         pid = str(row["pid"])
-        final_rel = row["file"]
-        tmp = os.path.join(table_dir, final_rel + ".tmp")
-        os.replace(tmp, os.path.join(table_dir, final_rel))
+        if row["new_file"]:
+            tmp = os.path.join(table_dir, row["new_file"] + ".tmp")
+            os.replace(tmp, os.path.join(table_dir, row["new_file"]))
         part = man.partitions[pid]
         part.update(
             {
                 "watermark_lsn": epoch_max_lsn,
+                # rows is exact after a compaction/snapshot write and stale
+                # (last exact value) while deltas are pending — recomputing
+                # it would defeat the O(changes) append path.
                 "rows": int(row["rows"]),
+                "exact_rows": bool(row["exact"]),
                 "bytes": int(row["bytes"]),
-                "files": [final_rel],
+                "files": _json.loads(row["files_json"]),
             }
         )
         part["lineage"] = (part.get("lineage") or [])[-200:] + seg_names
         merged_rows += int(row["applied"])
+        man.last_applied[pid] = int(row["applied"])
     # Partitions with no changes this epoch advance their watermark too
     # (no event ≤ epoch_max_lsn can belong to them).
     for part in man.partitions.values():
@@ -206,36 +266,140 @@ def apply_once(table_dir: str, wal_dir: str, cfg: ApplyConfig | None = None) -> 
     return epoch_stats
 
 
-def replay(table_dir: str, wal_dir: str, cfg: ApplyConfig | None = None) -> list[dict]:
+def replay(
+    table_dir: str,
+    wal_dir: str,
+    cfg: ApplyConfig | None = None,
+    final_compact: bool = True,
+) -> list[dict]:
     """Run epochs until the WAL is fully applied (resumable: picks up from the
     committed manifest watermark — the fix for the reference's restart-equals-
-    full-resync behavior, /root/reference/etl/main.py:116-119)."""
+    full-resync behavior, /root/reference/etl/main.py:116-119). In delta mode
+    a final compaction pass (checkpoint) leaves every partition as one clean
+    snapshot file, so readers pay zero merge cost afterwards."""
+    cfg = cfg or ApplyConfig()
     out = []
     while True:
         stats = apply_once(table_dir, wal_dir, cfg)
         if stats is None:
-            return out
+            break
         out.append(stats)
+    if final_compact and cfg.write_mode == "delta":
+        cstats = compact_table(table_dir, concurrency=cfg.merge_concurrency)
+        if cstats is not None:
+            out.append(cstats)
+    return out
+
+
+def _dirty_pids(man: Manifest) -> list[int]:
+    """Partitions whose file chain needs a merge on read: more than one file,
+    or a single file that is a delta (op/tombstones present)."""
+    out = []
+    for pid, p in man.partitions.items():
+        files = p.get("files") or []
+        if len(files) > 1 or (files and "delta-" in os.path.basename(files[0])):
+            out.append(int(pid))
+    return sorted(out)
+
+
+def compact_table(
+    table_dir: str, concurrency: int | tuple = (1, 8)
+) -> dict | None:
+    """Compact every dirty partition's delta chain into one clean snapshot
+    file (LSM-style major compaction). Same exactly-once protocol as an apply
+    epoch: all tmp writes land, then one atomic manifest swap. Returns stats,
+    or None when nothing is dirty."""
+    import json as _json
+
+    from ..stages.merge import CompactWorker
+
+    man = load_manifest(table_dir)
+    dirty = _dirty_pids(man)
+    if not dirty:
+        return None
+    epoch = man.epoch + 1
+    t0 = time.perf_counter()
+    items = [{"pid": pid} for pid in dirty]
+    stats = (
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map_batches(
+            CompactWorker,
+            fn_constructor_kwargs={
+                "table_dir": table_dir,
+                "epoch": epoch,
+                "partitions": man.partitions,
+                "snapshot_schema_b64": man.schema_b64,
+            },
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        .take_all()
+    )
+    for row in stats:
+        pid = str(row["pid"])
+        os.replace(
+            os.path.join(table_dir, row["new_file"] + ".tmp"),
+            os.path.join(table_dir, row["new_file"]),
+        )
+        man.partitions[pid].update(
+            {
+                "rows": int(row["rows"]),
+                "exact_rows": True,
+                "bytes": int(row["bytes"]),
+                "files": _json.loads(row["files_json"]),
+            }
+        )
+    wall = time.perf_counter() - t0
+    epoch_stats = {
+        "epoch": epoch,
+        "compaction": True,
+        "partitions_compacted": len(dirty),
+        "rows_total": sum(int(p["rows"]) for p in man.partitions.values()),
+        "wall_s": round(wall, 4),
+    }
+    man.epoch = epoch
+    man.history.append(epoch_stats)
+    commit_manifest(man)
+    gc_stale_files(man)
+    return epoch_stats
 
 
 def read_snapshot(table_dir: str) -> ray.data.Dataset:
-    """The committed table as a Ray Dataset (MERGE-on-read already applied at
-    write time: snapshots are clean — the fully-merged RMT state)."""
+    """The committed table as a Ray Dataset.
+
+    MERGE-on-read: each task reconstructs one partition from its file chain
+    (base snapshot + deltas → LWW → drop tombstones). Partition chains are
+    independent, so this is an embarrassingly parallel map — no shuffle. After
+    a compaction the chain is one clean file and the merge is a no-op cast."""
+    from ..stages.merge import make_partition_reader
+
     man = load_manifest(table_dir)
-    files = man.snapshot_files()
-    if not files:
+    pids = [int(pid) for pid, p in man.partitions.items() if p.get("files")]
+    if not pids:
         return ray.data.from_arrow(man.schema.empty_table())
-    return ray.data.read_parquet(files)
+    items = [{"pid": pid} for pid in sorted(pids)]
+    reader = make_partition_reader(
+        table_dir,
+        man.schema_b64,
+        {pid: man.partitions[pid]["files"] for pid in map(str, pids)},
+    )
+    return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        reader, batch_format="pyarrow", batch_size=None
+    )
 
 
 def snapshot_table(table_dir: str) -> pa.Table:
     """Driver-side snapshot materialization (tests / small tables only)."""
-    man = load_manifest(table_dir)
-    files = man.snapshot_files()
-    if not files:
-        return man.schema.empty_table()
-    tables = [pq.read_table(f) for f in files]
-    from ..schemas import cast_table
+    from ..stages.merge import merge_file_tables, read_partition
 
-    tables = [cast_table(t, man.schema) for t in tables]
+    man = load_manifest(table_dir)
+    tables = []
+    for pid in sorted(man.partitions, key=int):
+        files = man.partitions[pid].get("files") or []
+        if files:
+            tables.append(read_partition(table_dir, files, man.schema))
+    if not tables:
+        return man.schema.empty_table()
     return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])

@@ -73,6 +73,45 @@ def lww_compact(
     return table.filter(mask)
 
 
+def merge_file_tables(
+    tables: list[pa.Table],
+    snapshot_schema: pa.Schema,
+    drop_tombstones: bool = True,
+) -> pa.Table:
+    """LWW-merge a partition's file chain (base snapshot + delta files).
+
+    ``tables`` must be in commit order (oldest first). Snapshot files carry no
+    ``op`` column (implicitly all-alive, op='c'); delta files keep ``op`` so
+    their tombstones participate. Winner per key = max (lsn, file rank). This
+    is the MERGE-on-read kernel (the read-time half of ReplacingMergeTree
+    semantics, /root/reference/etl/clickhouse_schema/init.sql:14-15): the
+    write path appends O(changes) deltas and reads reconstruct the merged
+    state, so per-epoch write cost never scales with table size.
+    """
+    parts = []
+    for rank, t in enumerate(tables):
+        if t.num_rows == 0:
+            continue
+        has_op = "op" in t.column_names
+        op = t.column("op") if has_op else None
+        t = cast_table(t, snapshot_schema)
+        n = t.num_rows
+        if op is None:
+            op = pa.nulls(n, pa.string()).fill_null("c")
+        t = t.append_column("op", op.cast(pa.string()) if op.type != pa.string() else op)
+        t = t.append_column("_src", pa.nulls(n, pa.int8()).fill_null(rank))
+        parts.append(t)
+    if not parts:
+        return snapshot_schema.empty_table()
+    combined = pa.concat_tables(parts, promote_options="none")
+    winners = lww_compact(combined, src_rank="_src")
+    if drop_tombstones:
+        winners = winners.filter(pc.not_equal(winners.column("op"), pa.scalar("d")))
+        return cast_table(winners, snapshot_schema)
+    op = winners.column("op")
+    return cast_table(winners, snapshot_schema).append_column("op", op)
+
+
 def merge_base_and_changes(
     base: pa.Table | None,
     changes: pa.Table,
@@ -108,6 +147,68 @@ def merge_base_and_changes(
     return cast_table(alive, snapshot_schema)  # drops op/_src, fixes order
 
 
+def _stats_row(
+    pid: int,
+    rows: int,
+    exact: bool,
+    nbytes: int,
+    applied: int,
+    deletes: int,
+    max_lsn: int,
+    new_file: str,
+    files: list[str],
+    merge_s: float,
+) -> pa.Table:
+    import json
+
+    return pa.table(
+        {
+            "pid": pa.array([pid], pa.int32()),
+            "rows": pa.array([rows], pa.int64()),
+            "exact": pa.array([exact], pa.bool_()),
+            "bytes": pa.array([nbytes], pa.int64()),
+            "applied": pa.array([applied], pa.int64()),
+            "deletes": pa.array([deletes], pa.int64()),
+            "max_lsn": pa.array([max_lsn], pa.int64()),
+            "new_file": pa.array([new_file], pa.string()),
+            "files_json": pa.array([json.dumps(files)], pa.string()),
+            "merge_s": pa.array([time.perf_counter() - merge_s], pa.float64()),
+        }
+    )
+
+
+def read_partition(
+    table_dir: str, files: list[str], snapshot_schema: pa.Schema
+) -> pa.Table:
+    """Reconstruct one partition's merged state from its file chain.
+
+    Fast path: a single clean snapshot file needs only a schema cast (no
+    sort, no merge) — the common case after compaction."""
+    tables = [pq.read_table(os.path.join(table_dir, f)) for f in files]
+    if len(tables) == 1 and "op" not in tables[0].column_names:
+        return cast_table(tables[0], snapshot_schema)
+    return merge_file_tables(tables, snapshot_schema)
+
+
+def make_partition_reader(
+    table_dir: str, snapshot_schema_b64: str, files_by_pid: dict[str, list[str]]
+):
+    """Stateless map_batches fn for MERGE-on-read over pid-descriptor rows."""
+
+    def read_pids(batch: pa.Table) -> pa.Table:
+        schema = schema_from_b64(snapshot_schema_b64)
+        out = []
+        for pid in batch.column("pid").to_pylist():
+            files = files_by_pid.get(str(pid)) or []
+            if files:
+                out.append(read_partition(table_dir, files, schema))
+        if not out:
+            return schema.empty_table()
+        return pa.concat_tables(out)
+
+    return read_pids
+
+
 class MergeApply:
     """Stateful merge worker: applies one partition's change group per call.
 
@@ -119,11 +220,126 @@ class MergeApply:
     (base-file paths, watermarks, target schema) is resolved once in
     ``__init__``; each ``__call__`` handles one pid group.
 
-    Output files are written as ``snapshot-{epoch}.parquet.tmp`` and renamed /
-    committed by the driver only after *all* partitions succeed (exactly-once:
-    a crashed epoch leaves no visible state; re-running rewrites the same
-    deterministic bytes).
+    Two write modes:
+
+    - ``delta`` (default, the scale path): LWW-compact the partition's change
+      group and append it as ``delta-{epoch}.parquet`` (tombstones + ``op``
+      retained). Per-epoch write cost is O(changes), never O(table) — at the
+      10^10-event design point a partition's base may be tens of GB while an
+      epoch touches a few MB of it. When the file chain reaches
+      ``compact_threshold`` the call compacts instead: merge base + deltas +
+      changes into a single clean ``snapshot-{epoch}.parquet`` (bounded read
+      amplification, LSM-style).
+    - ``snapshot``: always fully merge and rewrite (MERGE-on-write); kept for
+      small tables and as the compaction primitive.
+
+    Output files are written as ``*.parquet.tmp`` and renamed / committed by
+    the driver only after *all* partitions succeed (exactly-once: a crashed
+    epoch leaves no visible state; re-running rewrites the same deterministic
+    bytes).
     """
+
+    def __init__(
+        self,
+        table_dir: str,
+        epoch: int,
+        partitions: dict[str, dict],
+        snapshot_schema_b64: str,
+        write_mode: str = "snapshot",
+        compact_threshold: int = 8,
+    ):
+        self.table_dir = table_dir
+        self.epoch = epoch
+        self.partitions = partitions
+        self.snapshot_schema = schema_from_b64(snapshot_schema_b64)
+        self.write_mode = write_mode
+        self.compact_threshold = compact_threshold
+
+    def _read_files(self, meta: dict) -> list[pa.Table]:
+        return [
+            pq.read_table(os.path.join(self.table_dir, f))
+            for f in (meta.get("files") or [])
+        ]
+
+    def _write(self, table: pa.Table, pid: int, kind: str) -> tuple[str, int]:
+        """Write under tmp name; driver renames at commit. Returns
+        (relative final path, bytes). Unique scratch name then atomic replace,
+        so a retried task never interleaves bytes with a concurrent writer."""
+        part_dir = os.path.join(self.table_dir, "parts", f"pid={pid:05d}")
+        os.makedirs(part_dir, exist_ok=True)
+        rel = os.path.join("parts", f"pid={pid:05d}", f"{kind}-{self.epoch:06d}.parquet")
+        tmp_path = os.path.join(self.table_dir, rel + ".tmp")
+        scratch = f"{tmp_path}.{os.getpid()}"
+        # zstd for long-lived snapshots, lz4 for short-lived deltas (cheaper
+        # to write; they are rewritten away at the next compaction anyway).
+        comp = "lz4" if kind == "delta" else "zstd"
+        pq.write_table(table, scratch, compression=comp)
+        os.replace(scratch, tmp_path)
+        return rel, os.path.getsize(tmp_path)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        pid = group.column("pid")[0].as_py()
+        meta = self.partitions[str(pid)]
+        watermark = int(meta["watermark_lsn"])
+        old_files = list(meta.get("files") or [])
+
+        # Idempotent re-apply: skip events at or below this partition's
+        # committed watermark (the manifest is the single source of truth,
+        # unlike the reference's in-memory last_sync, pipeline.py:197-202).
+        changes = group.filter(pc.greater(group.column("lsn"), pa.scalar(watermark)))
+        n_applied = changes.num_rows
+        ops = changes.column("op")
+        n_del = pc.sum(pc.equal(ops, pa.scalar("d")).cast(pa.int64())).as_py() or 0
+        max_lsn = int(pc.max(changes.column("lsn")).as_py() or watermark) if n_applied else watermark
+
+        if n_applied == 0:
+            return _stats_row(
+                pid, int(meta.get("rows", 0)), bool(meta.get("exact_rows", True)),
+                0, 0, 0, watermark, "", old_files, t0,
+            )
+
+        delta_ok = (
+            self.write_mode == "delta"
+            and len(old_files) + 1 < self.compact_threshold
+        )
+        if delta_ok:
+            # Append path: compacted change rows only, op + tombstones kept.
+            compacted = lww_compact(
+                changes.drop_columns(
+                    [c for c in ROUTING_COLS if c in changes.column_names]
+                )
+            )
+            op = compacted.column("op")
+            delta = cast_table(compacted, self.snapshot_schema).append_column(
+                "op", op.cast(pa.string())
+            )
+            rel, nbytes = self._write(delta, pid, "delta")
+            return _stats_row(
+                pid, int(meta.get("rows", 0)), False, nbytes,
+                n_applied, n_del, max_lsn, rel, old_files + [rel], t0,
+            )
+
+        # Compaction / snapshot path: full merge of the file chain + changes.
+        base_tables = self._read_files(meta)
+        changes = changes.drop_columns(
+            [c for c in ROUTING_COLS if c in changes.column_names]
+        )
+        merged = merge_file_tables(base_tables + [changes], self.snapshot_schema)
+        merged = merged.sort_by([("doc_id", "ascending")])
+        rel, nbytes = self._write(merged, pid, "snapshot")
+        return _stats_row(
+            pid, merged.num_rows, True, nbytes,
+            n_applied, n_del, max_lsn, rel, [rel], t0,
+        )
+
+
+class CompactWorker:
+    """Major compaction: fold one partition's delta chain into a single clean
+    snapshot file (the write-time half of MERGE-on-read; analog of a manual
+    ``OPTIMIZE TABLE ... FINAL`` on a ReplacingMergeTree). Runs as an actor
+    pool over pid-descriptor rows; same tmp-write + driver-rename commit
+    protocol as MergeApply."""
 
     def __init__(
         self,
@@ -137,52 +353,27 @@ class MergeApply:
         self.partitions = partitions
         self.snapshot_schema = schema_from_b64(snapshot_schema_b64)
 
-    def _read_base(self, meta: dict) -> pa.Table | None:
-        files = meta.get("files") or []
-        if not files:
-            return None
-        tables = [pq.read_table(os.path.join(self.table_dir, f)) for f in files]
-        tables = [cast_table(t, self.snapshot_schema) for t in tables]
-        return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        t0 = time.perf_counter()
-        pid = group.column("pid")[0].as_py()
-        meta = self.partitions[str(pid)]
-        watermark = int(meta["watermark_lsn"])
-
-        # Idempotent re-apply: skip events at or below this partition's
-        # committed watermark (the manifest is the single source of truth,
-        # unlike the reference's in-memory last_sync, pipeline.py:197-202).
-        changes = group.filter(pc.greater(group.column("lsn"), pa.scalar(watermark)))
-        n_applied = changes.num_rows
-        ops = changes.column("op")
-        n_del = pc.sum(pc.equal(ops, pa.scalar("d")).cast(pa.int64())).as_py() or 0
-
-        base = self._read_base(meta)
-        merged = merge_base_and_changes(base, changes, self.snapshot_schema)
-        merged = merged.sort_by([("doc_id", "ascending")])
-
-        part_dir = os.path.join(self.table_dir, "parts", f"pid={pid:05d}")
-        os.makedirs(part_dir, exist_ok=True)
-        rel_final = os.path.join("parts", f"pid={pid:05d}", f"snapshot-{self.epoch:06d}.parquet")
-        tmp_path = os.path.join(self.table_dir, rel_final + ".tmp")
-        # Unique scratch name then atomic replace, so a retried task never
-        # interleaves bytes with a concurrent writer of the same partition.
-        scratch = f"{tmp_path}.{os.getpid()}"
-        pq.write_table(merged, scratch, compression="zstd")
-        os.replace(scratch, tmp_path)
-
-        max_lsn = pc.max(changes.column("lsn")).as_py() if n_applied else watermark
-        return pa.table(
-            {
-                "pid": pa.array([pid], pa.int32()),
-                "rows": pa.array([merged.num_rows], pa.int64()),
-                "bytes": pa.array([os.path.getsize(tmp_path)], pa.int64()),
-                "applied": pa.array([n_applied], pa.int64()),
-                "deletes": pa.array([n_del], pa.int64()),
-                "max_lsn": pa.array([int(max_lsn or 0)], pa.int64()),
-                "file": pa.array([rel_final], pa.string()),
-                "merge_s": pa.array([time.perf_counter() - t0], pa.float64()),
-            }
-        )
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for pid in batch.column("pid").to_pylist():
+            t0 = time.perf_counter()
+            files = self.partitions[str(pid)].get("files") or []
+            merged = read_partition(self.table_dir, files, self.snapshot_schema)
+            merged = merged.sort_by([("doc_id", "ascending")])
+            part_dir = os.path.join(self.table_dir, "parts", f"pid={pid:05d}")
+            os.makedirs(part_dir, exist_ok=True)
+            rel = os.path.join(
+                "parts", f"pid={pid:05d}", f"snapshot-{self.epoch:06d}.parquet"
+            )
+            tmp_path = os.path.join(self.table_dir, rel + ".tmp")
+            scratch = f"{tmp_path}.{os.getpid()}"
+            pq.write_table(merged, scratch, compression="zstd")
+            os.replace(scratch, tmp_path)
+            meta = self.partitions[str(pid)]
+            out.append(
+                _stats_row(
+                    pid, merged.num_rows, True, os.path.getsize(tmp_path),
+                    0, 0, int(meta["watermark_lsn"]), rel, [rel], t0,
+                )
+            )
+        return pa.concat_tables(out)

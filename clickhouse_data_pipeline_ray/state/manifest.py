@@ -41,6 +41,11 @@ class Manifest:
     partitions: dict[str, dict] = field(default_factory=dict)
     # bounded per-epoch metrics history (events applied, wall seconds, ...)
     history: list[dict] = field(default_factory=list)
+    # pid -> change rows applied in the LAST committed epoch. Used for
+    # shuffle-free hot-partition prediction: skew in CDC streams is sticky
+    # (hot sources stay hot), so last epoch's histogram decides this epoch's
+    # salting without an extra counting pass over the data. O(P).
+    last_applied: dict[str, int] = field(default_factory=dict)
     updated_at: float = 0.0
 
     @property
@@ -97,6 +102,7 @@ def load_manifest(table_dir: str) -> Manifest:
         epoch=doc["epoch"],
         partitions=doc["partitions"],
         history=doc.get("history", []),
+        last_applied=doc.get("last_applied", {}),
         updated_at=doc.get("updated_at", 0.0),
     )
 
@@ -111,6 +117,7 @@ def commit_manifest(man: Manifest) -> None:
         "epoch": man.epoch,
         "partitions": man.partitions,
         "history": man.history[-50:],
+        "last_applied": man.last_applied,
         "updated_at": man.updated_at,
     }
     path = os.path.join(man.table_dir, MANIFEST_NAME)

@@ -35,8 +35,9 @@ def test_single_epoch_replay_matches_oracle(ray_session, wal, tmp_path):
     table_dir = str(tmp_path / "table")
     create_table(table_dir, num_partitions=8)
     stats = replay(table_dir, wal, ApplyConfig(salt_factor=1))
-    assert len(stats) == 1
-    assert stats[0]["events_applied"] == PARAMS.total_events
+    applies = [s for s in stats if not s.get("compaction")]
+    assert len(applies) == 1
+    assert applies[0]["events_applied"] == PARAMS.total_events
     assert_snapshots_equal(snapshot_table(table_dir), replay_oracle(wal))
 
 
@@ -44,8 +45,9 @@ def test_multi_epoch_incremental_replay_matches_oracle(ray_session, wal, tmp_pat
     table_dir = str(tmp_path / "table")
     create_table(table_dir, num_partitions=8)
     stats = replay(table_dir, wal, ApplyConfig(max_segments=2, salt_factor=1))
-    assert len(stats) == 3  # 5 segments, 2 per epoch
-    assert sum(s["events_applied"] for s in stats) == PARAMS.total_events
+    applies = [s for s in stats if not s.get("compaction")]
+    assert len(applies) == 3  # 5 segments, 2 per epoch
+    assert sum(s["events_applied"] for s in applies) == PARAMS.total_events
     assert_snapshots_equal(snapshot_table(table_dir), replay_oracle(wal))
     # incremental convergence: a further cycle applies nothing
     assert apply_once(table_dir, wal, ApplyConfig()) is None

@@ -34,9 +34,11 @@ def test_salted_equals_unsalted_and_oracle(ray_session, wal, tmp_path):
     t_salted, t_plain = str(tmp_path / "salted"), str(tmp_path / "plain")
     create_table(t_salted, num_partitions=4)
     create_table(t_plain, num_partitions=4)
-    # hot_ratio=0 forces every partition down the salted two-level path.
-    stats = replay(t_salted, wal, ApplyConfig(salt_factor=4, hot_ratio=0.0))
-    assert any(s["hot_pids"] for s in stats), "salted path was not exercised"
+    # hot_ratio=0 + exact scan forces every partition down the salted path.
+    stats = replay(
+        t_salted, wal, ApplyConfig(salt_factor=4, hot_ratio=0.0, hot_detect="scan")
+    )
+    assert any(s.get("hot_pids") for s in stats), "salted path was not exercised"
     replay(t_plain, wal, ApplyConfig(salt_factor=1))
     a, b = snapshot_table(t_salted), snapshot_table(t_plain)
     assert a.equals(b)
@@ -47,7 +49,26 @@ def test_hot_detection_triggers_on_skew(ray_session, wal, tmp_path):
     table_dir = str(tmp_path / "table")
     # Few partitions + aggressive threshold: the hottest pid should trip it.
     create_table(table_dir, num_partitions=8)
-    stats = replay(table_dir, wal, ApplyConfig(salt_factor=4, hot_ratio=1.5))
+    stats = replay(
+        table_dir, wal, ApplyConfig(salt_factor=4, hot_ratio=1.5, hot_detect="scan")
+    )
+    assert_snapshots_equal(snapshot_table(table_dir), replay_oracle(wal))
+
+
+def test_prev_epoch_hot_prediction(ray_session, wal, tmp_path):
+    """Default shuffle-free detection: epoch N salts using epoch N-1's
+    per-pid applied histogram from the manifest (skew is sticky), with
+    identical final state."""
+    table_dir = str(tmp_path / "table")
+    create_table(table_dir, num_partitions=4)
+    stats = replay(
+        table_dir, wal,
+        ApplyConfig(max_segments=2, salt_factor=4, hot_ratio=1.05, hot_detect="prev"),
+    )
+    applies = [s for s in stats if not s.get("compaction")]
+    assert len(applies) >= 2
+    assert not applies[0].get("hot_pids"), "epoch 1 has no history to predict from"
+    assert any(s.get("hot_pids") for s in applies[1:]), "prediction never engaged"
     assert_snapshots_equal(snapshot_table(table_dir), replay_oracle(wal))
 
 
