@@ -32,6 +32,38 @@ from .textstats import fingerprint_batch
 _MERSENNE = (1 << 61) - 1
 
 
+def _multi_member_values(ds: ray.data.Dataset, col: str) -> set:
+    """Values of ``col`` appearing in ≥2 rows, found WITHOUT a shuffle: each
+    batch emits its value_counts partial (tiny (value, n) rows), the driver
+    sums them. Buckets are overwhelmingly singletons in LSH blocking, so
+    pre-filtering to multi-member buckets before the per-bucket pair stage
+    removes ~all of the per-group overhead. Partials are O(distinct values);
+    at extreme cardinality switch to groupby(col).count() instead."""
+    import pyarrow.compute as pc
+
+    def vc(b: pa.Table) -> pa.Table:
+        v = pc.value_counts(b.column(col))
+        return pa.table({col: v.field("values"), "n": v.field("counts")})
+
+    parts = ds.map_batches(vc, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return set()
+    totals = parts.groupby(col)["n"].sum()
+    return set(totals[totals > 1].index)
+
+
+def _filter_to_values(ds: ray.data.Dataset, col: str, values: set) -> ray.data.Dataset:
+    """Keep rows whose ``col`` is in ``values`` (broadcast set, map-side)."""
+    import pyarrow.compute as pc
+
+    arr = pa.array(sorted(values))
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column(col), value_set=arr))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def exact_dedup(
     ds: ray.data.Dataset, text_col: str = "text", key_col: str = "doc_id"
 ) -> ray.data.Dataset:
@@ -99,9 +131,12 @@ class MinHasher:
         for key, text in zip(keys, texts):
             sig = self.signature(text)
             band_views = sig.reshape(self.bands, self.rows_per_band)
+            # band index salted into the hash: one int64 bucket key suffices
+            # for the LSH groupby (no composite key needed)
             bhash = hash_array(
                 np.array(
-                    [bytes(bv.tobytes()) for bv in band_views], dtype=object
+                    [bytes([i]) + bv.tobytes() for i, bv in enumerate(band_views)],
+                    dtype=object,
                 ),
                 categorize=False,
             ).astype(np.int64)
@@ -161,8 +196,14 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=0.5,
-    )
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+    ).materialize()
+    # Pre-filter to colliding buckets (≥2 members) before any per-bucket
+    # work: the pair stage then only ever sees true candidates.
+    hot = _multi_member_values(exploded, "band_hash")
+    if not hot:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+    candidates = _filter_to_values(exploded, "band_hash", hot)
+    pairs = candidates.groupby("band_hash").map_groups(
         lambda g: _bucket_pairs(g, key_col), batch_format="pandas"
     )
     pdf = pairs.to_pandas()
@@ -209,28 +250,36 @@ class SimHasher:
     def __init__(self, text_col: str = "text", key_col: str = "doc_id", n_bands: int = 4):
         self.text_col, self.key_col, self.n_bands = text_col, key_col, n_bands
 
-    def simhash(self, text: str) -> np.uint64:
+    def simhash_batch(self, texts: list[str]) -> np.ndarray:
+        """Whole-batch SimHash: one word-hash pass + segment-summed bit votes
+        (np.add.reduceat over doc offsets) — no per-doc Python loop."""
         from pandas.util import hash_array
 
-        words = np.array(text.split(), dtype=object)
-        if len(words) == 0:
-            return np.uint64(0)
-        h = hash_array(words, categorize=False)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
+        words_per_doc = [t.split() for t in texts]
+        lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+        sigs = np.zeros(len(texts), dtype=np.uint64)
+        nonempty = np.flatnonzero(lens > 0)
+        if len(nonempty) == 0:
+            return sigs
+        all_words = np.concatenate(
+            [np.array(words_per_doc[i], dtype=object) for i in nonempty]
         )
-        vote = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for i in np.flatnonzero(vote > 0):
-            out |= np.uint64(1) << np.uint64(i)
-        return out
+        h = hash_array(all_words, categorize=False).astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int32
+        )
+        votes2 = 2 * bits  # vote = sum(2b - 1) = 2*sum(b) - n
+        offsets = np.zeros(len(nonempty), dtype=np.int64)
+        offsets[1:] = np.cumsum(lens[nonempty])[:-1]
+        seg = np.add.reduceat(votes2, offsets, axis=0)
+        vote = seg - lens[nonempty][:, None]
+        powers = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+        sigs[nonempty] = ((vote > 0).astype(np.uint64) * powers).sum(axis=1)
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.key_col).to_pylist()
-        sigs = np.array(
-            [self.simhash(t) for t in batch.column(self.text_col).to_pylist()],
-            dtype=np.uint64,
-        )
+        sigs = self.simhash_batch(batch.column(self.text_col).to_pylist())
         cols = {self.key_col: pa.array(keys), "simhash": pa.array(sigs.astype(np.int64))}
         width = 64 // self.n_bands
         for b in range(self.n_bands):
@@ -256,7 +305,28 @@ def simhash_pairs(
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=0.5,
-    ).materialize()
+    )
+
+    # One pass over all bands: explode each doc to (bucket, doc, simhash)
+    # rows with the band id salted into the bucket key, so a single
+    # hot-bucket prefilter + groupby covers every pigeonhole block.
+    def explode(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        keys = pa.concat_arrays(
+            [b.column(key_col).combine_chunks()] * n_bands
+        )
+        sh = pa.concat_arrays([b.column("simhash").combine_chunks()] * n_bands)
+        buckets = np.concatenate(
+            [
+                b.column(f"band{i}").to_numpy() | np.int64(i << 16)
+                for i in range(n_bands)
+            ]
+        )
+        return pa.table(
+            {key_col: keys, "simhash": sh, "bucket": pa.array(buckets, pa.int64())}
+        )
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow").materialize()
 
     def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(key_col).reset_index(drop=True)
@@ -272,11 +342,11 @@ def simhash_pairs(
                 out_d.append(int(d[off]))
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_d})
 
-    frames = []
-    for b in range(n_bands):
-        pairs = sigs.groupby(f"band{b}").map_groups(band_pairs, batch_format="pandas")
-        frames.append(pairs.to_pandas())
-    pdf = pd.concat(frames, ignore_index=True)
+    hot = _multi_member_values(exploded, "bucket")
+    if not hot:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+    cands = _filter_to_values(exploded, "bucket", hot)
+    pdf = cands.groupby("bucket").map_groups(band_pairs, batch_format="pandas").to_pandas()
     if pdf.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
     return (
@@ -375,7 +445,11 @@ def embedding_neardup_pairs(
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=0.5,
-    )
+    ).materialize()
+    hot = _multi_member_values(bucketed, "bucket")
+    if not hot:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    bucketed = _filter_to_values(bucketed, "bucket", hot)
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(key_col).reset_index(drop=True)

@@ -55,14 +55,14 @@ class QualityScore:
         safe_chars = pc.max_element_wise(n_chars, 1.0)
         batch = batch.append_column("q_n_words", n_words.cast(pa.int64()))
         batch = batch.append_column(
-            "q_stop_ratio", pc.round(pc.divide(n_stop, safe_words), ndigits=6)
+            "q_stop_ratio", pc.round(pc.divide(n_stop, safe_words), ndigits=6, round_mode="half_towards_infinity")
         )
         batch = batch.append_column(
-            "q_alpha_ratio", pc.round(pc.divide(n_alpha, safe_chars), ndigits=6)
+            "q_alpha_ratio", pc.round(pc.divide(n_alpha, safe_chars), ndigits=6, round_mode="half_towards_infinity")
         )
         batch = batch.append_column(
             "q_mean_word_len",
-            pc.round(pc.divide(n_alpha, safe_words), ndigits=6),
+            pc.round(pc.divide(n_alpha, safe_words), ndigits=6, round_mode="half_towards_infinity"),
         )
         return batch
 

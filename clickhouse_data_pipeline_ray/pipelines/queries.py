@@ -53,6 +53,45 @@ def _date_str(ts: pa.ChunkedArray) -> pa.ChunkedArray:
     return pc.strftime(ts, format="%Y-%m-%d")
 
 
+
+def _round_half_up(series, ndigits: int):
+    """Half-up rounding to match SQL ROUND() (pandas/numpy round is
+    half-to-even, which diverges on exact halves like 105/128)."""
+    scale = 10.0 ** ndigits
+    return np.floor(series.astype(float) * scale + 0.5) / scale
+
+def _partial_groupby(
+    ds: ray.data.Dataset,
+    prep,
+    keys: list[str],
+    sums: list[str],
+    count_col: str | None = None,
+) -> pd.DataFrame:
+    """Combiner-pattern aggregate for LOW-cardinality keys (dates, sources,
+    nations, brands): each batch reduces to one row per group inside
+    map_batches, so only O(groups × blocks) partial rows ever leave the map
+    stage — no all-to-all shuffle (the SummingMergeTree-view analog,
+    /root/reference/etl/clickhouse_schema/kpi_views.sql, computed
+    aggregate-first). Valid whenever the group count is driver-small; wide
+    keys (users, custkeys) must use groupby().aggregate() instead."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        pdf = prep(b)
+        agg = {c: "sum" for c in sums}
+        if count_col:
+            pdf = pdf.assign(**{count_col: 1})
+            agg[count_col] = "sum"
+        gb = pdf.groupby(keys, as_index=False, sort=False)
+        return pa.Table.from_pandas(gb.agg(agg), preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = sums + ([count_col] if count_col else [])
+    out = parts.groupby(keys, as_index=False)[cols].sum()
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(keys).reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # CDC engine (flagship; non-SQL — correctness is pinned by the pytest oracle)
 # --------------------------------------------------------------------------
@@ -104,7 +143,7 @@ def cdc_kpi_source_stats(sf_dir: str) -> pa.Table:
     pdf = pdf.sort_values("source").reset_index(drop=True)
     for c in ("n_docs", "sum_tok", "min_tok", "max_tok"):
         pdf[c] = pdf[c].astype("int64")
-    pdf["avg_tok"] = pdf["avg_tok"].round(4)
+    pdf["avg_tok"] = _round_half_up(pdf["avg_tok"], 4)
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
@@ -176,16 +215,25 @@ def q_lww_latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_kpi_source_stats(sf_dir: str) -> pa.Table:
-    """A1/A5 shape: per-source counts + exact int sums + derived ratio."""
+    """A1/A5 shape: per-source counts + exact int sums + derived ratio.
+    Sources are low-cardinality → shuffle-free partial-combine plan."""
     ds = _read(sf_dir, "documents", ["source", "n_chars"])
-    out = ds.groupby("source").aggregate(
-        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    pdf = _partial_groupby(
+        ds,
+        lambda b: pd.DataFrame(
+            {
+                "source": b.column("source").to_pandas(),
+                "sum_chars": b.column("n_chars").to_pandas().astype("int64"),
+            }
+        ),
+        keys=["source"],
+        sums=["sum_chars"],
+        count_col="n_docs",
     )
-    pdf = out.to_pandas().sort_values("source").reset_index(drop=True)
-    pdf["avg_chars"] = (pdf["sum_chars"].astype(float) / pdf["n_docs"]).round(4)
-    pdf["sum_chars"] = pdf["sum_chars"].astype("int64")
-    pdf["n_docs"] = pdf["n_docs"].astype("int64")
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    pdf["avg_chars"] = _round_half_up(pdf["sum_chars"].astype(float) / pdf["n_docs"], 4)
+    return pa.Table.from_pandas(
+        pdf[["source", "n_docs", "sum_chars", "avg_chars"]], preserve_index=False
+    )
 
 
 def q_kpi_daily_events(sf_dir: str) -> pa.Table:
@@ -203,15 +251,23 @@ def q_kpi_daily_events(sf_dir: str) -> pa.Table:
         )
 
     prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
-    daily = prepped.groupby("event_date").aggregate(
-        Count(alias_name="n_events"), Sum("value_milli", alias_name="sum_value_milli")
+    # per-day counts/sums: low-cardinality → shuffle-free partial combine
+    a = _partial_groupby(
+        prepped,
+        lambda b: b.to_pandas().rename(columns={"value_milli": "sum_value_milli"})[
+            ["event_date", "sum_value_milli"]
+        ],
+        keys=["event_date"],
+        sums=["sum_value_milli"],
+        count_col="n_events",
     )
-    # distinct users: pre-aggregate (date,user) pairs, then count per date
+    # distinct users: the one genuine shuffle (wide key) — dedupe (date,user)
+    # pairs distributed, then the tiny per-date tally on the driver
     per_user = prepped.groupby(["event_date", "user_id"]).count()
-    users = per_user.groupby("event_date").aggregate(Count(alias_name="n_users"))
-    a = daily.to_pandas()
-    b = users.to_pandas()
-    pdf = a.merge(b, on="event_date").sort_values("event_date").reset_index(drop=True)
+    users = (
+        per_user.to_pandas().groupby("event_date").size().rename("n_users").reset_index()
+    )
+    pdf = a.merge(users, on="event_date").sort_values("event_date").reset_index(drop=True)
     for c in ("n_events", "sum_value_milli", "n_users"):
         pdf[c] = pdf[c].astype("int64")
     return pa.Table.from_pandas(
@@ -233,15 +289,17 @@ def q_kpi_type_daily(sf_dir: str) -> pa.Table:
             }
         )
 
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["event_date", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_milli", alias_name="sum_value_milli"))
+    pdf = _partial_groupby(
+        ds,
+        lambda b: prep(b).to_pandas().rename(columns={"value_milli": "sum_value_milli"}),
+        keys=["event_date", "event_type"],
+        sums=["sum_value_milli"],
+        count_col="n_events",
     )
-    pdf = out.to_pandas().sort_values(["event_date", "event_type"]).reset_index(drop=True)
-    pdf["n_events"] = pdf["n_events"].astype("int64")
-    pdf["sum_value_milli"] = pdf["sum_value_milli"].astype("int64")
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    return pa.Table.from_pandas(
+        pdf[["event_date", "event_type", "n_events", "sum_value_milli"]],
+        preserve_index=False,
+    )
 
 
 def q_ctr_daily(sf_dir: str) -> pa.Table:
@@ -259,16 +317,16 @@ def q_ctr_daily(sf_dir: str) -> pa.Table:
             }
         )
 
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("event_date")
-        .aggregate(Sum("is_click", alias_name="clicks"), Sum("is_view", alias_name="views"))
+    pdf = _partial_groupby(
+        ds,
+        lambda b: prep(b)
+        .to_pandas()
+        .rename(columns={"is_click": "clicks", "is_view": "views"}),
+        keys=["event_date"],
+        sums=["clicks", "views"],
     )
-    pdf = out.to_pandas().sort_values("event_date").reset_index(drop=True)
-    pdf["clicks"] = pdf["clicks"].astype("int64")
-    pdf["views"] = pdf["views"].astype("int64")
     ctr = pdf["clicks"].astype(float) / pdf["views"].replace(0, np.nan)
-    pdf["ctr"] = ctr.round(6)
+    pdf["ctr"] = _round_half_up(ctr, 6)
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
@@ -290,81 +348,70 @@ class BroadcastJoin:
 
 
 def q_orders_by_nation(sf_dir: str) -> pa.Table:
-    """J1/J6: two-level rollup with broadcast dims — orders pre-aggregated by
-    custkey, then customer→nation lookup, then nation rollup."""
+    """J1/J6: broadcast-join plan done map-side — the customer→nation mapping
+    (tiny dim) is captured once and applied inside each batch, which then
+    partially aggregates to the ~25 nations. The fact table never shuffles
+    (the aggregate-first shape from SURVEY.md §2.6, vs the SQL join in
+    /root/reference/etl/clickhouse_schema/kpi_views.sql:24-26)."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-
-    def prep(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_custkey": b.column("o_custkey"),
-                "price_cents": _fixed_point(b.column("o_totalprice"), 100.0),
-            }
-        )
-
-    per_cust = (
-        orders.map_batches(prep, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_cents"))
-    )
     customer = pd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    ).rename(columns={"c_custkey": "o_custkey"})
+    )
+    cust_to_nation = pd.Series(
+        customer["c_nationkey"].values, index=customer["c_custkey"].values
+    )
     nation = pd.read_parquet(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     ).rename(columns={"n_nationkey": "c_nationkey"})
-    joined = per_cust.map_batches(
-        BroadcastJoin,
-        fn_constructor_kwargs={"small": customer, "on": "o_custkey"},
-        batch_format="pandas",
-        concurrency=2,
-        num_cpus=0.5,
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        cust = b.column("o_custkey").to_pandas()
+        return pd.DataFrame(
+            {
+                "c_nationkey": cust.map(cust_to_nation).values,
+                "sum_totalprice_cents": _fixed_point(
+                    b.column("o_totalprice"), 100.0
+                ).to_pandas(),
+            }
+        )
+
+    pdf = _partial_groupby(
+        orders, prep, keys=["c_nationkey"],
+        sums=["sum_totalprice_cents"], count_col="n_orders",
     )
-    rolled = joined.groupby("c_nationkey").aggregate(
-        Sum("n_orders", alias_name="n_orders"),
-        Sum("sum_cents", alias_name="sum_totalprice_cents"),
-    )
-    pdf = rolled.to_pandas().merge(nation, on="c_nationkey")
+    pdf = pdf.merge(nation, on="c_nationkey")
     pdf = pdf[["n_name", "n_orders", "sum_totalprice_cents"]].sort_values("n_name")
-    pdf["n_orders"] = pdf["n_orders"].astype("int64")
-    pdf["sum_totalprice_cents"] = pdf["sum_totalprice_cents"].astype("int64")
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
 def q_revenue_by_brand(sf_dir: str) -> pa.Table:
-    """J5 shape: facts pre-aggregated on the join key, dim broadcast."""
+    """J5 shape: broadcast part→brand lookup map-side, then partial-combine
+    to the ~25 brands — the fact table never shuffles."""
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    part = pd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    part_to_brand = pd.Series(part["p_brand"].values, index=part["p_partkey"].values)
 
-    def prep(b: pa.Table) -> pa.Table:
+    def prep(b: pa.Table) -> pd.DataFrame:
         rev = pc.multiply(
             b.column("l_extendedprice").cast(pa.float64()),
             pc.subtract(1.0, b.column("l_discount").cast(pa.float64())),
         )
         rev_cents = pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)).cast(pa.int64())
-        return pa.table({"l_partkey": b.column("l_partkey"), "rev_cents": rev_cents})
+        return pd.DataFrame(
+            {
+                "p_brand": b.column("l_partkey").to_pandas().map(part_to_brand).values,
+                "revenue_cents": rev_cents.to_pandas(),
+            }
+        )
 
-    per_part = (
-        li.map_batches(prep, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Count(alias_name="n_items"), Sum("rev_cents", alias_name="rev_cents"))
+    pdf = _partial_groupby(
+        li, prep, keys=["p_brand"], sums=["revenue_cents"], count_col="n_items"
     )
-    part = pd.read_parquet(
-        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
-    ).rename(columns={"p_partkey": "l_partkey"})
-    joined = per_part.map_batches(
-        BroadcastJoin,
-        fn_constructor_kwargs={"small": part, "on": "l_partkey"},
-        batch_format="pandas",
-        concurrency=2,
-        num_cpus=0.5,
+    return pa.Table.from_pandas(
+        pdf[["p_brand", "n_items", "revenue_cents"]], preserve_index=False
     )
-    out = joined.groupby("p_brand").aggregate(
-        Sum("n_items", alias_name="n_items"), Sum("rev_cents", alias_name="revenue_cents")
-    )
-    pdf = out.to_pandas().sort_values("p_brand").reset_index(drop=True)
-    pdf["n_items"] = pdf["n_items"].astype("int64")
-    pdf["revenue_cents"] = pdf["revenue_cents"].astype("int64")
-    return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
 # --------------------------------------------------------------------------
@@ -411,18 +458,18 @@ def q_sessionize_events(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_dedup_exact_documents(sf_dir: str) -> ray.data.Dataset:
-    """Exact dedup: content fingerprint → hash groupby → keep smallest key."""
+    """Exact dedup: content fingerprint → hash groupby → keep smallest key.
+    Vectorized aggregate (Min/Count) — no per-group Python."""
+    from ray.data.aggregate import Min
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     with_fp = ds.map_batches(
         lambda b: F_text.fingerprint_batch(b, "text"), batch_format="pyarrow"
     )
-
-    def keeper(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [g["doc_id"].min()], "n_copies": [len(g)]}
-        )
-
-    return with_fp.groupby("fingerprint").map_groups(keeper, batch_format="pandas")
+    agg = with_fp.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    )
+    return agg.select_columns(["doc_id", "n_copies"])
 
 
 def q_token_counts_documents(sf_dir: str) -> ray.data.Dataset:
@@ -584,7 +631,7 @@ ORACLE_SQL = {
     "kpi_source_stats": """
         SELECT source,
                count(*) AS n_docs,
-               sum(n_chars) AS sum_chars,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
         FROM documents GROUP BY source
     """,
@@ -592,19 +639,19 @@ ORACLE_SQL = {
         SELECT strftime(ts, '%Y-%m-%d') AS event_date,
                count(*) AS n_events,
                count(DISTINCT user_id) AS n_users,
-               sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS sum_value_milli
+               CAST(sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli
         FROM events GROUP BY 1
     """,
     "kpi_type_daily": """
         SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
                count(*) AS n_events,
-               sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS sum_value_milli
+               CAST(sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli
         FROM events GROUP BY 1, 2
     """,
     "ctr_daily": """
         SELECT strftime(ts, '%Y-%m-%d') AS event_date,
-               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
                round(CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
                      / NULLIF(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0),
                      6) AS ctr
@@ -613,7 +660,7 @@ ORACLE_SQL = {
     "orders_by_nation": """
         SELECT n_name,
                count(*) AS n_orders,
-               sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_totalprice_cents
+               CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_totalprice_cents
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -622,14 +669,14 @@ ORACLE_SQL = {
     "revenue_by_brand": """
         SELECT p_brand,
                count(*) AS n_items,
-               sum(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT))
-                   AS revenue_cents
+               CAST(sum(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS revenue_cents
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
     """,
     "top5_users_by_value": """
         SELECT user_id,
-               sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS total_milli
+               CAST(sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS total_milli
         FROM events GROUP BY user_id
         ORDER BY total_milli DESC, user_id ASC
         LIMIT 5
