@@ -61,6 +61,13 @@ class ApplyConfig:
     max_segments: int | None = None       # per-epoch segment cap (backpressure)
     salt_factor: int = 8                  # sub-keys per hot partition
     hot_ratio: float = 4.0                # pid is "hot" if its rows > ratio × mean
+    # Prefer a FIXED-size pool (int ≈ cluster CPUs / 2) when the cluster size
+    # is known: an autoscaling (min, max) range ramps up too slowly for
+    # epoch-sized bursts, so most of the work lands on the first few actors
+    # (measured 1.5× slower). The (1, 8) default is the safe choice for
+    # unknown/tiny clusters — actors permanently hold their CPU, and a pool
+    # that fills the cluster starves upstream read/normalize tasks (observed
+    # livelock at num_cpus=2 with min=2).
     merge_concurrency: int | tuple = (1, 8)
     batch_size: int | None = None         # normalize batch size (None = blocks)
     gc: bool = True
@@ -93,22 +100,25 @@ def _read_segments(segs: list[Segment]) -> ray.data.Dataset:
     """Read segments grouped by file schema (a WAL spanning a schema change
     has heterogeneous files; per-group reads + union keep each read clean).
 
-    Block count is pinned to ~cluster CPUs: Ray's default read splitting
-    (read_op_min_num_blocks=200) shatters a bounded WAL micro-batch into tiny
-    blocks, and the downstream sort shuffle's task-launch overhead scales with
-    block count — measured 2× epoch wall time at 64 vs 32 blocks on a
-    200k-event epoch. One block per core keeps full parallelism with minimum
-    scheduling overhead."""
+    Block count is pinned to ~cluster CPUs, independent of segment count:
+    Ray's default read splitting (read_op_min_num_blocks=200) shatters a
+    bounded WAL micro-batch into tiny blocks, and the sort shuffle creates
+    O(blocks²) intermediate objects — measured 2× epoch wall at 64 vs 32
+    blocks on a 200k-event epoch, and far worse with one block per segment on
+    a 200-segment epoch. One to two blocks per core keeps full parallelism
+    with bounded shuffle fan-out (a read task may read several files, or a
+    file may split by row group)."""
     cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
     groups: dict[bytes, list[str]] = {}
     for s in segs:
         key = pq.read_schema(s.path).serialize().to_pybytes()
         groups.setdefault(key, []).append(s.path)
     total = sum(len(p) for p in groups.values())
+    target = max(cpus, min(total, 2 * cpus))
     datasets = [
         ray.data.read_parquet(
             paths,
-            override_num_blocks=max(len(paths), round(cpus * len(paths) / total)),
+            override_num_blocks=max(1, round(target * len(paths) / total)),
         )
         for paths in groups.values()
     ]

@@ -193,7 +193,11 @@ def write_segment(wal_dir: str, params: GenParams, plan: SegPlan) -> str:
     table = gen_segment(params, plan)
     path = segment_path(wal_dir, plan.first_lsn, plan.first_lsn + plan.n - 1)
     tmp = path + f".tmp.{os.getpid()}"
-    pq.write_table(table, tmp, compression="zstd")
+    # lz4 + small row groups: WAL segments are transient (read once per
+    # replay), so cheap decode beats ratio, and multiple row groups per file
+    # let read_parquet split one segment across several read tasks (a single
+    # monolithic row group caps read parallelism at the file count).
+    pq.write_table(table, tmp, compression="lz4", row_group_size=8192)
     os.replace(tmp, path)
     return path
 

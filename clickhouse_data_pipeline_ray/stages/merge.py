@@ -62,15 +62,24 @@ def lww_compact(
     Used as the per-batch pre-compaction combiner (shrinks update-heavy change
     streams *before* the shuffle — the partial-aggregation pattern) and as the
     per-(pid, salt) sub-group compactor for skew salting.
+
+    Payload-aware: sorts only the (key, version) columns and gathers just the
+    winning rows — the wide ``tokens`` payload is never moved for losing
+    rows (a full-table sort_by gathers every column; with 2 KB rows that
+    dominates the merge CPU). Output rows come out key-sorted.
     """
     if table.num_rows == 0:
         return table
     sort_keys = [(key, "ascending"), (version, "ascending")]
     if src_rank is not None:
         sort_keys.append((src_rank, "ascending"))
-    table = table.sort_by(sort_keys)
-    mask = _last_wins_mask(table.column(key).combine_chunks())
-    return table.filter(mask)
+    idx = pc.sort_indices(
+        table.select([k for k, _ in sort_keys]), sort_keys=sort_keys
+    )
+    keys_sorted = pc.take(table.column(key), idx).combine_chunks()
+    mask = _last_wins_mask(keys_sorted)
+    winners = pc.filter(idx, mask)
+    return table.take(winners)
 
 
 def merge_file_tables(
@@ -325,8 +334,9 @@ class MergeApply:
         changes = changes.drop_columns(
             [c for c in ROUTING_COLS if c in changes.column_names]
         )
+        # merge_file_tables output is already doc_id-sorted (lww_compact
+        # emits winners in key order) — no extra payload sort needed
         merged = merge_file_tables(base_tables + [changes], self.snapshot_schema)
-        merged = merged.sort_by([("doc_id", "ascending")])
         rel, nbytes = self._write(merged, pid, "snapshot")
         return _stats_row(
             pid, merged.num_rows, True, nbytes,
@@ -358,8 +368,9 @@ class CompactWorker:
         for pid in batch.column("pid").to_pylist():
             t0 = time.perf_counter()
             files = self.partitions[str(pid)].get("files") or []
+            # read_partition output is doc_id-sorted (clean snapshots are
+            # stored sorted; merge_file_tables emits winners in key order)
             merged = read_partition(self.table_dir, files, self.snapshot_schema)
-            merged = merged.sort_by([("doc_id", "ascending")])
             part_dir = os.path.join(self.table_dir, "parts", f"pid={pid:05d}")
             os.makedirs(part_dir, exist_ok=True)
             rel = os.path.join(
