@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Sum
 
 from ..functions import dedup as F_dedup
 from ..functions import similarity as F_sim
@@ -334,17 +334,6 @@ def q_ctr_daily(sf_dir: str) -> pa.Table:
 # Joins (broadcast small side; aggregate-first) — SQL-checked
 # --------------------------------------------------------------------------
 
-
-class BroadcastJoin:
-    """Actor-pool lookup join: the small side ships once per actor via
-    constructor args (J1-J6 pattern — dims are tiny, facts never shuffle)."""
-
-    def __init__(self, small: pd.DataFrame, on: str):
-        self.small = small
-        self.on = on
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(self.small, on=self.on, how="left")
 
 
 def q_orders_by_nation(sf_dir: str) -> pa.Table:
