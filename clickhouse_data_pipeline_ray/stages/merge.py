@@ -308,8 +308,13 @@ class MergeApply:
                 0, 0, 0, watermark, "", old_files, t0,
             )
 
+        # Bootstrap: an empty partition's first write IS its compacted state —
+        # write a clean snapshot directly (same write cost as a delta, and the
+        # initial backfill then needs no compaction pass at all). Deltas only
+        # make sense once a base exists to avoid rewriting.
         delta_ok = (
             self.write_mode == "delta"
+            and bool(old_files)
             and len(old_files) + 1 < self.compact_threshold
         )
         if delta_ok:
