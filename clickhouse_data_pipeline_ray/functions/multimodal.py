@@ -112,8 +112,46 @@ class VideoFrameSample:
                 )
         return pa.table(
             {
-                "media_id": pa.array(ids, pa.string()),
+                # key type follows the input column (string doc ids or ints)
+                "media_id": pa.array(ids, batch.column("media_id").type),
                 "frame_index": pa.array(fidx, pa.int32()),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+AUDIO_FEATURE_DIM = 32
+
+
+class AudioFeatures:
+    """Decode + fixed-window feature-extract for audio payloads (the
+    torchaudio/librosa analog). Output: (media_id, duration_ms, sample_rate,
+    feature: list<float>[DIM]). Same stub contract as ImageDecode: the codec
+    is faked deterministically; the Ray-side plumbing is real."""
+
+    def __init__(self, decoder: str = "fake", target_sample_rate: int = 16_000):
+        if decoder not in ("fake", "real"):
+            raise ValueError(decoder)
+        self.decoder = decoder
+        self.sr = target_sample_rate
+        # real decoder state (torchaudio backend / resampler) would load HERE,
+        # once per actor.
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        durs, srs, feats = [], [], []
+        for payload in batch.column("payload").to_pylist():
+            if self.decoder == "real":
+                # STUB: no audio codec (torchaudio/librosa) in this container.
+                raise NotImplementedError("real audio decode requires torchaudio")
+            rng = np.random.default_rng(_payload_seed(payload))
+            durs.append(int(rng.integers(200, 30_000)))
+            srs.append(self.sr)
+            feats.append(rng.standard_normal(AUDIO_FEATURE_DIM).astype(np.float32).tolist())
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "duration_ms": pa.array(durs, pa.int32()),
+                "sample_rate": pa.array(srs, pa.int32()),
                 "feature": pa.array(feats, pa.list_(pa.float32())),
             }
         )

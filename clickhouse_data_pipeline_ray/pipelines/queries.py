@@ -538,22 +538,27 @@ def q_ivf_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     return F_sim.ivf_topk(ds, queries, qdf["vec_id"].tolist(), k=5, nprobe=4)
 
 
-def q_multimodal_image_decode(sf_dir: str) -> ray.data.Dataset:
-    """Multimodal plumbing: binary payload column → actor-pool decode stage
-    (deterministic fake codec; real codec stubbed, see functions/multimodal)."""
+def _media_dataset(sf_dir: str, mime: str) -> ray.data.Dataset:
+    """Documents table recast as an opaque binary media table (the container
+    has no real media fixtures; payload bytes stand in for encoded media)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def to_media(b: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "media_id": b.column("doc_id"),
-                "mime": pa.nulls(b.num_rows, pa.string()).fill_null("image/fake"),
+                "mime": pa.nulls(b.num_rows, pa.string()).fill_null(mime),
                 "payload": b.column("text").cast(pa.binary()),
             }
         )
 
-    media = docs.map_batches(to_media, batch_format="pyarrow")
-    decoded = media.map_batches(
+    return docs.map_batches(to_media, batch_format="pyarrow")
+
+
+def q_multimodal_image_decode(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal plumbing: binary payload column → actor-pool decode stage
+    (deterministic fake codec; real codec stubbed, see functions/multimodal)."""
+    decoded = _media_dataset(sf_dir, "image/fake").map_batches(
         ImageDecode,
         fn_constructor_kwargs={"decoder": "fake"},
         batch_format="pyarrow",
@@ -562,6 +567,35 @@ def q_multimodal_image_decode(sf_dir: str) -> ray.data.Dataset:
         num_cpus=0.5,
     )
     return decoded.select_columns(["media_id", "height", "width", "channels"])
+
+
+def q_multimodal_audio_features(sf_dir: str) -> ray.data.Dataset:
+    """Audio analog: per-payload duration/sample-rate/feature extraction."""
+    from ..functions.multimodal import AudioFeatures
+
+    decoded = _media_dataset(sf_dir, "audio/fake").map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    return decoded.select_columns(["media_id", "duration_ms", "sample_rate"])
+
+
+def q_multimodal_video_frames(sf_dir: str) -> ray.data.Dataset:
+    """Video analog: N frame-feature rows per payload (flat_map-shaped)."""
+    from ..functions.multimodal import VideoFrameSample
+
+    return _media_dataset(sf_dir, "video/fake").map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"decoder": "fake", "frames_per_video": 3},
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=2,
+        num_cpus=0.5,
+    ).select_columns(["media_id", "frame_index"])
 
 
 # --------------------------------------------------------------------------
@@ -594,6 +628,8 @@ QUERIES = {
     "lang_id_documents": q_lang_id_documents,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
     "multimodal_image_decode": q_multimodal_image_decode,
+    "multimodal_audio_features": q_multimodal_audio_features,
+    "multimodal_video_frames": q_multimodal_video_frames,
 }
 
 _STOP_SQL = " + ".join(

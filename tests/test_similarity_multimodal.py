@@ -117,3 +117,39 @@ def test_video_frame_sample(ray_session):
     pdf = out.to_pandas()
     assert len(pdf) == 30  # 10 videos x 3 frames
     assert set(pdf["frame_index"]) == {0, 1, 2}
+
+
+def test_audio_features_plumbing(ray_session):
+    from clickhouse_data_pipeline_ray.functions.multimodal import (
+        AUDIO_FEATURE_DIM,
+        AudioFeatures,
+    )
+
+    out = _media_ds().map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"decoder": "fake", "target_sample_rate": 22_050},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    pdf = out.to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(pdf) == 10
+    assert set(pdf.columns) == {"media_id", "duration_ms", "sample_rate", "feature"}
+    assert (pdf["sample_rate"] == 22_050).all()
+    assert all(len(f) == AUDIO_FEATURE_DIM for f in pdf["feature"])
+    # deterministic: same payload bytes -> same fake decode
+    pdf2 = (
+        _media_ds()
+        .map_batches(
+            AudioFeatures,
+            fn_constructor_kwargs={"decoder": "fake", "target_sample_rate": 22_050},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert (pdf["duration_ms"] == pdf2["duration_ms"]).all()
