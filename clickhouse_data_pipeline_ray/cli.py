@@ -78,6 +78,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--table", required=True)
 
+    sp = sub.add_parser(
+        "repartition", help="change the table's partition count (whole-table job)"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--num-partitions", type=int, required=True)
+
+    sp = sub.add_parser(
+        "truncate-wal",
+        help="delete WAL segments fully applied at the table's watermark",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--wal", required=True)
+
     sp = sub.add_parser("kpi", help="KPI report over a committed table")
     sp.add_argument("--table", required=True)
 
@@ -121,7 +134,15 @@ def main(argv: list[str] | None = None) -> int:
             ray.shutdown()
         return 0
 
-    if args.cmd in ("apply", "compact", "kpi"):
+    if args.cmd == "truncate-wal":
+        from .sources.wal import truncate_wal
+        from .state.manifest import load_manifest
+
+        removed = truncate_wal(args.wal, load_manifest(args.table).watermark)
+        print(json.dumps({"removed_segments": len(removed)}))
+        return 0
+
+    if args.cmd in ("apply", "compact", "repartition", "kpi"):
         ray = _init_ray(args.num_cpus)
         try:
             if args.cmd == "apply":
@@ -147,6 +168,10 @@ def main(argv: list[str] | None = None) -> int:
 
                 stats = compact_table(args.table)
                 print(json.dumps(stats if stats else {"compacted": 0, "clean": True}))
+            elif args.cmd == "repartition":
+                from .pipelines.apply import repartition_table
+
+                print(json.dumps(repartition_table(args.table, args.num_partitions)))
             else:
                 from .pipelines.kpi import kpi_report
 

@@ -376,6 +376,90 @@ def compact_table(
     return epoch_stats
 
 
+def repartition_table(
+    table_dir: str,
+    new_num_partitions: int,
+    cfg: ApplyConfig | None = None,
+) -> dict:
+    """Change a table's partition count (the ALTER-layout operation a
+    long-lived lake needs as data grows — P is pinned in the manifest because
+    ``pid = H(doc_id) % P`` must stay stable between epochs, so changing it
+    is an explicit whole-table job, not a config flip).
+
+    One Dataset job: merge-on-read each old partition → re-assign pids under
+    the new P → shuffle → write clean snapshots into a fresh layout → same
+    atomic commit protocol (tmp writes, rename-all, manifest swap). Watermarks
+    carry over (min across old partitions — they are equal after any commit).
+    """
+    import json as _json
+
+    cfg = cfg or ApplyConfig()
+    man = load_manifest(table_dir)
+    if new_num_partitions == man.num_partitions:
+        return {"repartitioned": False, "num_partitions": man.num_partitions}
+    t0 = time.perf_counter()
+    epoch = man.epoch + 1
+    watermark = man.watermark
+
+    from ..stages.merge import SnapshotWriter
+    from ..stages.partition import assign_partitions
+
+    snap = read_snapshot(table_dir)
+    reassigned = snap.map_batches(
+        lambda b: assign_partitions(b, new_num_partitions, salt_factor=1),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    new_parts = {
+        str(pid): {"watermark_lsn": watermark, "rows": 0, "bytes": 0,
+                   "files": [], "lineage": [], "exact_rows": True}
+        for pid in range(new_num_partitions)
+    }
+    stats = (
+        reassigned.groupby("pid")
+        .map_groups(
+            SnapshotWriter,
+            fn_constructor_kwargs={
+                "table_dir": table_dir,
+                "epoch": epoch,
+                "snapshot_schema_b64": man.schema_b64,
+            },
+            batch_format="pyarrow",
+            concurrency=cfg.merge_concurrency,
+            num_cpus=1,
+        )
+        .take_all()
+    )
+    for row in stats:
+        pid = str(row["pid"])
+        os.replace(
+            os.path.join(table_dir, row["new_file"] + ".tmp"),
+            os.path.join(table_dir, row["new_file"]),
+        )
+        new_parts[pid].update(
+            {
+                "rows": int(row["rows"]),
+                "bytes": int(row["bytes"]),
+                "files": _json.loads(row["files_json"]),
+            }
+        )
+    man.num_partitions = new_num_partitions
+    man.partitions = new_parts
+    man.last_applied = {}
+    man.epoch = epoch
+    out = {
+        "repartitioned": True,
+        "epoch": epoch,
+        "num_partitions": new_num_partitions,
+        "rows_total": sum(int(p["rows"]) for p in new_parts.values()),
+        "wall_s": round(time.perf_counter() - t0, 4),
+    }
+    man.history.append(out)
+    commit_manifest(man)
+    gc_stale_files(man)
+    return out
+
+
 def read_snapshot(table_dir: str) -> ray.data.Dataset:
     """The committed table as a Ray Dataset.
 

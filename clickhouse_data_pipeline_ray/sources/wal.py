@@ -52,3 +52,19 @@ def pending_segments(
     """Segments containing any LSN > watermark, in LSN order."""
     segs = [s for s in list_segments(wal_dir) if s.last_lsn > watermark]
     return segs[:max_segments] if max_segments else segs
+
+
+def truncate_wal(wal_dir: str, watermark_lsn: int) -> list[str]:
+    """Log retention: delete segments fully applied at ``watermark_lsn``
+    (every event ≤ the watermark is durably in the table, so the segments are
+    dead weight — the binlog-purge analog of `PURGE BINARY LOGS`, a concern
+    the reference leaves to Kafka retention). Only whole segments at or below
+    the watermark are removed; a segment straddling it stays (its unapplied
+    tail is still needed; re-applying its applied prefix is idempotent).
+    Returns the removed file names."""
+    removed = []
+    for seg in list_segments(wal_dir):
+        if seg.last_lsn <= watermark_lsn:
+            os.remove(seg.path)
+            removed.append(seg.name)
+    return removed

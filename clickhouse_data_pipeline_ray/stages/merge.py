@@ -393,3 +393,37 @@ class CompactWorker:
                 )
             )
         return pa.concat_tables(out)
+
+
+class SnapshotWriter:
+    """Write one pid group of already-merged snapshot rows as a clean
+    snapshot file (used by table repartitioning, where rows arrive via a
+    shuffle rather than a file chain). Same tmp-write commit protocol."""
+
+    def __init__(self, table_dir: str, epoch: int, snapshot_schema_b64: str):
+        self.table_dir = table_dir
+        self.epoch = epoch
+        self.snapshot_schema = schema_from_b64(snapshot_schema_b64)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        pid = group.column("pid")[0].as_py()
+        rows = group.drop_columns(
+            [c for c in ROUTING_COLS if c in group.column_names]
+        )
+        rows = cast_table(rows, self.snapshot_schema).sort_by(
+            [("doc_id", "ascending")]
+        )
+        part_dir = os.path.join(self.table_dir, "parts", f"pid={pid:05d}")
+        os.makedirs(part_dir, exist_ok=True)
+        rel = os.path.join(
+            "parts", f"pid={pid:05d}", f"snapshot-{self.epoch:06d}.parquet"
+        )
+        tmp_path = os.path.join(self.table_dir, rel + ".tmp")
+        scratch = f"{tmp_path}.{os.getpid()}"
+        pq.write_table(rows, scratch, compression="zstd")
+        os.replace(scratch, tmp_path)
+        return _stats_row(
+            pid, rows.num_rows, True, os.path.getsize(tmp_path),
+            rows.num_rows, 0, 0, rel, [rel], t0,
+        )
