@@ -53,6 +53,7 @@ from ..state.manifest import (
     gc_stale_files,
     init_table,
     load_manifest,
+    table_lock,
 )
 
 
@@ -171,7 +172,13 @@ def _detect_hot_pids(
 
 def apply_once(table_dir: str, wal_dir: str, cfg: ApplyConfig | None = None) -> dict | None:
     """Apply one epoch of pending WAL segments. Returns stats, or None when
-    caught up. Ray must already be initialized by the caller."""
+    caught up. Ray must already be initialized by the caller. Holds the
+    table's single-writer lock for the epoch (see manifest.table_lock)."""
+    with table_lock(table_dir):
+        return _apply_once_locked(table_dir, wal_dir, cfg)
+
+
+def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) -> dict | None:
     cfg = cfg or ApplyConfig()
     t0 = time.perf_counter()
     man = load_manifest(table_dir)
@@ -319,6 +326,11 @@ def compact_table(
     file (LSM-style major compaction). Same exactly-once protocol as an apply
     epoch: all tmp writes land, then one atomic manifest swap. Returns stats,
     or None when nothing is dirty."""
+    with table_lock(table_dir):
+        return _compact_table_locked(table_dir, concurrency)
+
+
+def _compact_table_locked(table_dir: str, concurrency: int | tuple) -> dict | None:
     import json as _json
 
     from ..stages.merge import CompactWorker
@@ -391,9 +403,16 @@ def repartition_table(
     atomic commit protocol (tmp writes, rename-all, manifest swap). Watermarks
     carry over (min across old partitions — they are equal after any commit).
     """
+    cfg = cfg or ApplyConfig()
+    with table_lock(table_dir):
+        return _repartition_locked(table_dir, new_num_partitions, cfg)
+
+
+def _repartition_locked(
+    table_dir: str, new_num_partitions: int, cfg: ApplyConfig
+) -> dict:
     import json as _json
 
-    cfg = cfg or ApplyConfig()
     man = load_manifest(table_dir)
     if new_num_partitions == man.num_partitions:
         return {"repartitioned": False, "num_partitions": man.num_partitions}

@@ -142,3 +142,63 @@ def gc_stale_files(man: Manifest) -> int:
                 os.remove(path)
                 removed += 1
     return removed
+
+
+class TableLockError(RuntimeError):
+    """Another live process is committing to this table."""
+
+
+class table_lock:
+    """Single-writer advisory lock (O_CREAT|O_EXCL lock file holding the
+    owner pid). The commit protocol assumes one driver per table — two
+    concurrent epochs would silently last-write-win the manifest swap and
+    orphan one epoch's files. A lock whose owner pid is dead (crashed driver)
+    is reclaimed; the exactly-once protocol makes that safe (the dead run's
+    tmp files are ignored and GC'd).
+
+    The reference has no equivalent guard — concurrent batch + streaming
+    services write the same ClickHouse tables unconcerned
+    (/root/reference/docker-compose.yaml runs both)."""
+
+    def __init__(self, table_dir: str):
+        self.path = os.path.join(table_dir, "table.lock")
+        self.fd = None
+
+    def _owner_alive(self) -> bool:
+        try:
+            pid = int(open(self.path).read().strip() or 0)
+        except (OSError, ValueError):
+            return False
+        if pid <= 0:
+            return False
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        return True
+
+    def __enter__(self):
+        try:
+            self.fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if self._owner_alive():
+                raise TableLockError(
+                    f"table is locked by a live writer ({self.path})"
+                ) from None
+            os.unlink(self.path)  # stale lock from a dead process
+            self.fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(self.fd, str(os.getpid()).encode())
+        os.fsync(self.fd)
+        return self
+
+    def __exit__(self, *exc):
+        if self.fd is not None:
+            os.close(self.fd)
+            self.fd = None
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+        return False
