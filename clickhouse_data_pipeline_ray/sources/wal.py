@@ -7,6 +7,12 @@ Segment names carry the watermark predicate, so incremental scans
 /root/reference/etl/core/pipeline.py:17-51, and of Kafka offset seeks,
 /root/reference/stream_etl/core/consumer.py:86-109) never even *open*
 already-applied segments — pushdown at the file-listing level.
+
+Scale note (10^10 events): a flat directory listing is O(total segments) per
+epoch; at millions of segments the tail would shard the WAL into LSN-range
+subdirectories (same name scheme, one more level) or keep a segment manifest,
+and ``truncate_wal`` (log retention) keeps the live set bounded. The
+listing-level pruning logic is unchanged by either.
 """
 
 from __future__ import annotations
