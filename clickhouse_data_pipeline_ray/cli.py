@@ -93,6 +93,8 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("kpi", help="KPI report over a committed table")
     sp.add_argument("--table", required=True)
+    sp.add_argument("--epoch", type=int, default=None,
+                    help="time-travel to a retained historical epoch")
 
     sp = sub.add_parser("status", help="print the manifest summary")
     sp.add_argument("--table", required=True)
@@ -175,7 +177,7 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 from .pipelines.kpi import kpi_report
 
-                print(json.dumps(kpi_report(args.table), default=str))
+                print(json.dumps(kpi_report(args.table, epoch=args.epoch), default=str))
         finally:
             ray.shutdown()
         return 0

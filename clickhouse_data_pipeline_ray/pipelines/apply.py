@@ -479,16 +479,19 @@ def _repartition_locked(
     return out
 
 
-def read_snapshot(table_dir: str) -> ray.data.Dataset:
+def read_snapshot(table_dir: str, epoch: int | None = None) -> ray.data.Dataset:
     """The committed table as a Ray Dataset.
 
     MERGE-on-read: each task reconstructs one partition from its file chain
     (base snapshot + deltas → LWW → drop tombstones). Partition chains are
     independent, so this is an embarrassingly parallel map — no shuffle. After
-    a compaction the chain is one clean file and the merge is a no-op cast."""
+    a compaction the chain is one clean file and the merge is a no-op cast.
+
+    ``epoch`` time-travels to a retained historical commit (see
+    manifest.load_manifest) — GC keeps files referenced by retained epochs."""
     from ..stages.merge import make_partition_reader
 
-    man = load_manifest(table_dir)
+    man = load_manifest(table_dir, epoch=epoch)
     pids = [int(pid) for pid, p in man.partitions.items() if p.get("files")]
     if not pids:
         return ray.data.from_arrow(man.schema.empty_table())
@@ -503,11 +506,12 @@ def read_snapshot(table_dir: str) -> ray.data.Dataset:
     )
 
 
-def snapshot_table(table_dir: str) -> pa.Table:
-    """Driver-side snapshot materialization (tests / small tables only)."""
+def snapshot_table(table_dir: str, epoch: int | None = None) -> pa.Table:
+    """Driver-side snapshot materialization (tests / small tables only).
+    ``epoch`` time-travels to a retained historical commit."""
     from ..stages.merge import merge_file_tables, read_partition
 
-    man = load_manifest(table_dir)
+    man = load_manifest(table_dir, epoch=epoch)
     tables = []
     for pid in sorted(man.partitions, key=int):
         files = man.partitions[pid].get("files") or []

@@ -52,9 +52,10 @@ def top_sources(snapshot: ray.data.Dataset, k: int = 3) -> pa.Table:
     )
 
 
-def kpi_report(table_dir: str) -> dict:
-    """One-call report over a committed table (CLI `kpi` subcommand)."""
-    snap = read_snapshot(table_dir)
+def kpi_report(table_dir: str, epoch: int | None = None) -> dict:
+    """One-call report over a committed table (CLI `kpi` subcommand);
+    ``epoch`` time-travels to a retained historical commit."""
+    snap = read_snapshot(table_dir, epoch=epoch)
     per_source = source_stats(snap).to_pandas().sort_values("source")
     return {
         "totals": totals(snap),

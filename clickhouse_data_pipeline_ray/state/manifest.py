@@ -29,6 +29,8 @@ import pyarrow as pa
 from ..schemas import schema_from_b64, schema_to_b64
 
 MANIFEST_NAME = "manifest.json"
+# Retained versioned manifests (time travel): manifest-{epoch:06d}.json.
+MANIFEST_RETENTION = 8
 
 
 @dataclass
@@ -92,9 +94,23 @@ def init_table(table_dir: str, schema: pa.Schema, num_partitions: int) -> Manife
     return man
 
 
-def load_manifest(table_dir: str) -> Manifest:
-    with open(os.path.join(table_dir, MANIFEST_NAME)) as f:
-        doc = json.load(f)
+def load_manifest(table_dir: str, epoch: int | None = None) -> Manifest:
+    """Load the current manifest, or a retained historical one (time travel:
+    every commit also writes ``manifest-{epoch:06d}.json`` and keeps the last
+    ``MANIFEST_RETENTION`` of them; file GC preserves any file referenced by
+    a retained manifest, so historical snapshots stay readable — the
+    Iceberg/Delta snapshot-isolation idea on the same atomic-swap commit)."""
+    name = MANIFEST_NAME if epoch is None else f"manifest-{epoch:06d}.json"
+    try:
+        with open(os.path.join(table_dir, name)) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        if epoch is not None:
+            raise ValueError(
+                f"epoch {epoch} is not retained (retention="
+                f"{MANIFEST_RETENTION}); available: {retained_epochs(table_dir)}"
+            ) from None
+        raise
     return Manifest(
         table_dir=table_dir,
         num_partitions=doc["num_partitions"],
@@ -126,13 +142,43 @@ def commit_manifest(man: Manifest) -> None:
         json.dump(doc, f)
         f.flush()
         os.fsync(f.fileno())
+    # versioned copy first (readable only once the swap lands), then the
+    # atomic swap that makes this epoch current
+    versioned = os.path.join(man.table_dir, f"manifest-{man.epoch:06d}.json")
+    with open(versioned, "w") as vf:
+        json.dump(doc, vf)
+        vf.flush()
+        os.fsync(vf.fileno())
     os.replace(tmp, path)
+    for old in retained_epochs(man.table_dir)[:-MANIFEST_RETENTION]:
+        os.remove(os.path.join(man.table_dir, f"manifest-{old:06d}.json"))
+
+
+def retained_epochs(table_dir: str) -> list[int]:
+    """Epochs with a retained versioned manifest, ascending."""
+    out = []
+    for name in os.listdir(table_dir):
+        if name.startswith("manifest-") and name.endswith(".json"):
+            out.append(int(name[len("manifest-"):-len(".json")]))
+    return sorted(out)
 
 
 def gc_stale_files(man: Manifest) -> int:
-    """Remove snapshot/tmp files not referenced by the committed manifest
-    (old epochs, leftover tmps from crashed epochs). Returns count removed."""
+    """Remove snapshot/tmp files referenced by NO retained manifest (fully
+    dead epochs, leftover tmps from crashed runs). Files still referenced by
+    a retained historical manifest survive so time-travel reads keep working.
+    Returns count removed."""
     live = {os.path.join(man.table_dir, f) for p in man.partitions.values() for f in p["files"]}
+    for ep in retained_epochs(man.table_dir):
+        try:
+            hist = load_manifest(man.table_dir, epoch=ep)
+        except (ValueError, FileNotFoundError):
+            continue
+        live |= {
+            os.path.join(man.table_dir, f)
+            for p in hist.partitions.values()
+            for f in p["files"]
+        }
     removed = 0
     parts_root = os.path.join(man.table_dir, "parts")
     for root, _dirs, names in os.walk(parts_root):

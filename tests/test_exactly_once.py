@@ -97,12 +97,19 @@ def test_resume_from_manifest_after_restart(ray_session, wal, tmp_path):
 
 
 def test_gc_removes_stale_epochs_and_tmps(ray_session, wal, tmp_path):
+    """GC contract with time travel: everything on disk is referenced by SOME
+    retained manifest (current or historical); tmp files never survive."""
+    from clickhouse_data_pipeline_ray.state.manifest import retained_epochs
+
     table_dir = str(tmp_path / "table")
     create_table(table_dir, num_partitions=4)
     replay(table_dir, wal, CFG)
     man = load_manifest(table_dir)
     live = set(man.snapshot_files())
+    for ep in retained_epochs(table_dir):
+        live |= set(load_manifest(table_dir, epoch=ep).snapshot_files())
     on_disk = set()
     for root, _d, names in os.walk(os.path.join(table_dir, "parts")):
         on_disk.update(os.path.join(root, n) for n in names)
     assert on_disk == live
+    assert not [p for p in on_disk if ".tmp" in p]

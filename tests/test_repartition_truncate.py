@@ -49,8 +49,14 @@ def test_repartition_preserves_state_and_keeps_applying(ray_session, wal, tmp_pa
     man = load_manifest(table_dir)
     assert man.num_partitions == 16
     assert snapshot_table(table_dir).equals(before)
-    # old 4-partition layout files are gone (gc'd at commit)
+    # on-disk files = union over RETAINED manifests (old layout survives
+    # while its epoch is retained for time travel; nothing else does)
+    from clickhouse_data_pipeline_ray.state.manifest import retained_epochs
+
     live = {f for p in man.partitions.values() for f in p["files"]}
+    for ep in retained_epochs(table_dir):
+        hist = load_manifest(table_dir, epoch=ep)
+        live |= {f for p in hist.partitions.values() for f in p["files"]}
     on_disk = {
         os.path.relpath(os.path.join(r, f), table_dir)
         for r, _d, fs in os.walk(os.path.join(table_dir, "parts"))
