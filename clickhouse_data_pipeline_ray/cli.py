@@ -183,7 +183,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "status":
-        from .state.manifest import load_manifest
+        from .state.manifest import load_manifest, retained_epochs
 
         man = load_manifest(args.table)
         dirty = sum(
@@ -200,6 +200,7 @@ def main(argv: list[str] | None = None) -> int:
                     "rows": man.total_rows(),
                     "rows_exact": dirty == 0,
                     "partitions_with_pending_deltas": dirty,
+                    "retained_epochs": retained_epochs(args.table),
                     "schema": str(man.schema).replace("\n", ", "),
                     "last": man.history[-1] if man.history else None,
                 }
