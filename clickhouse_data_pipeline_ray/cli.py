@@ -79,6 +79,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
 
     sp = sub.add_parser(
+        "import", help="seed an EMPTY table from an existing parquet corpus (lsn=0)"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--parquet", required=True)
+    sp.add_argument("--key-col", default="doc_id")
+
+    sp = sub.add_parser(
         "repartition", help="change the table's partition count (whole-table job)"
     )
     sp.add_argument("--table", required=True)
@@ -144,7 +151,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"removed_segments": len(removed)}))
         return 0
 
-    if args.cmd in ("apply", "compact", "repartition", "kpi"):
+    if args.cmd in ("apply", "compact", "repartition", "import", "kpi"):
         ray = _init_ray(args.num_cpus)
         try:
             if args.cmd == "apply":
@@ -174,6 +181,10 @@ def main(argv: list[str] | None = None) -> int:
                 from .pipelines.apply import repartition_table
 
                 print(json.dumps(repartition_table(args.table, args.num_partitions)))
+            elif args.cmd == "import":
+                from .pipelines.apply import import_base
+
+                print(json.dumps(import_base(args.table, args.parquet, key_col=args.key_col)))
             else:
                 from .pipelines.kpi import kpi_report
 

@@ -388,6 +388,108 @@ def _compact_table_locked(table_dir: str, concurrency: int | tuple) -> dict | No
     return epoch_stats
 
 
+def import_base(
+    table_dir: str,
+    parquet_path: str,
+    key_col: str = "doc_id",
+    cfg: ApplyConfig | None = None,
+) -> dict:
+    """Initial load: seed an EMPTY table from an existing Parquet corpus
+    (the Debezium snapshot-phase analog — op='r' rows before the binlog tail,
+    /root/reference/stream_etl/main.py:54 configures exactly this; here the
+    snapshot phase is a first-class bulk import instead of synthetic WAL
+    inserts). Rows get lsn=0, so ANY subsequent WAL event on the same key
+    wins LWW — the imported corpus is strictly "before" the log.
+
+    One Dataset job: read → conform to the snapshot schema (key column
+    renamed/cast, n_tok recomputed when absent) → hash-partition → shuffle →
+    per-partition clean snapshots → atomic commit.
+    """
+    import json as _json
+
+    import pyarrow.compute as pc
+
+    cfg = cfg or ApplyConfig()
+    with table_lock(table_dir):
+        man = load_manifest(table_dir)
+        if man.total_rows() > 0 or any(p["files"] for p in man.partitions.values()):
+            raise ValueError("import_base requires an empty table")
+        t0 = time.perf_counter()
+        epoch = man.epoch + 1
+        schema = man.schema
+        num_partitions = man.num_partitions
+
+        from ..stages.merge import SnapshotWriter
+        from ..stages.partition import assign_partitions
+
+        def conform(b: pa.Table) -> pa.Table:
+            if key_col != "doc_id":
+                idx = b.schema.get_field_index(key_col)
+                b = b.set_column(idx, "doc_id", b.column(idx))
+            if "doc_id" in b.column_names and b.column("doc_id").type != pa.string():
+                b = b.set_column(
+                    b.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    b.column("doc_id").cast(pa.string()),
+                )
+            if "n_tok" not in b.column_names and "tokens" in b.column_names:
+                b = b.append_column(
+                    "n_tok", pc.list_value_length(b.column("tokens")).cast(pa.int32())
+                )
+            if "lsn" not in b.column_names:
+                b = b.append_column("lsn", pa.nulls(b.num_rows, pa.int64()).fill_null(0))
+            from ..schemas import cast_table
+
+            b = cast_table(b, schema)
+            return assign_partitions(b, num_partitions, salt_factor=1)
+
+        rows = ray.data.read_parquet(parquet_path).map_batches(
+            conform, batch_format="pyarrow", zero_copy_batch=True
+        )
+        stats = (
+            rows.groupby("pid")
+            .map_groups(
+                SnapshotWriter,
+                fn_constructor_kwargs={
+                    "table_dir": table_dir,
+                    "epoch": epoch,
+                    "snapshot_schema_b64": man.schema_b64,
+                },
+                batch_format="pyarrow",
+                concurrency=cfg.merge_concurrency,
+                num_cpus=1,
+            )
+            .take_all()
+        )
+        total = 0
+        for row in stats:
+            pid = str(row["pid"])
+            os.replace(
+                os.path.join(table_dir, row["new_file"] + ".tmp"),
+                os.path.join(table_dir, row["new_file"]),
+            )
+            man.partitions[pid].update(
+                {
+                    "rows": int(row["rows"]),
+                    "exact_rows": True,
+                    "bytes": int(row["bytes"]),
+                    "files": _json.loads(row["files_json"]),
+                }
+            )
+            total += int(row["rows"])
+        out = {
+            "imported": True,
+            "epoch": epoch,
+            "rows": total,
+            "wall_s": round(time.perf_counter() - t0, 4),
+        }
+        man.epoch = epoch
+        man.history.append(out)
+        commit_manifest(man)
+        gc_stale_files(man)
+        return out
+
+
 def repartition_table(
     table_dir: str,
     new_num_partitions: int,
