@@ -54,6 +54,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--tok-min", type=int, default=8)
     sp.add_argument("--tok-max", type=int, default=512)
     sp.add_argument("--evolve-frac", type=float, default=None)
+    sp.add_argument("--format", choices=("parquet", "jsonl"), default="parquet",
+                    help="segment file format (jsonl = Debezium-style interop)")
     sp.add_argument("--parallel", action="store_true")
 
     sp = sub.add_parser("apply", help="apply pending WAL epochs to a table")
@@ -131,6 +133,7 @@ def main(argv: list[str] | None = None) -> int:
             tok_min=args.tok_min,
             tok_max=args.tok_max,
             evolve_frac=args.evolve_frac,
+            fmt=args.format,
         )
         if args.parallel:
             _init_ray(args.num_cpus)

@@ -44,7 +44,12 @@ from ..schemas import (
     snapshot_schema_of,
     unify,
 )
-from ..sources.wal import Segment, pending_segments
+from ..sources.wal import (
+    Segment,
+    pending_segments,
+    segment_num_rows,
+    segment_schema,
+)
 from ..stages.merge import MergeApply
 from ..stages.normalize import compact_group, make_normalize_fn
 from ..state.manifest import (
@@ -92,7 +97,7 @@ def _epoch_change_schema(man: Manifest, segs: list[Segment]) -> pa.Schema:
     (Arrow schema unification: column add + permissive widen). The engine's
     schema-evolution point, replacing the reference's per-value parsers
     (/root/reference/stream_etl/core/processor.py:41-141)."""
-    seg_snap = [snapshot_schema_of(pq.read_schema(s.path)) for s in segs]
+    seg_snap = [snapshot_schema_of(segment_schema(s)) for s in segs]
     snap = unify([man.schema] + seg_snap)
     return snap.insert(1, pa.field("op", pa.string())), snap
 
@@ -110,19 +115,19 @@ def _read_segments(segs: list[Segment]) -> ray.data.Dataset:
     with bounded shuffle fan-out (a read task may read several files, or a
     file may split by row group)."""
     cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
-    groups: dict[bytes, list[str]] = {}
+    groups: dict[tuple, list[str]] = {}
     for s in segs:
-        key = pq.read_schema(s.path).serialize().to_pybytes()
+        key = (s.format, segment_schema(s).serialize().to_pybytes())
         groups.setdefault(key, []).append(s.path)
     total = sum(len(p) for p in groups.values())
     target = max(cpus, min(total, 2 * cpus))
-    datasets = [
-        ray.data.read_parquet(
-            paths,
-            override_num_blocks=max(1, round(target * len(paths) / total)),
-        )
-        for paths in groups.values()
-    ]
+    datasets = []
+    for (fmt, _schema), paths in groups.items():
+        blocks = max(1, round(target * len(paths) / total))
+        if fmt == "jsonl":
+            datasets.append(ray.data.read_json(paths, override_num_blocks=blocks))
+        else:
+            datasets.append(ray.data.read_parquet(paths, override_num_blocks=blocks))
     ds = datasets[0]
     for other in datasets[1:]:
         ds = ds.union(other)
@@ -204,7 +209,7 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
         batch_size=cfg.batch_size,
     )
     # Raw change events in this epoch (pre-compaction), from parquet metadata.
-    n_events = sum(pq.ParquetFile(s.path).metadata.num_rows for s in segs)
+    n_events = sum(segment_num_rows(s) for s in segs)
 
     hot_pids, changes = _detect_hot_pids(man, changes, cfg)
     if hot_pids:

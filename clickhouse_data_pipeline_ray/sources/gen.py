@@ -47,6 +47,8 @@ class GenParams:
     tok_max: int = 512
     vocab: int = 50_257
     evolve_frac: float | None = None  # fraction of log after which schema evolves
+    # "parquet" (native) or "jsonl" (interop: Debezium-style JSON event lines)
+    fmt: str = "parquet"
 
 
 @dataclass(frozen=True)
@@ -192,6 +194,12 @@ def gen_segment(params: GenParams, plan: SegPlan) -> pa.Table:
 def write_segment(wal_dir: str, params: GenParams, plan: SegPlan) -> str:
     table = gen_segment(params, plan)
     path = segment_path(wal_dir, plan.first_lsn, plan.first_lsn + plan.n - 1)
+    if params.fmt == "jsonl":
+        path = path[: -len(".parquet")] + ".jsonl"
+        tmp = path + f".tmp.{os.getpid()}"
+        table.to_pandas().to_json(tmp, orient="records", lines=True)
+        os.replace(tmp, path)
+        return path
     tmp = path + f".tmp.{os.getpid()}"
     # lz4 + small row groups: WAL segments are transient (read once per
     # replay), so cheap decode beats ratio, and multiple row groups per file

@@ -21,7 +21,10 @@ import os
 import re
 from dataclasses import dataclass
 
-SEG_RE = re.compile(r"^seg-(\d{12})-(\d{12})\.parquet$")
+# Parquet is the native WAL format; JSONL is accepted for interop with
+# JSON-emitting CDC sources (Debezium's wire format is JSON — the reference
+# consumes exactly that, /root/reference/stream_etl/core/consumer.py:48).
+SEG_RE = re.compile(r"^seg-(\d{12})-(\d{12})\.(parquet|jsonl)$")
 
 
 @dataclass(frozen=True)
@@ -33,6 +36,10 @@ class Segment:
     @property
     def name(self) -> str:
         return os.path.basename(self.path)
+
+    @property
+    def format(self) -> str:
+        return "jsonl" if self.path.endswith(".jsonl") else "parquet"
 
 
 def segment_path(wal_dir: str, first_lsn: int, last_lsn: int) -> str:
@@ -74,3 +81,35 @@ def truncate_wal(wal_dir: str, watermark_lsn: int) -> list[str]:
             os.remove(seg.path)
             removed.append(seg.name)
     return removed
+
+
+def segment_schema(seg: Segment):
+    """Arrow schema of one segment. Parquet: from the footer (cheap). JSONL:
+    inferred from a head sample, with fields that exist in the canonical
+    change schema conformed to their canonical types (JSON integers all infer
+    as int64; conforming avoids spuriously widening the table schema every
+    time a JSON segment appears)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if seg.format == "parquet":
+        return pq.read_schema(seg.path)
+    import pyarrow.json as pj
+
+    from ..schemas import CHANGE_SCHEMA
+
+    with open(seg.path, "rb") as f:
+        head = f.read(1 << 16)
+    head = head[: head.rfind(b"\n") + 1] or head
+    inferred = pj.read_json(pa.py_buffer(head)).schema
+    fields = []
+    for field in inferred:
+        idx = CHANGE_SCHEMA.get_field_index(field.name)
+        fields.append(CHANGE_SCHEMA.field(idx) if idx >= 0 else field)
+    return pa.schema(fields)
+
+
+def segment_num_rows(seg: Segment) -> int:
+    """Event count of one segment (parquet metadata / JSONL line count —
+    equivalently, last_lsn - first_lsn + 1 since segments are dense)."""
+    return seg.last_lsn - seg.first_lsn + 1
