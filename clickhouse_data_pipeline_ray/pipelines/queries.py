@@ -184,29 +184,32 @@ def q_normalize_documents(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def q_lww_latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
+def q_lww_latest_event_per_user(sf_dir: str) -> pa.Table:
     """U1/U2: the LWW kernel itself, SQL-verified — per user, the event with
-    max event_id wins (batch pre-compaction + per-key final merge, the same
-    two-level shape as the CDC apply path)."""
+    max event_id wins. Two-level combiner plan: per-batch LWW partials (each
+    batch reduces to ≤ n_users rows) + one driver-side final compaction —
+    no shuffle, valid because the user key space is driver-small (wide keys
+    go through the CDC engine's partitioned shuffle path instead)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
-    partial = ds.map_batches(
+    partials = ds.map_batches(
         lambda b: lww_compact(b, key="user_id", version="event_id"),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    ).to_arrow_refs()
+    import ray as _ray
+
+    combined = pa.concat_tables(
+        [t for t in _ray.get(partials) if t.num_rows], promote_options="none"
     )
-
-    def finalize(g: pa.Table) -> pa.Table:
-        w = lww_compact(g, key="user_id", version="event_id")
-        return pa.table(
-            {
-                "user_id": w.column("user_id"),
-                "last_event_id": w.column("event_id"),
-                "last_event_type": w.column("event_type"),
-                "last_value": w.column("value"),
-            }
-        )
-
-    return partial.groupby("user_id").map_groups(finalize, batch_format="pyarrow")
+    w = lww_compact(combined, key="user_id", version="event_id")
+    return pa.table(
+        {
+            "user_id": w.column("user_id"),
+            "last_event_id": w.column("event_id"),
+            "last_event_type": w.column("event_type"),
+            "last_value": w.column("value"),
+        }
+    )
 
 
 # --------------------------------------------------------------------------
