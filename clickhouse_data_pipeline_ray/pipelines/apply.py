@@ -459,6 +459,11 @@ def import_base(
                     "table_dir": table_dir,
                     "epoch": epoch,
                     "snapshot_schema_b64": man.schema_b64,
+                    # imports carry no LSN order to tie-break duplicates, so a
+                    # non-unique corpus must fail loudly instead of landing as
+                    # a snapshot with repeated keys (LWW only fixes it after
+                    # the first WAL merge happens to touch the partition)
+                    "check_unique": True,
                 },
                 batch_format="pyarrow",
                 concurrency=cfg.merge_concurrency,

@@ -88,7 +88,12 @@ def segment_schema(seg: Segment):
     inferred from a head sample, with fields that exist in the canonical
     change schema conformed to their canonical types (JSON integers all infer
     as int64; conforming avoids spuriously widening the table schema every
-    time a JSON segment appears)."""
+    time a JSON segment appears).
+
+    JSONL segments must be schema-homogeneous per file (every line carries the
+    same keys) — the epoch schema for the file is taken from its first full
+    line; the sample grows until at least one complete line is captured, so an
+    oversized first record (fat payloads) can never be parsed truncated."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -98,9 +103,17 @@ def segment_schema(seg: Segment):
 
     from ..schemas import CHANGE_SCHEMA
 
-    with open(seg.path, "rb") as f:
-        head = f.read(1 << 16)
-    head = head[: head.rfind(b"\n") + 1] or head
+    sample = 1 << 16
+    while True:
+        with open(seg.path, "rb") as f:
+            head = f.read(sample)
+        if len(head) < sample:
+            break  # whole file read — parse as-is
+        nl = head.rfind(b"\n")
+        if nl >= 0:
+            head = head[: nl + 1]
+            break
+        sample *= 4  # first line longer than the sample — grow until complete
     inferred = pj.read_json(pa.py_buffer(head)).schema
     fields = []
     for field in inferred:

@@ -108,7 +108,9 @@ def merge_file_tables(
         if op is None:
             op = pa.nulls(n, pa.string()).fill_null("c")
         t = t.append_column("op", op.cast(pa.string()) if op.type != pa.string() else op)
-        t = t.append_column("_src", pa.nulls(n, pa.int8()).fill_null(rank))
+        # int32: a delta chain can legally exceed 127 files (the CLI accepts
+        # any --compact-threshold), and int8 fill_null would raise there.
+        t = t.append_column("_src", pa.nulls(n, pa.int32()).fill_null(rank))
         parts.append(t)
     if not parts:
         return snapshot_schema.empty_table()
@@ -139,14 +141,14 @@ def merge_base_and_changes(
     changes = cast_table(changes, snapshot_schema)
     changes = changes.append_column("op", op.cast(pa.string()))
     changes = changes.append_column(
-        "_src", pa.nulls(changes.num_rows, pa.int8()).fill_null(_SRC_CHANGE)
+        "_src", pa.nulls(changes.num_rows, pa.int32()).fill_null(_SRC_CHANGE)
     )
 
     if base is not None and base.num_rows > 0:
         base = cast_table(base, snapshot_schema)
         n = base.num_rows
         base = base.append_column("op", pa.nulls(n, pa.string()).fill_null("c"))
-        base = base.append_column("_src", pa.nulls(n, pa.int8()).fill_null(_SRC_BASE))
+        base = base.append_column("_src", pa.nulls(n, pa.int32()).fill_null(_SRC_BASE))
         combined = pa.concat_tables([base, changes], promote_options="none")
     else:
         combined = changes
@@ -305,7 +307,7 @@ class MergeApply:
         if n_applied == 0:
             return _stats_row(
                 pid, int(meta.get("rows", 0)), bool(meta.get("exact_rows", True)),
-                0, 0, 0, watermark, "", old_files, t0,
+                int(meta.get("bytes", 0)), 0, 0, watermark, "", old_files, t0,
             )
 
         # Bootstrap: an empty partition's first write IS its compacted state —
@@ -329,8 +331,12 @@ class MergeApply:
                 "op", op.cast(pa.string())
             )
             rel, nbytes = self._write(delta, pid, "delta")
+            # bytes = whole live chain (old parts + new delta), so manifest
+            # byte accounting stays consistent with the files list while
+            # deltas are pending (it was just the last delta's size before).
+            chain_bytes = int(meta.get("bytes", 0)) + nbytes
             return _stats_row(
-                pid, int(meta.get("rows", 0)), False, nbytes,
+                pid, int(meta.get("rows", 0)), False, chain_bytes,
                 n_applied, n_del, max_lsn, rel, old_files + [rel], t0,
             )
 
@@ -400,10 +406,17 @@ class SnapshotWriter:
     snapshot file (used by table repartitioning, where rows arrive via a
     shuffle rather than a file chain). Same tmp-write commit protocol."""
 
-    def __init__(self, table_dir: str, epoch: int, snapshot_schema_b64: str):
+    def __init__(
+        self,
+        table_dir: str,
+        epoch: int,
+        snapshot_schema_b64: str,
+        check_unique: bool = False,
+    ):
         self.table_dir = table_dir
         self.epoch = epoch
         self.snapshot_schema = schema_from_b64(snapshot_schema_b64)
+        self.check_unique = check_unique
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
@@ -414,6 +427,20 @@ class SnapshotWriter:
         rows = cast_table(rows, self.snapshot_schema).sort_by(
             [("doc_id", "ascending")]
         )
+        if self.check_unique and rows.num_rows > 1:
+            # Bulk import has no LSN order to break ties with, so duplicate
+            # keys would silently produce a non-unique "clean" snapshot —
+            # reject them up front (vectorized adjacent-equal on sorted keys).
+            keys = rows.column("doc_id").combine_chunks()
+            n = len(keys)
+            dup = pc.equal(keys.slice(0, n - 1), keys.slice(1, n - 1))
+            n_dup = pc.sum(dup.cast(pa.int64())).as_py() or 0
+            if n_dup:
+                sample = pc.filter(keys.slice(0, n - 1), dup).slice(0, 5).to_pylist()
+                raise ValueError(
+                    f"import: {n_dup} duplicate key(s) in partition {pid} "
+                    f"(e.g. {sample}); deduplicate the corpus before import"
+                )
         part_dir = os.path.join(self.table_dir, "parts", f"pid={pid:05d}")
         os.makedirs(part_dir, exist_ok=True)
         rel = os.path.join(

@@ -233,8 +233,25 @@ class table_lock:
                 raise TableLockError(
                     f"table is locked by a live writer ({self.path})"
                 ) from None
-            os.unlink(self.path)  # stale lock from a dead process
-            self.fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            # Atomic reclaim: rename the stale lock to a unique name first —
+            # only the process whose rename succeeds may proceed, so two
+            # racers observing the same dead owner can't both unlink their
+            # way past each other's freshly created lock (check-then-unlink
+            # was exactly the concurrent-writer hole this lock exists for).
+            claim = f"{self.path}.stale.{os.getpid()}"
+            try:
+                os.rename(self.path, claim)
+            except FileNotFoundError:
+                pass  # another racer reclaimed it; fall through to O_EXCL
+            else:
+                os.unlink(claim)
+            try:
+                self.fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                # the other reclaimer won the re-create — genuine contention
+                raise TableLockError(
+                    f"table is locked by a concurrent writer ({self.path})"
+                ) from None
         os.write(self.fd, str(os.getpid()).encode())
         os.fsync(self.fd)
         return self

@@ -72,3 +72,19 @@ def test_import_requires_empty_table(ray_session, tmp_path):
     import_base(table_dir, corpus_path)
     with pytest.raises(ValueError, match="empty table"):
         import_base(table_dir, corpus_path)
+
+
+def test_import_rejects_duplicate_keys(ray_session, tmp_path):
+    corpus = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "a"]),
+            "tokens": pa.array([[1], [2], [3]], pa.list_(pa.int32())),
+            "source": pa.array(["s"] * 3),
+        }
+    )
+    corpus_path = str(tmp_path / "dup.parquet")
+    pq.write_table(corpus, corpus_path)
+    table_dir = str(tmp_path / "t")
+    create_table(table_dir, num_partitions=2)
+    with pytest.raises(Exception, match="duplicate key"):
+        import_base(table_dir, corpus_path)

@@ -149,3 +149,13 @@ def test_schema_evolution_cast():
     assert out.schema.equals(target)
     got = {r["doc_id"]: r["lang"] for r in out.to_pylist()}
     assert got == {"a": None, "b": "en"}
+
+
+def test_long_delta_chain_rank_over_127():
+    # regression: _src rank was int8; a 130-file chain overflowed fill_null
+    from clickhouse_data_pipeline_ray.stages.merge import merge_file_tables
+
+    tables = [changes_table([(i + 1, "u", "k", [i])]) for i in range(130)]
+    out = merge_file_tables(tables, SNAPSHOT_SCHEMA)
+    assert out.num_rows == 1
+    assert out.column("tokens").to_pylist() == [[129]]
