@@ -36,6 +36,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
     names, fixed-point integer aggregates for hash-stable comparison).
-    CDC replay, MinHash/SimHash/LSH and IVF entries are intentionally absent
-    (non-SQL-expressible) — their semantics are pinned by tests/."""
-    return dict(Q.ORACLE_SQL)
+
+    Includes the flagship CDC replay family: their oracles read the same
+    deterministic WAL parquet (generated here if absent) that the Ray
+    pipeline replays, as a DuckDB ``arg_max`` LWW reduction. MinHash/SimHash
+    LSH and IVF entries are intentionally absent (non-SQL-expressible) —
+    their semantics are pinned by tests/."""
+    return Q.build_oracle_sql("/root/testdata/sf0.01")

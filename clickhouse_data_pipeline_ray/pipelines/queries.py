@@ -114,14 +114,21 @@ def _cdc_params(sf_dir: str, evolve: bool) -> tuple[GenParams, str]:
     return params, f"{tag}{'-evolved' if evolve else ''}"
 
 
+def _cdc_wal(sf_dir: str, evolve: bool) -> str:
+    """Deterministic cached WAL for this scale factor (idempotent generation,
+    same path for the Ray pipeline and the DuckDB oracle)."""
+    params, tag = _cdc_params(sf_dir, evolve)
+    cache_root = os.path.join(tempfile.gettempdir(), "cdp_ray_wal")
+    return ensure_wal(cache_root, params, tag)
+
+
 def cdc_replay(sf_dir: str, evolve: bool = False) -> pa.Table:
     """Full CDC replay: generate (cached) a deterministic WAL sized to the
     scale factor, replay it through the complete engine path (read →
     normalize → hash shuffle → LWW merge actors → exactly-once commit),
     return the final snapshot."""
-    params, tag = _cdc_params(sf_dir, evolve)
-    cache_root = os.path.join(tempfile.gettempdir(), "cdp_ray_wal")
-    wal_dir = ensure_wal(cache_root, params, tag)
+    _params, tag = _cdc_params(sf_dir, evolve)
+    wal_dir = _cdc_wal(sf_dir, evolve)
     table_dir = tempfile.mkdtemp(prefix=f"cdp_table_{tag}_")
     create_table(table_dir, num_partitions=16)
     replay(table_dir, wal_dir, ApplyConfig(max_segments=4))
@@ -130,9 +137,8 @@ def cdc_replay(sf_dir: str, evolve: bool = False) -> pa.Table:
 
 def cdc_kpi_source_stats(sf_dir: str) -> pa.Table:
     """KPI views over the CDC snapshot (groupby parity with kpi_views.sql)."""
-    params, tag = _cdc_params(sf_dir, evolve=False)
-    cache_root = os.path.join(tempfile.gettempdir(), "cdp_ray_wal")
-    wal_dir = ensure_wal(cache_root, params, tag)
+    _params, tag = _cdc_params(sf_dir, evolve=False)
+    wal_dir = _cdc_wal(sf_dir, evolve=False)
     table_dir = tempfile.mkdtemp(prefix=f"cdp_kpi_{tag}_")
     create_table(table_dir, num_partitions=16)
     replay(table_dir, wal_dir, ApplyConfig())
@@ -639,7 +645,77 @@ _STOP_SQL = " + ".join(
     f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in F_text.QualityScore.STOPWORDS
 )
 
+
+def _lang_score_sql(lang: str) -> str:
+    pats = F_text.LangId.PROFILES[lang]
+    return " + ".join(f"len(regexp_extract_all(text, '{p}'))" for p in pats)
+
+
+# LangId's decision rule in SQL: zh overrides on any CJK char, all-zero scores
+# are 'unknown', otherwise first-profile-wins argmax (np.argmax tie-break) —
+# same regexes on both sides (RE2 in pyarrow and DuckDB).
+_LANG_SQL = f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('fr')} AS s_fr,
+             {_lang_score_sql('es')} AS s_es,
+             len(regexp_extract_all(text, '{F_text.LangId.CJK}')) AS s_cjk
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s_cjk > 0 THEN 'zh'
+                WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM s
+"""
+
+def _cdc_snapshot_sql(wal_dir: str, evolved: bool) -> str:
+    """DuckDB LWW replay over the persisted WAL segments: per key, the
+    max-LSN row wins; a winning delete drops the key (arg_max skips the
+    delete rows' NULL payload columns, so the surviving winner's values are
+    picked). Mirrors stages/merge.py lww_compact + tombstone filter."""
+    extra = ",\n               arg_max(lang, lsn) AS lang" if evolved else ""
+    union = ", union_by_name=true" if evolved else ""
+    return f"""
+        SELECT max(lsn) AS lsn, doc_id,
+               arg_max(n_tok, lsn) AS n_tok,
+               arg_max(source, lsn) AS source{extra}
+        FROM read_parquet('{wal_dir}/seg-*.parquet'{union})
+        GROUP BY doc_id
+        HAVING arg_max(op, lsn) <> 'd'
+    """
+
+
+def build_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """Full oracle map for one scale factor: the static table-backed entries
+    plus the CDC-replay oracles, whose SQL reads the same deterministic WAL
+    parquet the Ray pipeline replays (generated here if absent, so the oracle
+    is runnable regardless of driver ordering)."""
+    wal = _cdc_wal(sf_dir, evolve=False)
+    wal_ev = _cdc_wal(sf_dir, evolve=True)
+    out = dict(ORACLE_SQL)
+    out["cdc_replay"] = _cdc_snapshot_sql(wal, evolved=False)
+    out["cdc_replay_evolved"] = _cdc_snapshot_sql(wal_ev, evolved=True)
+    out["cdc_kpi_source_stats"] = f"""
+        WITH snap AS ({_cdc_snapshot_sql(wal, evolved=False)})
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+               round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS avg_tok,
+               CAST(min(n_tok) AS BIGINT) AS min_tok,
+               CAST(max(n_tok) AS BIGINT) AS max_tok
+        FROM snap GROUP BY source
+    """
+    return out
+
+
 ORACLE_SQL = {
+    "lang_id_documents": _LANG_SQL,
     "incremental_scan_events": """
         SELECT event_id, user_id, event_type
         FROM events WHERE ts > TIMESTAMP '2024-01-25 00:00:00'

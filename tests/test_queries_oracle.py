@@ -45,18 +45,19 @@ def con():
 
 
 def _oracle_pairs():
-    from clickhouse_data_pipeline_ray.pipelines.queries import ORACLE_SQL, QUERIES
+    from clickhouse_data_pipeline_ray.pipelines.queries import QUERIES, build_oracle_sql
 
-    assert set(ORACLE_SQL) <= set(QUERIES)
-    return sorted(ORACLE_SQL)
+    oracle = build_oracle_sql(SF_DIR)
+    assert set(oracle) <= set(QUERIES)
+    return sorted(oracle)
 
 
 @pytest.mark.parametrize("name", _oracle_pairs())
 def test_query_matches_oracle(ray_session, con, name):
-    from clickhouse_data_pipeline_ray.pipelines.queries import ORACLE_SQL, QUERIES
+    from clickhouse_data_pipeline_ray.pipelines.queries import QUERIES, build_oracle_sql
 
     got = _canon(_to_pandas(QUERIES[name](SF_DIR)))
-    want = _canon(con.execute(ORACLE_SQL[name]).df())
+    want = _canon(con.execute(build_oracle_sql(SF_DIR)[name]).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
@@ -69,10 +70,11 @@ def test_query_matches_oracle(ray_session, con, name):
 
 def test_rows_only_queries_run(ray_session):
     """Non-SQL entries must at least run and return a stable shape."""
-    from clickhouse_data_pipeline_ray.pipelines.queries import ORACLE_SQL, QUERIES
+    from clickhouse_data_pipeline_ray.pipelines.queries import QUERIES, build_oracle_sql
 
+    oracle = build_oracle_sql(SF_DIR)
     for name, fn in QUERIES.items():
-        if name in ORACLE_SQL or name.startswith("cdc_"):
+        if name in oracle or name.startswith("cdc_"):
             continue
         df = _to_pandas(fn(SF_DIR))
         assert df is not None, name
