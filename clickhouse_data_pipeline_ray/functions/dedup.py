@@ -65,36 +65,182 @@ def _filter_to_values(ds: ray.data.Dataset, col: str, values: set) -> ray.data.D
 
 
 def exact_dedup(
-    ds: ray.data.Dataset, text_col: str = "text", key_col: str = "doc_id"
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
-    """Keep one row per identical text (smallest key wins — deterministic)."""
-    with_fp = ds.map_batches(
-        lambda b: fingerprint_batch(b, text_col), batch_format="pyarrow"
+    """Keep one row per identical text (smallest key wins — deterministic).
+
+    Two-level vectorized plan (the CDC merge shape, not per-group Python):
+    per-batch keep-min partial (payload-aware LWW kernel, shrinks each block
+    before the shuffle) → hash-bucket the fingerprints into ~2×CPU groups →
+    one vectorized keep-min per group. Python is invoked O(buckets) times,
+    never O(distinct texts) — the old ``map_groups(keep_first)`` paid one
+    interpreter call per (overwhelmingly singleton) fingerprint group."""
+    from ..stages.merge import lww_compact
+
+    nb = num_buckets or max(
+        8, 2 * int(ray.cluster_resources().get("CPU", 8))
     )
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(key_col).head(1)
+    def partial(b: pa.Table) -> pa.Table:
+        b = fingerprint_batch(b, text_col)
+        b = lww_compact(b, key="fingerprint", version=key_col, version_order="min")
+        fp = b.column("fingerprint").to_numpy(zero_copy_only=False)
+        bucket = (fp.astype(np.int64).view(np.uint64) % np.uint64(nb)).astype(np.int32)
+        return b.append_column("fpb", pa.array(bucket))
 
-    return with_fp.groupby("fingerprint").map_groups(keep_first, batch_format="pandas")
+    def final(g: pa.Table) -> pa.Table:
+        out = lww_compact(g, key="fingerprint", version=key_col, version_order="min")
+        return out.drop_columns(["fpb"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fpb")
+        .map_groups(final, batch_format="pyarrow")
+    )
 
 
-def _shingle_hashes(words: np.ndarray, k: int) -> np.ndarray:
-    """Hashes of word k-shingles via a rolling polynomial over word hashes."""
+_FNV = np.uint64(0x100000001B3)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit finalizer (public SplitMix64 constants)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _grouped_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for per-segment gather indices (vectorized)."""
+    total = int(counts.sum())
+    starts = np.zeros(len(counts), dtype=np.int64)
+    starts[1:] = np.cumsum(counts[:-1])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def _batch_shingle_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word-k-shingle hashes for a WHOLE batch of docs in one pass.
+
+    Returns ``(flat, offsets)``: doc i's shingle hashes are
+    ``flat[offsets[i]:offsets[i+1]]`` (always ≥1 per doc — short docs fall
+    back to raw word hashes, empty docs to a 0 sentinel, matching the old
+    per-doc kernel exactly). One ``hash_array`` call over all words + one
+    rolling-polynomial pass over the concatenation (windows that would cross
+    a doc boundary are simply never gathered) — no per-doc Python."""
     from pandas.util import hash_array
 
-    h = hash_array(words.astype(object), categorize=False).astype(np.uint64)
-    if len(h) < k:
-        return h if len(h) else np.array([0], dtype=np.uint64)
+    n = len(texts)
+    words_per_doc = [t.split() for t in texts]
+    lens = np.fromiter((len(w) for w in words_per_doc), np.int64, count=n)
+    total = int(lens.sum())
+    if total:
+        all_words = np.empty(total, dtype=object)
+        pos = 0
+        for w in words_per_doc:
+            all_words[pos : pos + len(w)] = w
+            pos += len(w)
+        h = hash_array(all_words, categorize=False).astype(np.uint64)
+    else:
+        h = np.empty(0, np.uint64)
+    w_off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=w_off[1:])
+
+    s_counts = np.where(lens >= k, lens - k + 1, np.maximum(lens, 1))
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(s_counts, out=offsets[1:])
+    flat = np.zeros(int(offsets[-1]), np.uint64)  # zeros = empty-doc sentinel
+
+    if total >= k:
+        with np.errstate(over="ignore"):
+            acc = h[: total - k + 1].copy()
+            for j in range(1, k):
+                acc = acc * _FNV + h[j : total - k + 1 + j]
+        roll = lens >= k
+        if roll.any():
+            cnt = s_counts[roll]
+            seq = _grouped_arange(cnt)
+            flat[np.repeat(offsets[:-1][roll], cnt) + seq] = acc[
+                np.repeat(w_off[:-1][roll], cnt) + seq
+            ]
+    small = (lens > 0) & (lens < k)
+    if small.any():
+        cnt = lens[small]
+        seq = _grouped_arange(cnt)
+        flat[np.repeat(offsets[:-1][small], cnt) + seq] = h[
+            np.repeat(w_off[:-1][small], cnt) + seq
+        ]
+    return flat, offsets
+
+
+def _segment_unique(flat: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-unique values per segment (vectorized lexsort + run masking)."""
+    n = len(offsets) - 1
+    d = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    order = np.lexsort((flat, d))
+    fs, ds_ = flat[order], d[order]
+    keep = np.ones(len(fs), dtype=bool)
+    keep[1:] = (fs[1:] != fs[:-1]) | (ds_[1:] != ds_[:-1])
+    fu, du = fs[keep], ds_[keep]
+    counts = np.bincount(du, minlength=n).astype(np.int64)
+    new_off = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=new_off[1:])
+    return fu, new_off
+
+
+def _minhash_signatures(
+    flat: np.ndarray,
+    offsets: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    chunk_shingles: int = 1 << 19,
+) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signatures over per-doc shingle segments.
+
+    One ``(num_perm × shingles)`` permutation matrix + ``minimum.reduceat``
+    per chunk of docs (chunked so the matrix stays ~num_perm × 2^19 ≈ tens of
+    MB regardless of block size). Same wraparound arithmetic as the old
+    per-doc kernel, so signatures — and therefore LSH pairs — are identical."""
+    n = len(offsets) - 1
+    num_perm = len(a)
+    sigs = np.empty((n, num_perm), np.uint64)
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and offsets[j + 1] - offsets[i] <= chunk_shingles:
+            j += 1
+        sh = flat[offsets[i] : offsets[j]] % np.uint64(_MERSENNE)
+        with np.errstate(over="ignore"):
+            vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+        idx = (offsets[i : j] - offsets[i]).astype(np.int64)
+        sigs[i:j] = np.minimum.reduceat(vals, idx, axis=1).T
+        i = j
+    return sigs
+
+
+def _band_buckets(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) int64 LSH bucket keys: each band's signature rows mixed
+    with the band index through SplitMix64 — fully vectorized, no per-doc
+    byte-string hashing."""
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    m = sigs.reshape(n * bands, r)
+    acc = np.tile(np.arange(bands, dtype=np.uint64), n)
     with np.errstate(over="ignore"):
-        acc = h[: len(h) - k + 1].copy()
-        for j in range(1, k):
-            acc = acc * np.uint64(0x100000001B3) + h[j : len(h) - k + 1 + j]
-    return acc
+        for j in range(r):
+            acc = _splitmix64(acc ^ m[:, j])
+    return acc.view(np.int64).reshape(n, bands)
 
 
 class MinHasher:
     """Actor-pool stage: text → M-permutation MinHash signature, exploded to
-    (band, band_hash, doc_id) rows for the LSH groupby."""
+    (band, band_hash, doc_id) rows for the LSH groupby. Whole-batch
+    vectorized: one hash pass over all words, one permutation matrix per
+    shingle chunk — no per-doc Python loop (the SimHash ``reduceat`` pattern
+    applied to MinHash)."""
 
     def __init__(
         self,
@@ -113,43 +259,38 @@ class MinHasher:
         self.rows_per_band = num_perm // bands
         self.k, self.text_col, self.key_col = shingle_k, text_col, key_col
 
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        flat, offsets = _batch_shingle_hashes(texts, self.k)
+        return _minhash_signatures(flat, offsets, self.a, self.b)
+
     def signature(self, text: str) -> np.ndarray:
-        words = np.array(text.split(), dtype=object)
-        sh = np.unique(_shingle_hashes(words, self.k)) % np.uint64(_MERSENNE)
-        with np.errstate(over="ignore"):
-            vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(
-                _MERSENNE
-            )
-        return vals.min(axis=1)
+        return self.signatures([text])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch.column(self.key_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
-        out_key, out_band, out_hash, out_sig = [], [], [], []
-        from pandas.util import hash_array
-
-        for key, text in zip(keys, texts):
-            sig = self.signature(text)
-            band_views = sig.reshape(self.bands, self.rows_per_band)
-            # band index salted into the hash: one int64 bucket key suffices
-            # for the LSH groupby (no composite key needed)
-            bhash = hash_array(
-                np.array(
-                    [bytes([i]) + bv.tobytes() for i, bv in enumerate(band_views)],
-                    dtype=object,
-                ),
-                categorize=False,
-            ).astype(np.int64)
-            out_key.extend([key] * self.bands)
-            out_band.extend(range(self.bands))
-            out_hash.extend(bhash.tolist())
-            out_sig.extend([sig.astype(np.int64)] * self.bands)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    self.key_col: pa.array([], batch.schema.field(self.key_col).type),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+        sigs = self.signatures(batch.column(self.text_col).to_pylist())
+        bhash = _band_buckets(sigs, self.bands)
+        flat_sig = np.repeat(sigs.astype(np.int64), self.bands, axis=0).ravel()
+        sig_off = np.arange(0, (n * self.bands + 1) * self.num_perm, self.num_perm)
+        sig_col = pa.LargeListArray.from_arrays(
+            pa.array(sig_off), pa.array(flat_sig)
+        ).cast(pa.list_(pa.int64()))
         return pa.table(
             {
-                self.key_col: pa.array(out_key),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
-                "sig": pa.array(out_sig, pa.list_(pa.int64())),
+                self.key_col: pa.array(np.repeat(keys.astype(object), self.bands)),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bhash.ravel(), pa.int64()),
+                "sig": sig_col,
             }
         )
 
@@ -167,6 +308,49 @@ def _bucket_pairs(group: pd.DataFrame, key_col: str) -> pd.DataFrame:
             rows_b.append(keys[j])
             est.append(float((sigs[i] == sigs[j]).mean()))
     return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, "est_jaccard": est})
+
+
+def _bucket_pairs_block(group: pd.DataFrame, key_col: str) -> pd.DataFrame:
+    """Candidate pairs for a SUPERBUCKET (many LSH buckets per group, so the
+    Python-per-group cost is O(superbuckets) ≈ O(CPUs), not O(buckets)).
+    Size-2 buckets — the overwhelming majority — are paired fully vectorized
+    (one stacked signature matrix, one equality reduction); only the rare
+    larger buckets fall back to the per-bucket loop."""
+    g = group.sort_values(["band_hash", key_col]).reset_index(drop=True)
+    bh = g["band_hash"].to_numpy()
+    if len(g) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+    sigs = np.stack(g["sig"].to_numpy())
+    keys = g[key_col].to_numpy()
+    run_start = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]])
+    run_end = np.r_[run_start[1:], len(bh)]
+    sizes = run_end - run_start
+    parts_a, parts_b, parts_e = [], [], []
+    s2 = run_start[sizes == 2]
+    if len(s2):
+        parts_a.append(keys[s2])
+        parts_b.append(keys[s2 + 1])
+        parts_e.append((sigs[s2] == sigs[s2 + 1]).mean(axis=1))
+    big_a, big_b, big_e = [], [], []
+    for st, en in zip(run_start[sizes > 2], run_end[sizes > 2]):
+        for i in range(st, en):
+            for j in range(i + 1, en):
+                big_a.append(keys[i])
+                big_b.append(keys[j])
+                big_e.append(float((sigs[i] == sigs[j]).mean()))
+    if big_a:
+        parts_a.append(np.asarray(big_a, dtype=keys.dtype))
+        parts_b.append(np.asarray(big_b, dtype=keys.dtype))
+        parts_e.append(np.asarray(big_e))
+    if not parts_a:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+    return pd.DataFrame(
+        {
+            "doc_a": np.concatenate(parts_a),
+            "doc_b": np.concatenate(parts_b),
+            "est_jaccard": np.concatenate(parts_e),
+        }
+    )
 
 
 def minhash_lsh_pairs(
@@ -203,8 +387,21 @@ def minhash_lsh_pairs(
     if not hot:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
     candidates = _filter_to_values(exploded, "band_hash", hot)
-    pairs = candidates.groupby("band_hash").map_groups(
-        lambda g: _bucket_pairs(g, key_col), batch_format="pandas"
+
+    # Superbucket the candidates: each shuffle group holds MANY LSH buckets,
+    # so the per-group Python cost is O(superbuckets), and the bucket runs
+    # inside are paired vectorized (_bucket_pairs_block).
+    n_super = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_super(b: pa.Table) -> pa.Table:
+        bh = b.column("band_hash").to_numpy(zero_copy_only=False)
+        sb = (bh.astype(np.int64).view(np.uint64) % np.uint64(n_super)).astype(np.int32)
+        return b.append_column("sb", pa.array(sb))
+
+    pairs = (
+        candidates.map_batches(add_super, batch_format="pyarrow")
+        .groupby("sb")
+        .map_groups(lambda g: _bucket_pairs_block(g, key_col), batch_format="pandas")
     )
     pdf = pairs.to_pandas()
     if pdf.empty:
@@ -357,6 +554,112 @@ def simhash_pairs(
     )
 
 
+class NGramBlocker:
+    """Actor-pool stage 1 of content-blocked n-gram Jaccard: per-doc
+    sorted-unique n-gram hash set (list column) + r=1 MinHash band buckets
+    over that set, exploded to (doc, bucket, grams) rows. Content blocking —
+    a pair can only become a candidate by sharing a minhash of its actual
+    grams — unlike the old length-bucket blocking, where one bucket held a
+    constant fraction of the corpus and went O(n²)."""
+
+    def __init__(
+        self,
+        n: int = 3,
+        bands: int = 16,
+        rows_per_band: int = 2,
+        text_col: str = "text",
+        key_col: str = "doc_id",
+        seed: int = 29,
+    ):
+        # r=2 rows per band: a bucket key combines TWO independent minhashes,
+        # so sharing one globally common gram (whose hash is often the corpus
+        # minimum) is not enough to collide — r=1 produced corpus-scale
+        # buckets of docs sharing a single boilerplate gram.
+        rng = np.random.default_rng(seed)
+        num_perm = bands * rows_per_band
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.n, self.bands = n, bands
+        self.text_col, self.key_col = text_col, key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_docs = batch.num_rows
+        if n_docs == 0:
+            return pa.table(
+                {
+                    self.key_col: pa.array([], batch.schema.field(self.key_col).type),
+                    "bucket": pa.array([], pa.int64()),
+                    "grams": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+        flat, off = _batch_shingle_hashes(
+            batch.column(self.text_col).to_pylist(), self.n
+        )
+        gu, guoff = _segment_unique(flat, off)
+        sigs = _minhash_signatures(gu, guoff, self.a, self.b)
+        bhash = _band_buckets(sigs, self.bands)
+        grams_doc = pa.LargeListArray.from_arrays(
+            pa.array(guoff), pa.array(gu.astype(np.int64))
+        ).cast(pa.list_(pa.int64()))
+        idx = pa.array(np.repeat(np.arange(n_docs, dtype=np.int64), self.bands))
+        return pa.table(
+            {
+                self.key_col: pa.array(np.repeat(keys.astype(object), self.bands)),
+                "bucket": pa.array(bhash.ravel(), pa.int64()),
+                "grams": pc.take(grams_doc, idx),
+            }
+        )
+
+
+def _ngram_bucket_pairs(
+    group: pd.DataFrame, key_col: str, threshold: float, max_bucket: int
+) -> pd.DataFrame:
+    """Exact-Jaccard verify for a SUPERBUCKET group (many LSH buckets per
+    Python call). Pairs already verified for an earlier bucket run in this
+    group are skipped via a seen-set, so multi-band collisions don't repeat
+    the set intersection."""
+    g = group.sort_values(["bucket", key_col]).reset_index(drop=True)
+    bh = g["bucket"].to_numpy()
+    grams_all = g["grams"].to_numpy()
+    keys_all = g[key_col].to_numpy()
+    run_start = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]])
+    run_end = np.r_[run_start[1:], len(bh)]
+    out_a, out_b, out_j = [], [], []
+    seen: set = set()
+    for st, en in zip(run_start, run_end):
+        if en - st < 2:
+            continue
+        if en - st > max_bucket:
+            # Bounded bucket guarantee: a degenerate bucket (e.g. boilerplate
+            # grams shared corpus-wide) is capped, not O(n²)-scanned. Logged
+            # so the drop is visible, never silent.
+            print(
+                f"[ngram_jaccard] bucket over cap: {en - st} docs > "
+                f"{max_bucket}, verifying the first {max_bucket} by key"
+            )
+            en = st + max_bucket
+        grams = [np.asarray(x, dtype=np.int64) for x in grams_all[st:en]]
+        keys = keys_all[st:en]
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                pk = (keys[i], keys[j])
+                if pk in seen:
+                    continue
+                seen.add(pk)
+                inter = np.intersect1d(grams[i], grams[j], assume_unique=True).size
+                if inter == 0:
+                    continue
+                jac = inter / (len(grams[i]) + len(grams[j]) - inter)
+                if jac >= threshold:
+                    out_a.append(keys[i])
+                    out_b.append(keys[j])
+                    out_j.append(round(jac, 6))
+    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+
+
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.5,
@@ -364,52 +667,84 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     key_col: str = "doc_id",
     block_col: str | None = None,
+    bands: int = 16,
+    max_bucket: int = 64,
+    concurrency: int | tuple = 2,
 ) -> pd.DataFrame:
-    """Exact word n-gram Jaccard over blocked pairs. Blocking defaults to
-    word-count buckets (a pair with Jaccard ≥ t has length ratio ≥ t, so
-    adjacent log-buckets suffice); exact verify runs per block in map_groups."""
+    """Exact word n-gram Jaccard over content-blocked candidate pairs.
 
-    def add_block(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        n_words = pc.count_substring_regex(
-            batch.column(text_col), pattern=r"\S+"
-        ).cast(pa.float64())
-        bucket = pc.floor(pc.divide(pc.ln(pc.max_element_wise(n_words, 1.0)), np.log(1.3)))
-        return batch.append_column("block", bucket.cast(pa.int32()))
-
-    blocked = ds.map_batches(add_block, batch_format="pyarrow") if block_col is None else ds
-
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(key_col).reset_index(drop=True)
-        grams = []
-        for t in g[text_col]:
-            words = t.split()
-            grams.append(
-                {tuple(words[i : i + n]) for i in range(max(1, len(words) - n + 1))}
+    Blocking is MinHash-band LSH over each doc's own gram set (r=2 rows per
+    band: a pair with Jaccard j collides with prob 1-(1-j²)^bands — ≈0.48 at
+    j=0.2, ≈0.99 at j=0.5 with b=16 — an explicitly approximate blocking for
+    sub-threshold pairs), so bucket membership depends on shared content,
+    never on document length. Exact Jaccard (set intersection
+    over the sorted-unique gram-hash arrays) verifies each bucket; buckets are
+    pre-filtered to ≥2 members and capped at ``max_bucket`` with a logged
+    drop. ``block_col`` overrides blocking with a user column (caller asserts
+    bounded blocks)."""
+    if block_col is None:
+        exploded = ds.map_batches(
+            NGramBlocker,
+            fn_constructor_kwargs={
+                "n": n,
+                "bands": bands,
+                "text_col": text_col,
+                "key_col": key_col,
+            },
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=concurrency,
+            num_cpus=0.5,
+        ).materialize()
+        hot = _multi_member_values(exploded, "bucket")
+        if not hot:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        cands = _filter_to_values(exploded, "bucket", hot)
+    else:
+        # user blocking: still compute the gram sets vectorized, group by the
+        # caller's column
+        def add_grams(batch: pa.Table) -> pa.Table:
+            flat, off = _batch_shingle_hashes(batch.column(text_col).to_pylist(), n)
+            gu, guoff = _segment_unique(flat, off)
+            grams = pa.LargeListArray.from_arrays(
+                pa.array(guoff), pa.array(gu.astype(np.int64))
+            ).cast(pa.list_(pa.int64()))
+            return pa.table(
+                {
+                    key_col: batch.column(key_col),
+                    "bucket": batch.column(block_col).cast(pa.int64()),
+                    "grams": grams,
+                }
             )
-        out_a, out_b, out_j = [], [], []
-        keys = list(g[key_col])
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                inter = len(grams[i] & grams[j])
-                if inter == 0:
-                    continue
-                jac = inter / len(grams[i] | grams[j])
-                if jac >= threshold:
-                    out_a.append(keys[i])
-                    out_b.append(keys[j])
-                    out_j.append(round(jac, 6))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+
+        cands = ds.map_batches(add_grams, batch_format="pyarrow", batch_size=2048)
+
+    # Superbucket shuffle key: O(CPUs) Python group calls, with all of a
+    # bucket's rows guaranteed co-grouped (bucket → superbucket is pure).
+    n_super = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_super(b: pa.Table) -> pa.Table:
+        bh = b.column("bucket").to_numpy(zero_copy_only=False)
+        sb = (bh.astype(np.int64).view(np.uint64) % np.uint64(n_super)).astype(np.int32)
+        return b.append_column("sb", pa.array(sb))
 
     pdf = (
-        blocked.groupby(block_col or "block")
-        .map_groups(verify, batch_format="pandas")
+        cands.map_batches(add_super, batch_format="pyarrow")
+        .groupby("sb")
+        .map_groups(
+            lambda g: _ngram_bucket_pairs(g, key_col, threshold, max_bucket),
+            batch_format="pandas",
+        )
         .to_pandas()
     )
     if pdf.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    return pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return (
+        pdf.groupby(["doc_a", "doc_b"], as_index=False)["jaccard"]
+        .max()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
 
 
 class HyperplaneLSH:

@@ -56,8 +56,11 @@ def lww_compact(
     key: str = "doc_id",
     version: str = "lsn",
     src_rank: str | None = None,
+    version_order: str = "max",
 ) -> pa.Table:
     """Keep, per key, only the max-version row (tombstones retained as rows).
+    ``version_order="min"`` flips the winner to the minimum version — the
+    keep-smallest-key reduction dedup uses (same payload-aware kernel).
 
     Used as the per-batch pre-compaction combiner (shrinks update-heavy change
     streams *before* the shuffle — the partial-aggregation pattern) and as the
@@ -70,7 +73,8 @@ def lww_compact(
     """
     if table.num_rows == 0:
         return table
-    sort_keys = [(key, "ascending"), (version, "ascending")]
+    vdir = "ascending" if version_order == "max" else "descending"
+    sort_keys = [(key, "ascending"), (version, vdir)]
     if src_rank is not None:
         sort_keys.append((src_rank, "ascending"))
     idx = pc.sort_indices(
