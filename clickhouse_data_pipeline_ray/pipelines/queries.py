@@ -73,19 +73,25 @@ def _partial_groupby(
     stage — no all-to-all shuffle (the SummingMergeTree-view analog,
     /root/reference/etl/clickhouse_schema/kpi_views.sql, computed
     aggregate-first). Valid whenever the group count is driver-small; wide
-    keys (users, custkeys) must use groupby().aggregate() instead."""
+    keys (users, custkeys) must use groupby().aggregate() instead.
+
+    ``prep`` returns a pa.Table; the per-batch partial is an Arrow
+    ``group_by`` (no pandas round-trip in the hot stage — only the tiny
+    partials are combined in pandas on the driver)."""
+    cols = sums + ([count_col] if count_col else [])
 
     def partial(b: pa.Table) -> pa.Table:
-        pdf = prep(b)
-        agg = {c: "sum" for c in sums}
+        t = prep(b)
         if count_col:
-            pdf = pdf.assign(**{count_col: 1})
-            agg[count_col] = "sum"
-        gb = pdf.groupby(keys, as_index=False, sort=False)
-        return pa.Table.from_pandas(gb.agg(agg), preserve_index=False)
+            t = t.append_column(
+                count_col, pa.nulls(t.num_rows, pa.int64()).fill_null(1)
+            )
+        agg = t.group_by(keys).aggregate([(c, "sum") for c in cols])
+        return agg.rename_columns(
+            [n[: -len("_sum")] if n.endswith("_sum") else n for n in agg.column_names]
+        )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    cols = sums + ([count_col] if count_col else [])
     out = parts.groupby(keys, as_index=False)[cols].sum()
     for c in cols:
         out[c] = out[c].astype("int64")
@@ -229,10 +235,10 @@ def q_kpi_source_stats(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["source", "n_chars"])
     pdf = _partial_groupby(
         ds,
-        lambda b: pd.DataFrame(
+        lambda b: pa.table(
             {
-                "source": b.column("source").to_pandas(),
-                "sum_chars": b.column("n_chars").to_pandas().astype("int64"),
+                "source": b.column("source"),
+                "sum_chars": b.column("n_chars").cast(pa.int64()),
             }
         ),
         keys=["source"],
@@ -263,9 +269,12 @@ def q_kpi_daily_events(sf_dir: str) -> pa.Table:
     # per-day counts/sums: low-cardinality → shuffle-free partial combine
     a = _partial_groupby(
         prepped,
-        lambda b: b.to_pandas().rename(columns={"value_milli": "sum_value_milli"})[
-            ["event_date", "sum_value_milli"]
-        ],
+        lambda b: pa.table(
+            {
+                "event_date": b.column("event_date"),
+                "sum_value_milli": b.column("value_milli"),
+            }
+        ),
         keys=["event_date"],
         sums=["sum_value_milli"],
         count_col="n_events",
@@ -300,7 +309,9 @@ def q_kpi_type_daily(sf_dir: str) -> pa.Table:
 
     pdf = _partial_groupby(
         ds,
-        lambda b: prep(b).to_pandas().rename(columns={"value_milli": "sum_value_milli"}),
+        lambda b: prep(b).rename_columns(
+            ["event_date", "event_type", "sum_value_milli"]
+        ),
         keys=["event_date", "event_type"],
         sums=["sum_value_milli"],
         count_col="n_events",
@@ -328,9 +339,7 @@ def q_ctr_daily(sf_dir: str) -> pa.Table:
 
     pdf = _partial_groupby(
         ds,
-        lambda b: prep(b)
-        .to_pandas()
-        .rename(columns={"is_click": "clicks", "is_view": "views"}),
+        lambda b: prep(b).rename_columns(["event_date", "clicks", "views"]),
         keys=["event_date"],
         sums=["clicks", "views"],
     )
@@ -355,21 +364,20 @@ def q_orders_by_nation(sf_dir: str) -> pa.Table:
     customer = pd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
     )
-    cust_to_nation = pd.Series(
-        customer["c_nationkey"].values, index=customer["c_custkey"].values
-    )
+    # broadcast lookup arrays, applied via Arrow index_in/take (no pandas
+    # round-trip inside the hot map stage)
+    cust_keys = pa.array(customer["c_custkey"].values)
+    cust_nations = pa.array(customer["c_nationkey"].values)
     nation = pd.read_parquet(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     ).rename(columns={"n_nationkey": "c_nationkey"})
 
-    def prep(b: pa.Table) -> pd.DataFrame:
-        cust = b.column("o_custkey").to_pandas()
-        return pd.DataFrame(
+    def prep(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b.column("o_custkey"), value_set=cust_keys)
+        return pa.table(
             {
-                "c_nationkey": cust.map(cust_to_nation).values,
-                "sum_totalprice_cents": _fixed_point(
-                    b.column("o_totalprice"), 100.0
-                ).to_pandas(),
+                "c_nationkey": pc.take(cust_nations, idx),
+                "sum_totalprice_cents": _fixed_point(b.column("o_totalprice"), 100.0),
             }
         )
 
@@ -389,18 +397,20 @@ def q_revenue_by_brand(sf_dir: str) -> pa.Table:
     part = pd.read_parquet(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
     )
-    part_to_brand = pd.Series(part["p_brand"].values, index=part["p_partkey"].values)
+    part_keys = pa.array(part["p_partkey"].values)
+    part_brands = pa.array(part["p_brand"].values)
 
-    def prep(b: pa.Table) -> pd.DataFrame:
+    def prep(b: pa.Table) -> pa.Table:
         rev = pc.multiply(
             b.column("l_extendedprice").cast(pa.float64()),
             pc.subtract(1.0, b.column("l_discount").cast(pa.float64())),
         )
         rev_cents = pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)).cast(pa.int64())
-        return pd.DataFrame(
+        idx = pc.index_in(b.column("l_partkey"), value_set=part_keys)
+        return pa.table(
             {
-                "p_brand": b.column("l_partkey").to_pandas().map(part_to_brand).values,
-                "revenue_cents": rev_cents.to_pandas(),
+                "p_brand": pc.take(part_brands, idx),
+                "revenue_cents": rev_cents,
             }
         )
 
@@ -442,17 +452,35 @@ def q_top5_users_by_value(sf_dir: str) -> pa.Table:
 
 def q_sessionize_events(sf_dir: str) -> ray.data.Dataset:
     """Windowed custom op (SURVEY streaming analog): 30-min-gap sessions per
-    user via groupby(key).map_groups over ts-sorted groups."""
+    user. Scale shape: users are hash-bucketed into O(CPUs) groups, and each
+    group is sessionized in ONE vectorized pass (sort by (user, ts), diff,
+    user-boundary OR gap>30min starts a session, per-user sum) — one Python
+    call per bucket, never per user."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    n_buckets = 16
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds() > 1800
+    def add_bucket(b: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ub = (hash_array(uid, categorize=False) % np.uint64(n_buckets)).astype(np.int32)
+        return b.append_column("ub", pa.array(ub))
+
+    def sessions_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff().dt.total_seconds() > 1800
+        starts = new_user | gap
+        out = starts.groupby(g["user_id"], sort=True).sum().astype("int64")
         return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
+            {"user_id": out.index.to_numpy(), "n_sessions": out.to_numpy()}
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(sessions_block, batch_format="pandas")
+    )
 
 
 def q_dedup_exact_documents(sf_dir: str) -> ray.data.Dataset:
@@ -495,10 +523,7 @@ def q_ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     per-batch partial top-k). Score dropped from output (float-order safety);
     rank ties break by neighbor_id on both sides."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = pd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    qdf = qdf[qdf["vec_id"] < 8].sort_values("vec_id")
+    qdf = _query_vectors(sf_dir, upto=8)
     queries = np.stack(qdf["embedding"].to_numpy())
     out = F_sim.brute_force_topk(
         ds, queries, qdf["vec_id"].tolist(), k=5, concurrency=2
@@ -507,6 +532,18 @@ def q_ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
 
 
 # ---- non-SQL-expressible (rows-only driver check; pytest covers behavior) --
+
+
+def _query_vectors(sf_dir: str, upto: int) -> pd.DataFrame:
+    """The first ``upto`` query vectors via parquet filter pushdown — only
+    the matching row groups are decoded, never the whole embeddings table
+    (driver-side materialization of the corpus was the old behavior)."""
+    qdf = pd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", upto)],
+    )
+    return qdf.sort_values("vec_id")
 
 
 def q_minhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
@@ -526,7 +563,15 @@ def q_ngram_jaccard_documents(sf_dir: str) -> pd.DataFrame:
 
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    dim = len(ds.take(1)[0]["embedding"])
+    # vector dim from one tiny parquet batch — no extra Dataset execution
+    import pyarrow.parquet as _pq
+
+    first = next(
+        _pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).iter_batches(
+            batch_size=1, columns=["embedding"]
+        )
+    )
+    dim = len(first.column("embedding")[0])
     return F_dedup.embedding_neardup_pairs(ds, dim=dim, threshold=0.8)
 
 
@@ -539,10 +584,7 @@ def q_lang_id_documents(sf_dir: str) -> ray.data.Dataset:
 
 def q_ivf_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = pd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    qdf = qdf[qdf["vec_id"] < 4].sort_values("vec_id")
+    qdf = _query_vectors(sf_dir, upto=4)
     queries = np.stack(qdf["embedding"].to_numpy())
     return F_sim.ivf_topk(ds, queries, qdf["vec_id"].tolist(), k=5, nprobe=4)
 
