@@ -105,6 +105,8 @@ def bench_cdc(ray) -> dict:
 
 
 BENCH_QUERIES = [
+    "cdc_append_replay",
+    "cdc_fact_monthly_kpi",
     "lww_latest_event_per_user",
     "kpi_daily_events",
     "kpi_source_stats",
@@ -119,6 +121,7 @@ BENCH_QUERIES = [
     "ann_topk_embeddings",
     "minhash_dedup_documents",
     "simhash_documents",
+    "ngram_jaccard_documents",
     "lang_id_documents",
 ]
 

@@ -34,6 +34,30 @@ def _init_ray(num_cpus: int | None):
 
 
 def main(argv: list[str] | None = None) -> int:
+    """Dispatch with one-line actionable errors (a missing table, a held
+    lock or a bad epoch is an operator mistake, not a traceback — unlike the
+    reference services, which surface raw exceptions)."""
+    from .state.manifest import TableLockError
+
+    try:
+        return _run(argv)
+    except TableLockError as e:
+        print(f"error: {e} — another writer holds this table; retry when it "
+              f"finishes (or remove the lock file if its owner is dead)",
+              file=sys.stderr)
+        return 2
+    except FileNotFoundError as e:
+        missing = getattr(e, "filename", None) or str(e)
+        hint = (" — table not initialized? run `init --table ...` first"
+                if "manifest.json" in str(missing) else "")
+        print(f"error: not found: {missing}{hint}", file=sys.stderr)
+        return 2
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+def _run(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cdp-ray")
     p.add_argument("--num-cpus", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -41,9 +65,21 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("init", help="create an empty table layout + manifest")
     sp.add_argument("--table", required=True)
     sp.add_argument("--num-partitions", type=int, default=64)
+    sp.add_argument("--mode", choices=("upsert", "append"), default="upsert",
+                    help="upsert: LWW by key (ReplacingMergeTree analog); "
+                         "append: immutable facts (MergeTree analog)")
+    sp.add_argument("--key-col", default="doc_id")
+    sp.add_argument("--schema", choices=("docs", "facts"), default=None,
+                    help="built-in schema (default: docs for upsert, facts for append)")
+    sp.add_argument("--partition-by-month", metavar="TS_COL", default=None,
+                    help="time-partition by yyyymm of this timestamp column "
+                         "(PARTITION BY toYYYYMM analog)")
 
     sp = sub.add_parser("gen", help="generate a deterministic CDC WAL")
     sp.add_argument("--wal", required=True)
+    sp.add_argument("--facts", action="store_true",
+                    help="append-only fact events (event_id/doc_id/event_ts/"
+                         "event_type/value) instead of the doc change log")
     sp.add_argument("--events", type=int, default=100_000)
     sp.add_argument("--base-events", type=int, default=None)
     sp.add_argument("--events-per-segment", type=int, default=2_000)
@@ -112,10 +148,40 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "init":
         from .pipelines.apply import create_table
+        from .schemas import FACT_SNAPSHOT_SCHEMA, SNAPSHOT_SCHEMA
 
-        man = create_table(args.table, num_partitions=args.num_partitions)
-        print(json.dumps({"table": args.table, "epoch": man.epoch,
+        schema_name = args.schema or ("facts" if args.mode == "append" else "docs")
+        schema = FACT_SNAPSHOT_SCHEMA if schema_name == "facts" else SNAPSHOT_SCHEMA
+        spec = (
+            {"kind": "time", "col": args.partition_by_month, "granularity": "month"}
+            if args.partition_by_month
+            else None
+        )
+        key_col = args.key_col
+        if args.key_col == "doc_id" and schema_name == "facts":
+            key_col = "event_id"
+        man = create_table(
+            args.table, num_partitions=args.num_partitions, schema=schema,
+            mode=args.mode, key_col=key_col, partition_spec=spec,
+        )
+        print(json.dumps({"table": args.table, "epoch": man.epoch, "mode": man.mode,
+                          "partition_spec": man.spec,
                           "num_partitions": man.num_partitions}))
+        return 0
+
+    if args.cmd == "gen" and args.facts:
+        from .sources.gen import FactGenParams, generate_fact_wal
+
+        paths = generate_fact_wal(
+            args.wal,
+            FactGenParams(
+                total_events=args.events,
+                events_per_segment=args.events_per_segment,
+                seed=args.seed,
+            ),
+        )
+        print(json.dumps({"wal": args.wal, "segments": len(paths),
+                          "events": args.events, "facts": True}))
         return 0
 
     if args.cmd == "gen":

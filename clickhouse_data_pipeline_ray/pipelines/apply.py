@@ -55,6 +55,7 @@ from ..stages.normalize import compact_group, make_normalize_fn
 from ..state.manifest import (
     Manifest,
     commit_manifest,
+    empty_partition,
     gc_stale_files,
     init_table,
     load_manifest,
@@ -88,8 +89,22 @@ class ApplyConfig:
     hot_detect: str = "prev"
 
 
-def create_table(table_dir: str, num_partitions: int = 64, schema: pa.Schema | None = None) -> Manifest:
-    return init_table(table_dir, schema or SNAPSHOT_SCHEMA, num_partitions)
+def create_table(
+    table_dir: str,
+    num_partitions: int = 64,
+    schema: pa.Schema | None = None,
+    mode: str = "upsert",
+    key_col: str = "doc_id",
+    partition_spec: dict | None = None,
+) -> Manifest:
+    return init_table(
+        table_dir,
+        schema or SNAPSHOT_SCHEMA,
+        num_partitions,
+        mode=mode,
+        key_col=key_col,
+        partition_spec=partition_spec,
+    )
 
 
 def _epoch_change_schema(man: Manifest, segs: list[Segment]) -> pa.Schema:
@@ -196,11 +211,14 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
     epoch = man.epoch + 1
     epoch_max_lsn = max(s.last_lsn for s in segs)
 
+    is_append = man.mode == "append"
     normalize = make_normalize_fn(
         change_schema,
-        man.num_partitions,
-        salt_factor=cfg.salt_factor,
+        man.spec,
+        salt_factor=1 if is_append else cfg.salt_factor,
         watermark=watermark,
+        key_col=man.key_col,
+        mode=man.mode,
     )
     changes = _read_segments(segs).map_batches(
         normalize,
@@ -211,7 +229,11 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
     # Raw change events in this epoch (pre-compaction), from parquet metadata.
     n_events = sum(segment_num_rows(s) for s in segs)
 
-    hot_pids, changes = _detect_hot_pids(man, changes, cfg)
+    # Skew salting only applies to the upsert/LWW path (append groups do a
+    # plain concat — there is no per-key compaction to fan out).
+    hot_pids = []
+    if not is_append:
+        hot_pids, changes = _detect_hot_pids(man, changes, cfg)
     if hot_pids:
         # Two-level salted merge: L1 compacts (pid, salt) sub-groups in
         # parallel (each doc_id lives in exactly one sub-group, so L1 output
@@ -229,6 +251,8 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
             "snapshot_schema_b64": schema_to_b64(snap_schema),
             "write_mode": cfg.write_mode,
             "compact_threshold": cfg.compact_threshold,
+            "mode": man.mode,
+            "default_watermark": watermark,
         },
         batch_format="pyarrow",
         concurrency=cfg.merge_concurrency,
@@ -247,7 +271,8 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
         if row["new_file"]:
             tmp = os.path.join(table_dir, row["new_file"] + ".tmp")
             os.replace(tmp, os.path.join(table_dir, row["new_file"]))
-        part = man.partitions[pid]
+        # Dynamic (time) partitions materialize in the manifest on first write
+        part = man.partitions.setdefault(pid, empty_partition(watermark))
         part.update(
             {
                 "watermark_lsn": epoch_max_lsn,
@@ -267,6 +292,7 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
     # (no event ≤ epoch_max_lsn can belong to them).
     for part in man.partitions.values():
         part["watermark_lsn"] = max(int(part["watermark_lsn"]), epoch_max_lsn)
+    man.watermark_floor = max(man.watermark_floor, epoch_max_lsn)
 
     wall = time.perf_counter() - t0
     epoch_stats = {
@@ -306,7 +332,10 @@ def replay(
         if stats is None:
             break
         out.append(stats)
-    if final_compact and cfg.write_mode == "delta":
+    if final_compact:
+        # No-op when every partition chain is already a single clean file
+        # (snapshot-mode upsert tables); folds delta chains (upsert) or
+        # coalesces append parts otherwise.
         cstats = compact_table(table_dir, concurrency=cfg.merge_concurrency)
         if cstats is not None:
             out.append(cstats)
@@ -356,6 +385,7 @@ def _compact_table_locked(table_dir: str, concurrency: int | tuple) -> dict | No
                 "epoch": epoch,
                 "partitions": man.partitions,
                 "snapshot_schema_b64": man.schema_b64,
+                "mode": man.mode,
             },
             batch_format="pyarrow",
             batch_size=None,
@@ -417,6 +447,8 @@ def import_base(
     cfg = cfg or ApplyConfig()
     with table_lock(table_dir):
         man = load_manifest(table_dir)
+        if man.mode != "upsert" or man.spec.get("kind") != "hash":
+            raise ValueError("import_base supports hash-partitioned upsert tables")
         if man.total_rows() > 0 or any(p["files"] for p in man.partitions.values()):
             raise ValueError("import_base requires an empty table")
         t0 = time.perf_counter()
@@ -471,6 +503,13 @@ def import_base(
             )
             .take_all()
         )
+        dups = [d for row in stats for d in _json.loads(row.get("dups_json") or "[]")]
+        if dups:
+            # raise BEFORE any rename: tmp files stay invisible and are GC'd
+            raise ValueError(
+                f"import: duplicate key(s) in corpus (e.g. {dups[:5]}); "
+                f"deduplicate before import"
+            )
         total = 0
         for row in stats:
             pid = str(row["pid"])
@@ -526,6 +565,8 @@ def _repartition_locked(
     import json as _json
 
     man = load_manifest(table_dir)
+    if man.mode != "upsert" or man.spec.get("kind") != "hash":
+        raise ValueError("repartition supports hash-partitioned upsert tables")
     if new_num_partitions == man.num_partitions:
         return {"repartitioned": False, "num_partitions": man.num_partitions}
     t0 = time.perf_counter()
@@ -575,6 +616,7 @@ def _repartition_locked(
             }
         )
     man.num_partitions = new_num_partitions
+    man.partition_spec = {"kind": "hash", "num": new_num_partitions}
     man.partitions = new_parts
     man.last_applied = {}
     man.epoch = epoch
@@ -612,9 +654,64 @@ def read_snapshot(table_dir: str, epoch: int | None = None) -> ray.data.Dataset:
         table_dir,
         man.schema_b64,
         {pid: man.partitions[pid]["files"] for pid in map(str, pids)},
+        mode=man.mode,
     )
     return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
         reader, batch_format="pyarrow", batch_size=None
+    )
+
+
+def files_for_time_range(
+    table_dir: str, start, end, epoch: int | None = None
+) -> dict[str, list[str]]:
+    """Manifest-level partition pruning for a time-partitioned table:
+    the file chains of ONLY the partitions whose month overlaps
+    [start, end) — nothing else is ever opened."""
+    from ..stages.partition import yyyymm_of
+
+    import datetime as _dt
+
+    man = load_manifest(table_dir, epoch=epoch)
+    if man.spec.get("kind") != "time":
+        raise ValueError("files_for_time_range requires a time-partitioned table")
+    # end is exclusive: an end exactly on a month boundary doesn't touch it
+    ym0 = yyyymm_of(start)
+    ym1 = yyyymm_of(end - _dt.timedelta(microseconds=1))
+    return {
+        pid: meta["files"]
+        for pid, meta in man.partitions.items()
+        if meta.get("files") and ym0 <= int(pid) <= ym1
+    }
+
+
+def read_time_range(
+    table_dir: str, start, end, epoch: int | None = None
+) -> ray.data.Dataset:
+    """Date-range scan of a time-partitioned table: prune partitions by
+    yyyymm at the manifest (the PARTITION BY toYYYYMM read path,
+    init.sql:40), then row-filter the boundary months to [start, end)."""
+    import pyarrow.compute as pc
+
+    from ..stages.merge import make_partition_reader
+
+    man = load_manifest(table_dir, epoch=epoch)
+    chains = files_for_time_range(table_dir, start, end, epoch=epoch)
+    if not chains:
+        return ray.data.from_arrow(man.schema.empty_table())
+    ts_col = man.spec["col"]
+    items = [{"pid": int(pid)} for pid in sorted(chains, key=int)]
+    reader = make_partition_reader(table_dir, man.schema_b64, chains, mode=man.mode)
+    lo, hi = pa.scalar(start, pa.timestamp("us")), pa.scalar(end, pa.timestamp("us"))
+
+    def read_and_trim(batch: pa.Table) -> pa.Table:
+        t = reader(batch)
+        mask = pc.and_(
+            pc.greater_equal(t.column(ts_col), lo), pc.less(t.column(ts_col), hi)
+        )
+        return t.filter(mask)
+
+    return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        read_and_trim, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -628,7 +725,9 @@ def snapshot_table(table_dir: str, epoch: int | None = None) -> pa.Table:
     for pid in sorted(man.partitions, key=int):
         files = man.partitions[pid].get("files") or []
         if files:
-            tables.append(read_partition(table_dir, files, man.schema))
+            tables.append(read_partition(table_dir, files, man.schema, man.mode))
     if not tables:
         return man.schema.empty_table()
-    return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])
+    # deterministic order: key for upsert (keys unique), lsn for append
+    sort_col = man.key_col if man.mode == "upsert" else "lsn"
+    return pa.concat_tables(tables).sort_by([(sort_col, "ascending")])

@@ -34,9 +34,16 @@ from ..functions import dedup as F_dedup
 from ..functions import similarity as F_sim
 from ..functions import textstats as F_text
 from ..functions.multimodal import ImageDecode
-from ..sources.gen import GenParams, ensure_wal
+from ..schemas import FACT_SNAPSHOT_SCHEMA
+from ..sources.gen import FactGenParams, GenParams, ensure_fact_wal, ensure_wal
 from ..stages.merge import lww_compact
-from .apply import ApplyConfig, create_table, replay, snapshot_table
+from .apply import (
+    ApplyConfig,
+    create_table,
+    read_time_range,
+    replay,
+    snapshot_table,
+)
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
@@ -157,6 +164,90 @@ def cdc_kpi_source_stats(sf_dir: str) -> pa.Table:
         pdf[c] = pdf[c].astype("int64")
     pdf["avg_tok"] = _round_half_up(pdf["avg_tok"], 4)
     return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# ---- append-only fact path (time-partitioned, per init.sql:32-52) ----------
+
+_FACT_SIZES = {"sf0.001": 5_000, "sf0.01": 20_000, "sf0.1": 100_000}
+_FACT_TIME_SPEC = {"kind": "time", "col": "event_ts", "granularity": "month"}
+
+
+def _fact_params(sf_dir: str) -> tuple[FactGenParams, str]:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sfX"
+    total = _FACT_SIZES.get(tag, 5_000)
+    return (
+        FactGenParams(total_events=total, events_per_segment=max(1_000, total // 10)),
+        f"{tag}-facts",
+    )
+
+
+def _fact_wal(sf_dir: str) -> str:
+    params, tag = _fact_params(sf_dir)
+    return ensure_fact_wal(
+        os.path.join(tempfile.gettempdir(), "cdp_ray_wal"), params, tag
+    )
+
+
+def _fact_table(sf_dir: str) -> str:
+    """Replay the deterministic fact WAL into a fresh time-partitioned
+    append table (same commit machinery as the upsert path, no LWW)."""
+    wal_dir = _fact_wal(sf_dir)
+    table_dir = tempfile.mkdtemp(prefix="cdp_facts_")
+    create_table(
+        table_dir,
+        schema=FACT_SNAPSHOT_SCHEMA,
+        mode="append",
+        key_col="event_id",
+        partition_spec=_FACT_TIME_SPEC,
+    )
+    replay(table_dir, wal_dir, ApplyConfig())
+    return table_dir
+
+
+def cdc_append_replay(sf_dir: str) -> pa.Table:
+    """Append-only CDC replay (fact tables, init.sql:32-52): every event row
+    lands exactly once, time-partitioned by month, no per-key merge."""
+    snap = snapshot_table(_fact_table(sf_dir))
+    return pa.table(
+        {
+            "lsn": snap.column("lsn"),
+            "event_id": snap.column("event_id"),
+            "doc_id": snap.column("doc_id"),
+            # cast to second resolution first: Arrow's %S renders the
+            # fractional part, DuckDB's doesn't
+            "event_ts": pc.strftime(
+                snap.column("event_ts").cast(pa.timestamp("s")),
+                format="%Y-%m-%d %H:%M:%S",
+            ),
+            "event_type": snap.column("event_type"),
+            "value_milli": _fixed_point(snap.column("value"), 1000.0),
+        }
+    )
+
+
+def cdc_fact_monthly_kpi(sf_dir: str) -> pa.Table:
+    """Date-range KPI over the append table: reads ONLY February's partition
+    (manifest-level yyyymm pruning — the PARTITION BY toYYYYMM read path),
+    then a shuffle-free partial-combine per event_type."""
+    table_dir = _fact_table(sf_dir)
+    ds = read_time_range(
+        table_dir, _dt.datetime(2024, 2, 1), _dt.datetime(2024, 3, 1)
+    )
+    pdf = _partial_groupby(
+        ds,
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "sum_value_milli": _fixed_point(b.column("value"), 1000.0),
+            }
+        ),
+        keys=["event_type"],
+        sums=["sum_value_milli"],
+        count_col="n_events",
+    )
+    return pa.Table.from_pandas(
+        pdf[["event_type", "n_events", "sum_value_milli"]], preserve_index=False
+    )
 
 
 # --------------------------------------------------------------------------
@@ -657,6 +748,8 @@ QUERIES = {
     "cdc_replay": cdc_replay,
     "cdc_replay_evolved": lambda sf: cdc_replay(sf, evolve=True),
     "cdc_kpi_source_stats": cdc_kpi_source_stats,
+    "cdc_append_replay": cdc_append_replay,
+    "cdc_fact_monthly_kpi": cdc_fact_monthly_kpi,
     "incremental_scan_events": q_incremental_scan_events,
     "normalize_documents": q_normalize_documents,
     "lww_latest_event_per_user": q_lww_latest_event_per_user,
@@ -752,6 +845,24 @@ def build_oracle_sql(sf_dir: str) -> dict[str, str]:
                CAST(min(n_tok) AS BIGINT) AS min_tok,
                CAST(max(n_tok) AS BIGINT) AS max_tok
         FROM snap GROUP BY source
+    """
+    fact_wal = _fact_wal(sf_dir)
+    out["cdc_append_replay"] = f"""
+        SELECT lsn, event_id, doc_id,
+               strftime(event_ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+               event_type,
+               CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS value_milli
+        FROM read_parquet('{fact_wal}/seg-*.parquet')
+    """
+    out["cdc_fact_monthly_kpi"] = f"""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_value_milli
+        FROM read_parquet('{fact_wal}/seg-*.parquet')
+        WHERE event_ts >= TIMESTAMP '2024-02-01'
+          AND event_ts < TIMESTAMP '2024-03-01'
+        GROUP BY event_type
     """
     return out
 

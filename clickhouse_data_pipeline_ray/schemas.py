@@ -52,6 +52,22 @@ EVOLVED_CHANGE_SCHEMA = pa.schema(
     [pa.field("lsn", pa.int64()), pa.field("op", pa.string())] + EVOLVED_BASE_FIELDS
 )
 
+# Append-only fact/event table (the analog of fact_impressions/fact_clicks,
+# /root/reference/etl/clickhouse_schema/init.sql:32-52: MergeTree, PARTITION
+# BY toYYYYMM, append-only — no versioned merge). Keyed by event_id; rows are
+# immutable once written, so the only valid op is 'c'.
+FACT_BASE_FIELDS = [
+    pa.field("event_id", pa.string()),
+    pa.field("doc_id", pa.string()),
+    pa.field("event_ts", pa.timestamp("us")),
+    pa.field("event_type", pa.string()),
+    pa.field("value", pa.float64()),
+]
+FACT_CHANGE_SCHEMA = pa.schema(
+    [pa.field("lsn", pa.int64()), pa.field("op", pa.string())] + FACT_BASE_FIELDS
+)
+FACT_SNAPSHOT_SCHEMA = pa.schema([pa.field("lsn", pa.int64())] + FACT_BASE_FIELDS)
+
 OPS = ("c", "r", "u", "d")
 
 

@@ -224,6 +224,97 @@ def generate_wal(wal_dir: str, params: GenParams, parallel: bool = False) -> lis
     return [write_segment(wal_dir, params, p) for p in plans]
 
 
+EVENT_TYPES = ("view", "click", "conv")
+_EVENT_CUMW = np.cumsum((0.7, 0.25, 0.05))
+
+
+@dataclass(frozen=True)
+class FactGenParams:
+    """Append-only fact stream (the impressions/clicks workload,
+    /root/reference/seeder/seed.py:145-200): every op is an insert, rows are
+    immutable, timestamps advance with the log so the stream spans several
+    calendar months (exercising time partitioning)."""
+
+    total_events: int = 5_000
+    events_per_segment: int = 2_000
+    seed: int = 77
+    n_docs: int = 2_000              # referenced doc key space
+    start_epoch_s: int = 1_704_067_200  # 2024-01-01T00:00:00Z
+    span_s: int = 90 * 86_400        # ~3 months of events
+    fmt: str = "parquet"
+
+
+def gen_fact_segment(params: FactGenParams, index: int, first_lsn: int, n: int) -> pa.Table:
+    """One fact WAL segment — pure function of (params, index), vectorized."""
+    from ..schemas import FACT_CHANGE_SCHEMA
+
+    rng = np.random.default_rng([params.seed, 2_000_003 + index])
+    lsn = np.arange(first_lsn, first_lsn + n, dtype=np.int64)
+    # timestamps advance with the LSN (append-only event time); whole-second
+    # resolution so string renderings agree across engines
+    step_s = max(1, params.span_s // params.total_events)
+    ts_us = (np.int64(params.start_epoch_s) + (lsn - 1) * step_s) * 1_000_000
+    key_idx = rng.integers(0, params.n_docs, n)
+    src_idx = source_index_of(key_idx, params.seed)
+    et = np.searchsorted(_EVENT_CUMW, rng.random(n), side="right").clip(
+        0, len(EVENT_TYPES) - 1
+    )
+    value = np.round(rng.random(n) * 100.0, 4)
+    return pa.table(
+        {
+            "lsn": pa.array(lsn),
+            "op": pa.array(np.full(n, "c", dtype=object), pa.string()),
+            "event_id": pa.array([f"ev-{x:012d}" for x in lsn], pa.string()),
+            "doc_id": pa.array(
+                [f"{SOURCES[s]}-{k:08d}" for s, k in zip(src_idx, key_idx)],
+                pa.string(),
+            ),
+            "event_ts": pa.array(ts_us, pa.timestamp("us")),
+            "event_type": pa.array([EVENT_TYPES[i] for i in et], pa.string()),
+            "value": pa.array(value, pa.float64()),
+        },
+        schema=FACT_CHANGE_SCHEMA,
+    )
+
+
+def generate_fact_wal(wal_dir: str, params: FactGenParams) -> list[str]:
+    os.makedirs(wal_dir, exist_ok=True)
+    paths, lsn, i = [], 1, 0
+    remaining = params.total_events
+    while remaining > 0:
+        n = min(params.events_per_segment, remaining)
+        table = gen_fact_segment(params, i, lsn, n)
+        path = segment_path(wal_dir, lsn, lsn + n - 1)
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(table, tmp, compression="lz4", row_group_size=8192)
+        os.replace(tmp, path)
+        paths.append(path)
+        lsn += n
+        remaining -= n
+        i += 1
+    return paths
+
+
+def ensure_fact_wal(cache_root: str, params: FactGenParams, tag: str) -> str:
+    """Idempotent cached fact-WAL generation. The DONE marker records the
+    generating params; a cache built from DIFFERENT params is regenerated
+    (stale caches would silently desync query and oracle)."""
+    import shutil
+
+    wal_dir = os.path.join(cache_root, tag)
+    marker = os.path.join(wal_dir, "_DONE")
+    want = repr(params)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == want:
+                return wal_dir
+        shutil.rmtree(wal_dir)
+    generate_fact_wal(wal_dir, params)
+    with open(marker, "w") as f:
+        f.write(want)
+    return wal_dir
+
+
 def ensure_wal(cache_root: str, params: GenParams, tag: str, parallel: bool = False) -> str:
     """Idempotent cached generation: /{cache_root}/{tag}/ with a DONE marker."""
     wal_dir = os.path.join(cache_root, tag)

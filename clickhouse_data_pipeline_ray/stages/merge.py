@@ -193,20 +193,30 @@ def _stats_row(
 
 
 def read_partition(
-    table_dir: str, files: list[str], snapshot_schema: pa.Schema
+    table_dir: str, files: list[str], snapshot_schema: pa.Schema, mode: str = "upsert"
 ) -> pa.Table:
     """Reconstruct one partition's merged state from its file chain.
 
-    Fast path: a single clean snapshot file needs only a schema cast (no
-    sort, no merge) — the common case after compaction."""
+    Upsert fast path: a single clean snapshot file needs only a schema cast
+    (no sort, no merge) — the common case after compaction. Append mode:
+    the chain is immutable rows, so reconstruction is a plain concat —
+    never an LWW merge (duplicate business keys are legal in facts)."""
     tables = [pq.read_table(os.path.join(table_dir, f)) for f in files]
+    if mode == "append":
+        parts = [cast_table(t, snapshot_schema) for t in tables if t.num_rows]
+        if not parts:
+            return snapshot_schema.empty_table()
+        return pa.concat_tables(parts, promote_options="none")
     if len(tables) == 1 and "op" not in tables[0].column_names:
         return cast_table(tables[0], snapshot_schema)
     return merge_file_tables(tables, snapshot_schema)
 
 
 def make_partition_reader(
-    table_dir: str, snapshot_schema_b64: str, files_by_pid: dict[str, list[str]]
+    table_dir: str,
+    snapshot_schema_b64: str,
+    files_by_pid: dict[str, list[str]],
+    mode: str = "upsert",
 ):
     """Stateless map_batches fn for MERGE-on-read over pid-descriptor rows."""
 
@@ -216,7 +226,7 @@ def make_partition_reader(
         for pid in batch.column("pid").to_pylist():
             files = files_by_pid.get(str(pid)) or []
             if files:
-                out.append(read_partition(table_dir, files, schema))
+                out.append(read_partition(table_dir, files, schema, mode))
         if not out:
             return schema.empty_table()
         return pa.concat_tables(out)
@@ -262,6 +272,8 @@ class MergeApply:
         snapshot_schema_b64: str,
         write_mode: str = "snapshot",
         compact_threshold: int = 8,
+        mode: str = "upsert",
+        default_watermark: int = 0,
     ):
         self.table_dir = table_dir
         self.epoch = epoch
@@ -269,6 +281,10 @@ class MergeApply:
         self.snapshot_schema = schema_from_b64(snapshot_schema_b64)
         self.write_mode = write_mode
         self.compact_threshold = compact_threshold
+        self.mode = mode
+        # watermark for partitions the manifest hasn't seen yet (dynamic
+        # time partitions): the table-level committed floor.
+        self.default_watermark = default_watermark
 
     def _read_files(self, meta: dict) -> list[pa.Table]:
         return [
@@ -295,7 +311,12 @@ class MergeApply:
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         pid = group.column("pid")[0].as_py()
-        meta = self.partitions[str(pid)]
+        meta = self.partitions.get(str(pid)) or {
+            "watermark_lsn": self.default_watermark,
+            "rows": 0,
+            "bytes": 0,
+            "files": [],
+        }
         watermark = int(meta["watermark_lsn"])
         old_files = list(meta.get("files") or [])
 
@@ -312,6 +333,41 @@ class MergeApply:
             return _stats_row(
                 pid, int(meta.get("rows", 0)), bool(meta.get("exact_rows", True)),
                 int(meta.get("bytes", 0)), 0, 0, watermark, "", old_files, t0,
+            )
+
+        if self.mode == "append":
+            # Append-only facts: immutable rows, no LWW, no tombstones.
+            # Write the epoch's rows as one append part (lsn-sorted for
+            # deterministic bytes); when the chain reaches the threshold,
+            # coalesce it into one file (plain concat — cheap file-count
+            # hygiene, not a merge).
+            rows = changes.drop_columns(
+                [c for c in ("op", *ROUTING_COLS) if c in changes.column_names]
+            )
+            rows = cast_table(rows, self.snapshot_schema).sort_by(
+                [("lsn", "ascending")]
+            )
+            if len(old_files) + 1 >= self.compact_threshold:
+                parts = [
+                    pq.read_table(os.path.join(self.table_dir, f))
+                    for f in old_files
+                ]
+                rows = pa.concat_tables(
+                    [cast_table(t, self.snapshot_schema) for t in parts] + [rows],
+                    promote_options="none",
+                )
+                rel, nbytes = self._write(rows, pid, "append")
+                return _stats_row(
+                    pid, rows.num_rows, True, nbytes,
+                    n_applied, 0, max_lsn, rel, [rel], t0,
+                )
+            rel, nbytes = self._write(rows, pid, "append")
+            return _stats_row(
+                pid,
+                int(meta.get("rows", 0)) + n_applied,
+                True,
+                int(meta.get("bytes", 0)) + nbytes,
+                n_applied, 0, max_lsn, rel, old_files + [rel], t0,
             )
 
         # Bootstrap: an empty partition's first write IS its compacted state —
@@ -372,24 +428,28 @@ class CompactWorker:
         epoch: int,
         partitions: dict[str, dict],
         snapshot_schema_b64: str,
+        mode: str = "upsert",
     ):
         self.table_dir = table_dir
         self.epoch = epoch
         self.partitions = partitions
         self.snapshot_schema = schema_from_b64(snapshot_schema_b64)
+        self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
+        kind = "append" if self.mode == "append" else "snapshot"
         for pid in batch.column("pid").to_pylist():
             t0 = time.perf_counter()
             files = self.partitions[str(pid)].get("files") or []
             # read_partition output is doc_id-sorted (clean snapshots are
-            # stored sorted; merge_file_tables emits winners in key order)
-            merged = read_partition(self.table_dir, files, self.snapshot_schema)
+            # stored sorted; merge_file_tables emits winners in key order);
+            # append chains concat in lsn order — both deterministic.
+            merged = read_partition(self.table_dir, files, self.snapshot_schema, self.mode)
             part_dir = os.path.join(self.table_dir, "parts", f"pid={pid:05d}")
             os.makedirs(part_dir, exist_ok=True)
             rel = os.path.join(
-                "parts", f"pid={pid:05d}", f"snapshot-{self.epoch:06d}.parquet"
+                "parts", f"pid={pid:05d}", f"{kind}-{self.epoch:06d}.parquet"
             )
             tmp_path = os.path.join(self.table_dir, rel + ".tmp")
             scratch = f"{tmp_path}.{os.getpid()}"
@@ -431,20 +491,21 @@ class SnapshotWriter:
         rows = cast_table(rows, self.snapshot_schema).sort_by(
             [("doc_id", "ascending")]
         )
+        dup_sample: list = []
         if self.check_unique and rows.num_rows > 1:
             # Bulk import has no LSN order to break ties with, so duplicate
             # keys would silently produce a non-unique "clean" snapshot —
-            # reject them up front (vectorized adjacent-equal on sorted keys).
+            # detect them here (vectorized adjacent-equal on sorted keys) and
+            # REPORT via the stats row; the DRIVER raises before committing.
+            # (Raising inside the actor would poison the session: Ray Data's
+            # failure path leaks the pool's actors + their CPUs, observed
+            # deadlocking later datasets in a long pytest session.)
             keys = rows.column("doc_id").combine_chunks()
             n = len(keys)
             dup = pc.equal(keys.slice(0, n - 1), keys.slice(1, n - 1))
             n_dup = pc.sum(dup.cast(pa.int64())).as_py() or 0
             if n_dup:
-                sample = pc.filter(keys.slice(0, n - 1), dup).slice(0, 5).to_pylist()
-                raise ValueError(
-                    f"import: {n_dup} duplicate key(s) in partition {pid} "
-                    f"(e.g. {sample}); deduplicate the corpus before import"
-                )
+                dup_sample = pc.filter(keys.slice(0, n - 1), dup).slice(0, 5).to_pylist()
         part_dir = os.path.join(self.table_dir, "parts", f"pid={pid:05d}")
         os.makedirs(part_dir, exist_ok=True)
         rel = os.path.join(
@@ -454,7 +515,12 @@ class SnapshotWriter:
         scratch = f"{tmp_path}.{os.getpid()}"
         pq.write_table(rows, scratch, compression="zstd")
         os.replace(scratch, tmp_path)
-        return _stats_row(
+        import json as _json
+
+        stats = _stats_row(
             pid, rows.num_rows, True, os.path.getsize(tmp_path),
             rows.num_rows, 0, 0, rel, [rel], t0,
+        )
+        return stats.append_column(
+            "dups_json", pa.array([_json.dumps(dup_sample)], pa.string())
         )

@@ -26,48 +26,64 @@ import pyarrow.compute as pc
 
 from ..schemas import cast_table
 from .merge import lww_compact
-from .partition import assign_partitions
+from .partition import assign_by_spec
 
 _VALID_OPS = ("c", "u", "d")
 
 
-def normalize_batch(batch: pa.Table, change_schema: pa.Schema) -> pa.Table:
-    """Normalize one Arrow batch of change events to the unified schema."""
+def normalize_batch(
+    batch: pa.Table, change_schema: pa.Schema, valid_ops: tuple = _VALID_OPS
+) -> pa.Table:
+    """Normalize one Arrow batch of change events to the unified schema.
+    ``valid_ops`` narrows to ("c",) for append-only tables — an update or
+    delete against an immutable fact table is a pipeline bug and fails the
+    epoch loudly (vs the reference silently dropping deletes,
+    processor.py:214-217)."""
     op = batch.column("op")
     op = pc.if_else(pc.equal(op, pa.scalar("r")), pa.scalar("c"), op)
-    bad = pc.sum(pc.invert(pc.is_in(op, value_set=pa.array(_VALID_OPS))).cast(pa.int64()))
+    bad = pc.sum(pc.invert(pc.is_in(op, value_set=pa.array(list(valid_ops)))).cast(pa.int64()))
     if (bad.as_py() or 0) > 0:
-        raise ValueError(f"unknown op codes in change batch: {pc.unique(op).to_pylist()}")
+        raise ValueError(
+            f"invalid op codes for this table mode (allowed {valid_ops}): "
+            f"{pc.unique(op).to_pylist()}"
+        )
 
     batch = batch.drop_columns(["op"]) if "op" in batch.column_names else batch
     batch = cast_table(batch, change_schema.remove(change_schema.get_field_index("op")))
 
-    # Recompute the n_tok invariant from the payload (null for tombstones).
-    n_tok_type = change_schema.field("n_tok").type
-    n_tok = pc.list_value_length(batch.column("tokens")).cast(n_tok_type)
-    batch = batch.set_column(batch.schema.get_field_index("n_tok"), "n_tok", n_tok)
+    # Recompute the n_tok invariant from the payload (null for tombstones) —
+    # only for token-table schemas that carry it.
+    if "n_tok" in batch.column_names and "tokens" in batch.column_names:
+        n_tok_type = change_schema.field("n_tok").type
+        n_tok = pc.list_value_length(batch.column("tokens")).cast(n_tok_type)
+        batch = batch.set_column(batch.schema.get_field_index("n_tok"), "n_tok", n_tok)
     return batch.append_column("op", op)
 
 
 def make_normalize_fn(
     change_schema: pa.Schema,
-    num_partitions: int,
+    partition_spec: dict,
     salt_factor: int = 1,
     watermark: int = 0,
     precompact: bool = True,
+    key_col: str = "doc_id",
+    mode: str = "upsert",
 ) -> Callable[[pa.Table], pa.Table]:
-    """Build the map_batches function for one epoch (stateless tasks)."""
+    """Build the map_batches function for one epoch (stateless tasks).
+    Append mode: only 'c' ops are legal and there is no LWW pre-compaction
+    (every row survives)."""
+    valid_ops = ("c",) if mode == "append" else _VALID_OPS
 
     def fn(batch: pa.Table) -> pa.Table:
         if watermark > 0:
             batch = batch.filter(pc.greater(batch.column("lsn"), pa.scalar(watermark)))
         if batch.num_rows == 0:
             empty = cast_table(batch, change_schema)
-            return assign_partitions(empty, num_partitions, salt_factor)
-        batch = normalize_batch(batch, change_schema)
-        batch = assign_partitions(batch, num_partitions, salt_factor)
-        if precompact:
-            batch = lww_compact(batch)
+            return assign_by_spec(empty, partition_spec, salt_factor, key_col)
+        batch = normalize_batch(batch, change_schema, valid_ops)
+        batch = assign_by_spec(batch, partition_spec, salt_factor, key_col)
+        if precompact and mode == "upsert":
+            batch = lww_compact(batch, key=key_col)
         return batch
 
     return fn

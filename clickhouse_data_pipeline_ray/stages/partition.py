@@ -33,16 +33,42 @@ def key_hash(keys: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def assign_partitions(
-    batch: pa.Table, num_partitions: int, salt_factor: int = 1
+    batch: pa.Table, num_partitions: int, salt_factor: int = 1, key_col: str = "doc_id"
 ) -> pa.Table:
     """Append ``pid`` (and ``salt`` when salt_factor > 1) routing columns."""
-    h = key_hash(batch.column("doc_id"))
+    h = key_hash(batch.column(key_col))
     pid = (h % np.uint64(num_partitions)).astype(np.int32)
     batch = batch.append_column("pid", pa.array(pid, pa.int32()))
     if salt_factor > 1:
         salt = ((h >> np.uint64(33)) % np.uint64(salt_factor)).astype(np.int32)
         batch = batch.append_column("salt", pa.array(salt, pa.int32()))
     return batch
+
+
+def assign_time_partitions(batch: pa.Table, ts_col: str) -> pa.Table:
+    """Append ``pid = yyyymm(ts_col)`` — the analog of ClickHouse's
+    ``PARTITION BY toYYYYMM(event_date)``
+    (/root/reference/etl/clickhouse_schema/init.sql:40): fact reads prune by
+    month at the manifest, never opening out-of-range partitions."""
+    import pyarrow.compute as pc
+
+    ts = batch.column(ts_col)
+    pid = pc.add(
+        pc.multiply(pc.year(ts).cast(pa.int32()), 100), pc.month(ts).cast(pa.int32())
+    )
+    return batch.append_column("pid", pid.cast(pa.int32()))
+
+
+def yyyymm_of(ts) -> int:
+    """Time-partition id of one timestamp (driver-side pruning/tests)."""
+    return ts.year * 100 + ts.month
+
+
+def assign_by_spec(batch: pa.Table, spec: dict, salt_factor: int = 1, key_col: str = "doc_id") -> pa.Table:
+    """Routing-column assignment for a manifest partition_spec."""
+    if spec.get("kind") == "time":
+        return assign_time_partitions(batch, spec["col"])
+    return assign_partitions(batch, spec["num"], salt_factor, key_col)
 
 
 def partition_of(doc_id: str, num_partitions: int) -> int:

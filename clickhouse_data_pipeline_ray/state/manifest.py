@@ -49,16 +49,40 @@ class Manifest:
     # salting without an extra counting pass over the data. O(P).
     last_applied: dict[str, int] = field(default_factory=dict)
     updated_at: float = 0.0
+    # Write discipline (the reference's two table engines,
+    # /root/reference/etl/clickhouse_schema/init.sql:8-29 vs 32-52):
+    # "upsert" = ReplacingMergeTree-style LWW keyed by key_col;
+    # "append" = MergeTree-style append-only facts (no per-key sort, no
+    # tombstones — the cheap fast path for event tables).
+    mode: str = "upsert"
+    key_col: str = "doc_id"
+    # {"kind": "hash", "num": P} (default) or
+    # {"kind": "time", "col": <ts col>, "granularity": "month"} — the analog
+    # of PARTITION BY toYYYYMM(event_date) (init.sql:40): pid = yyyymm, so
+    # date-range reads prune whole partitions at the manifest. Time
+    # partitions are created dynamically as new months appear.
+    partition_spec: dict = field(default_factory=dict)
+    # Resume floor for tables whose partition set is dynamic (time
+    # partitioning starts with ZERO partitions); equals every partition's
+    # watermark after any commit.
+    watermark_floor: int = 0
 
     @property
     def schema(self) -> pa.Schema:
         return schema_from_b64(self.schema_b64)
 
     @property
+    def spec(self) -> dict:
+        return self.partition_spec or {"kind": "hash", "num": self.num_partitions}
+
+    @property
     def watermark(self) -> int:
         """Global resume point = min per-partition watermark (they are equal
         after every atomic commit; min is safe if that invariant ever breaks
-        because merge workers re-filter per-pid)."""
+        because merge workers re-filter per-pid). Dynamic-partition tables
+        fall back to the committed floor while empty."""
+        if not self.partitions:
+            return self.watermark_floor
         return min(int(p["watermark_lsn"]) for p in self.partitions.values())
 
     def snapshot_files(self) -> list[str]:
@@ -73,22 +97,43 @@ class Manifest:
         return sum(int(p["rows"]) for p in self.partitions.values())
 
 
-def init_table(table_dir: str, schema: pa.Schema, num_partitions: int) -> Manifest:
+def empty_partition(watermark_lsn: int = 0) -> dict:
+    return {"watermark_lsn": watermark_lsn, "rows": 0, "bytes": 0, "files": [], "lineage": []}
+
+
+def init_table(
+    table_dir: str,
+    schema: pa.Schema,
+    num_partitions: int,
+    mode: str = "upsert",
+    key_col: str = "doc_id",
+    partition_spec: dict | None = None,
+) -> Manifest:
     """Create an empty table layout + manifest v0 (idempotent, the analog of
     the reference's ``CREATE TABLE IF NOT EXISTS`` DDL path,
-    /root/reference/etl/core/schema.py:16-24)."""
+    /root/reference/etl/core/schema.py:16-24). Hash-partitioned tables
+    pre-create their fixed partition set; time-partitioned tables start empty
+    (partitions appear as their months do)."""
+    if mode not in ("upsert", "append"):
+        raise ValueError(f"unknown table mode {mode!r} (upsert|append)")
     existing = os.path.join(table_dir, MANIFEST_NAME)
     if os.path.exists(existing):
         return load_manifest(table_dir)
     os.makedirs(os.path.join(table_dir, "parts"), exist_ok=True)
+    spec = partition_spec or {"kind": "hash", "num": num_partitions}
+    partitions = (
+        {str(pid): empty_partition() for pid in range(num_partitions)}
+        if spec.get("kind") == "hash"
+        else {}
+    )
     man = Manifest(
         table_dir=table_dir,
         num_partitions=num_partitions,
         schema_b64=schema_to_b64(schema),
-        partitions={
-            str(pid): {"watermark_lsn": 0, "rows": 0, "bytes": 0, "files": [], "lineage": []}
-            for pid in range(num_partitions)
-        },
+        partitions=partitions,
+        mode=mode,
+        key_col=key_col,
+        partition_spec=spec,
     )
     commit_manifest(man)
     return man
@@ -120,6 +165,10 @@ def load_manifest(table_dir: str, epoch: int | None = None) -> Manifest:
         history=doc.get("history", []),
         last_applied=doc.get("last_applied", {}),
         updated_at=doc.get("updated_at", 0.0),
+        mode=doc.get("mode", "upsert"),
+        key_col=doc.get("key_col", "doc_id"),
+        partition_spec=doc.get("partition_spec", {}),
+        watermark_floor=doc.get("watermark_floor", 0),
     )
 
 
@@ -127,7 +176,7 @@ def commit_manifest(man: Manifest) -> None:
     """Atomic swap: tmp write + fsync + os.replace."""
     man.updated_at = time.time()
     doc = {
-        "version": 1,
+        "version": 2,
         "num_partitions": man.num_partitions,
         "schema_b64": man.schema_b64,
         "epoch": man.epoch,
@@ -135,6 +184,10 @@ def commit_manifest(man: Manifest) -> None:
         "history": man.history[-50:],
         "last_applied": man.last_applied,
         "updated_at": man.updated_at,
+        "mode": man.mode,
+        "key_col": man.key_col,
+        "partition_spec": man.partition_spec,
+        "watermark_floor": man.watermark_floor,
     }
     path = os.path.join(man.table_dir, MANIFEST_NAME)
     tmp = path + ".tmp"

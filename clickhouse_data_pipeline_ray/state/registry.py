@@ -1,0 +1,205 @@
+"""Multi-table registry: named tables with write modes + dependency order.
+
+The reference manages four tables with two write disciplines — LWW-upsert
+dims (ReplacingMergeTree, /root/reference/etl/clickhouse_schema/init.sql:8-29)
+and append-only time-partitioned facts (init.sql:32-52) — and syncs them in a
+fixed dependency order, dims before facts
+(/root/reference/etl/core/pipeline.py:341-347: sync_advertisers →
+sync_campaigns → sync_impressions → sync_clicks). This module is that
+registry for the Ray engine: ``{name: (schema, key, mode, partition_spec,
+depends_on)}`` persisted as ``registry.json`` at a lake root, each table its
+own manifest-committed directory, and ``sync_all`` applying per-table WALs in
+topological order. Per-table failures degrade gracefully (one table's error
+doesn't abort the others' sync — the reference's per-table try/except,
+pipeline.py:239-241 — unless it is a dependency of a later table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from ..schemas import schema_from_b64, schema_to_b64
+from .manifest import init_table, load_manifest
+
+REGISTRY_NAME = "registry.json"
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    name: str
+    schema_b64: str
+    key_col: str = "doc_id"
+    mode: str = "upsert"                      # upsert | append
+    partition_spec: dict = field(default_factory=dict)
+    num_partitions: int = 16
+    depends_on: tuple = ()
+
+    @property
+    def schema(self) -> pa.Schema:
+        return schema_from_b64(self.schema_b64)
+
+
+def _registry_path(root: str) -> str:
+    return os.path.join(root, REGISTRY_NAME)
+
+
+def table_dir(root: str, name: str) -> str:
+    return os.path.join(root, "tables", name)
+
+
+def load_registry(root: str) -> dict[str, TableSpec]:
+    try:
+        with open(_registry_path(root)) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        return {}
+    return {
+        name: TableSpec(
+            name=name,
+            schema_b64=spec["schema_b64"],
+            key_col=spec.get("key_col", "doc_id"),
+            mode=spec.get("mode", "upsert"),
+            partition_spec=spec.get("partition_spec", {}),
+            num_partitions=spec.get("num_partitions", 16),
+            depends_on=tuple(spec.get("depends_on", ())),
+        )
+        for name, spec in doc["tables"].items()
+    }
+
+
+def _save_registry(root: str, tables: dict[str, TableSpec]) -> None:
+    doc = {
+        "version": 1,
+        "tables": {
+            s.name: {
+                "schema_b64": s.schema_b64,
+                "key_col": s.key_col,
+                "mode": s.mode,
+                "partition_spec": s.partition_spec,
+                "num_partitions": s.num_partitions,
+                "depends_on": list(s.depends_on),
+            }
+            for s in tables.values()
+        },
+    }
+    path = _registry_path(root)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def register_table(
+    root: str,
+    name: str,
+    schema: pa.Schema,
+    key_col: str = "doc_id",
+    mode: str = "upsert",
+    partition_spec: dict | None = None,
+    num_partitions: int = 16,
+    depends_on: tuple = (),
+) -> TableSpec:
+    """Declare a table (idempotent) and create its empty layout + manifest —
+    the CREATE TABLE IF NOT EXISTS analog, one directory per table."""
+    os.makedirs(root, exist_ok=True)
+    tables = load_registry(root)
+    missing = [d for d in depends_on if d not in tables]
+    if missing:
+        raise ValueError(f"unknown dependencies for table {name!r}: {missing}")
+    spec = TableSpec(
+        name=name,
+        schema_b64=schema_to_b64(schema),
+        key_col=key_col,
+        mode=mode,
+        partition_spec=partition_spec or {"kind": "hash", "num": num_partitions},
+        num_partitions=num_partitions,
+        depends_on=tuple(depends_on),
+    )
+    existing = tables.get(name)
+    if existing is not None and existing != spec:
+        raise ValueError(f"table {name!r} already registered with a different spec")
+    tables[name] = spec
+    _save_registry(root, tables)
+    init_table(
+        table_dir(root, name),
+        schema,
+        num_partitions,
+        mode=mode,
+        key_col=key_col,
+        partition_spec=spec.partition_spec,
+    )
+    return spec
+
+
+def sync_order(tables: dict[str, TableSpec]) -> list[str]:
+    """Topological order over depends_on (dims before facts). Deterministic:
+    ready tables are taken in name order."""
+    done: list[str] = []
+    pending = dict(tables)
+    while pending:
+        ready = sorted(
+            n for n, s in pending.items() if all(d in done for d in s.depends_on)
+        )
+        if not ready:
+            raise ValueError(f"dependency cycle among tables: {sorted(pending)}")
+        for n in ready:
+            done.append(n)
+            del pending[n]
+    return done
+
+
+def sync_all(
+    root: str,
+    wals: dict[str, str],
+    cfg=None,
+) -> list[dict]:
+    """One sync cycle over every registered table, in dependency order
+    (the run_sync_cycle analog, pipeline.py:332-365, minus its
+    watermark-loss bug): each table replays its pending WAL to caught-up.
+    Tables without a WAL entry are skipped. A table's failure is recorded
+    and does not abort later INDEPENDENT tables; tables depending on a
+    failed one are skipped (their inputs may be inconsistent)."""
+    from ..pipelines.apply import replay
+
+    tables = load_registry(root)
+    failed: set[str] = set()
+    out: list[dict] = []
+    for name in sync_order(tables):
+        spec = tables[name]
+        if any(d in failed for d in spec.depends_on):
+            out.append({"table": name, "skipped": True,
+                        "reason": f"dependency failed: {sorted(set(spec.depends_on) & failed)}"})
+            failed.add(name)
+            continue
+        wal = wals.get(name)
+        if wal is None:
+            continue
+        try:
+            epochs = replay(table_dir(root, name), wal, cfg)
+            out.append({"table": name, "epochs": len(epochs),
+                        "events": sum(e.get("events_applied", 0) for e in epochs)})
+        except Exception as e:  # degrade per table, like the reference
+            failed.add(name)
+            out.append({"table": name, "error": f"{type(e).__name__}: {e}"})
+    return out
+
+
+def registry_status(root: str) -> dict:
+    """Watermarks/rows per registered table (driver-small)."""
+    out = {}
+    for name in sorted(load_registry(root)):
+        man = load_manifest(table_dir(root, name))
+        out[name] = {
+            "epoch": man.epoch,
+            "watermark": man.watermark,
+            "rows": man.total_rows(),
+            "mode": man.mode,
+            "partitions": len(man.partitions),
+        }
+    return out
