@@ -770,10 +770,12 @@ def embedding_neardup_pairs(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     concurrency: int | tuple = 2,
+    max_bucket: int = 512,
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicates: hyperplane-LSH blocking, exact
-    within-bucket cosine verify. (Near-identical vectors collide with high
-    probability; bucket sizes stay bounded for spread data.)"""
+    within-bucket cosine verify. Buckets are capped at ``max_bucket`` with a
+    logged drop — a degenerate bucket (e.g. a cluster of identical vectors)
+    is bounded, never O(n²)-scanned."""
     bucketed = ds.map_batches(
         HyperplaneLSH,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "vec_col": vec_col},
@@ -790,6 +792,12 @@ def embedding_neardup_pairs(
         g = group.sort_values(key_col).reset_index(drop=True)
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if len(g) > max_bucket:
+            print(
+                f"[embedding_neardup] bucket over cap: {len(g)} vectors > "
+                f"{max_bucket}, verifying the first {max_bucket} by key"
+            )
+            g = g.head(max_bucket)
         emb = np.stack(g[vec_col].to_numpy()).astype(np.float64)
         norm = np.linalg.norm(emb, axis=1, keepdims=True)
         norm[norm == 0] = 1.0

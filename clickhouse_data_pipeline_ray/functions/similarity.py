@@ -159,6 +159,82 @@ class IVFAssign:
         return batch.append_column("ivf_bucket", pa.array(assign.astype(np.int32)))
 
 
+def build_ivf_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    n_centroids: int = 16,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int | tuple = 2,
+) -> dict:
+    """One-time persisted IVF index: centroids + a bucket-partitioned parquet
+    layout (`vectors/ivf_bucket=N/...`). This is the 100-TB path the per-call
+    ``ivf_topk`` only approximates: the corpus is scanned ONCE at build time,
+    and every subsequent search opens only its ``nprobe`` probed buckets'
+    files — cost corpus×(nprobe/n_centroids) per query batch, zero full
+    scans, and the bucket layout is shared by all future queries."""
+    import json
+    import os
+
+    cents = kmeans_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
+    bucketed = ds.map_batches(
+        IVFAssign,
+        fn_constructor_kwargs={"centroids": cents, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    vec_dir = os.path.join(index_dir, "vectors")
+    bucketed.write_parquet(vec_dir, partition_cols=["ivf_bucket"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    meta = {
+        "n_centroids": int(len(cents)),
+        "dim": int(cents.shape[1]),
+        "key_col": key_col,
+        "vec_col": vec_col,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_index_topk(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 5,
+    nprobe: int = 4,
+    concurrency: int | tuple = 2,
+) -> pd.DataFrame:
+    """Search a persisted IVF index: read ONLY the probed buckets' parquet
+    partitions (file-level pruning — unprobed buckets are never opened),
+    then the standard broadcast-query brute-force within them."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(b) for row in probe for b in row})
+    paths = [
+        os.path.join(d, name)
+        for b in wanted
+        if os.path.isdir(d := os.path.join(index_dir, "vectors", f"ivf_bucket={b}"))
+        for name in sorted(os.listdir(d))
+        if name.endswith(".parquet")
+    ]
+    if not paths:
+        return pd.DataFrame({"query_id": [], "rank": [], "neighbor_id": [], "score": []})
+    pruned = ray.data.read_parquet(paths)
+    return brute_force_topk(
+        pruned, queries, query_ids, k=k,
+        key_col=meta["key_col"], vec_col=meta["vec_col"],
+        concurrency=concurrency,
+    )
+
+
 def ivf_topk(
     ds: ray.data.Dataset,
     queries: np.ndarray,

@@ -680,6 +680,25 @@ def q_ivf_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     return F_sim.ivf_topk(ds, queries, qdf["vec_id"].tolist(), k=5, nprobe=4)
 
 
+def q_ivf_indexed_topk(sf_dir: str) -> pd.DataFrame:
+    """The persisted-IVF path: build once (bucket-partitioned parquet layout,
+    cached per scale factor), then search reading ONLY the probed buckets'
+    files — the scan never touches unprobed partitions."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sfX"
+    index_dir = os.path.join(tempfile.gettempdir(), "cdp_ray_ivf", tag)
+    marker = os.path.join(index_dir, "_DONE")
+    if not os.path.exists(marker):
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        F_sim.build_ivf_index(ds, index_dir, n_centroids=16)
+        with open(marker, "w") as f:
+            f.write("ok")
+    qdf = _query_vectors(sf_dir, upto=4)
+    queries = np.stack(qdf["embedding"].to_numpy())
+    return F_sim.ivf_index_topk(
+        index_dir, queries, qdf["vec_id"].tolist(), k=5, nprobe=4
+    )
+
+
 def _media_dataset(sf_dir: str, mime: str) -> ray.data.Dataset:
     """Documents table recast as an opaque binary media table (the container
     has no real media fixtures; payload bytes stand in for encoded media)."""
@@ -771,6 +790,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "lang_id_documents": q_lang_id_documents,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
+    "ivf_indexed_topk": q_ivf_indexed_topk,
     "multimodal_image_decode": q_multimodal_image_decode,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_video_frames": q_multimodal_video_frames,

@@ -153,3 +153,46 @@ def test_audio_features_plumbing(ray_session):
         .reset_index(drop=True)
     )
     assert (pdf["duration_ms"] == pdf2["duration_ms"]).all()
+
+
+def test_ivf_persisted_index_prunes_and_recalls(ray_session, tmp_path):
+    """The persisted-index path: build once (bucket-partitioned parquet +
+    centroids), search reads ONLY probed bucket dirs, recall matches the
+    exact top-k closely."""
+    from clickhouse_data_pipeline_ray.functions.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    ds, m = _emb_ds(n=300, dim=16, seed=4)
+    index_dir = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, index_dir, n_centroids=8)
+    assert meta["n_centroids"] == 8 and meta["dim"] == 16
+    import os
+
+    buckets = sorted(os.listdir(os.path.join(index_dir, "vectors")))
+    assert len(buckets) >= 2 and all(b.startswith("ivf_bucket=") for b in buckets)
+    # index holds every vector exactly once across buckets
+    import pyarrow.dataset as pds
+
+    total = sum(
+        pds.dataset(os.path.join(index_dir, "vectors", b)).count_rows()
+        for b in buckets
+    )
+    assert total == 300
+
+    q_idx = [0, 5, 9]
+    got = ivf_index_topk(index_dir, m[q_idx], q_idx, k=5, nprobe=4)
+    want = _numpy_topk(m, q_idx, 5)
+    hits = sum(
+        len(set(got[got["query_id"] == qi]["neighbor_id"]) & set(want[qi]))
+        for qi in q_idx
+    )
+    assert hits >= 0.6 * 5 * len(q_idx)  # nprobe=4/8 buckets: high recall
+    # full-probe search must be exact
+    got_full = ivf_index_topk(index_dir, m[q_idx], q_idx, k=5, nprobe=8)
+    for qi in q_idx:
+        g = got_full[got_full["query_id"] == qi].sort_values("rank")[
+            "neighbor_id"
+        ].tolist()
+        assert g == want[qi]
