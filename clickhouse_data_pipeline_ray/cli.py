@@ -74,6 +74,8 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--partition-by-month", metavar="TS_COL", default=None,
                     help="time-partition by yyyymm of this timestamp column "
                          "(PARTITION BY toYYYYMM analog)")
+    sp.add_argument("--retention", type=int, default=None,
+                    help="retained versioned manifests for time travel (default 8)")
 
     sp = sub.add_parser("gen", help="generate a deterministic CDC WAL")
     sp.add_argument("--wal", required=True)
@@ -92,6 +94,9 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--evolve-frac", type=float, default=None)
     sp.add_argument("--format", choices=("parquet", "jsonl"), default="parquet",
                     help="segment file format (jsonl = Debezium-style interop)")
+    sp.add_argument("--segments-per-shard", type=int, default=None,
+                    help="group segments into LSN-named shard dirs (listing "
+                         "stays O(unapplied) at million-segment WALs)")
     sp.add_argument("--parallel", action="store_true")
 
     sp = sub.add_parser("apply", help="apply pending WAL epochs to a table")
@@ -136,6 +141,29 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
     sp.add_argument("--wal", required=True)
 
+    sp = sub.add_parser(
+        "register", help="declare a table in a multi-table lake registry"
+    )
+    sp.add_argument("--root", required=True, help="lake root (holds registry.json)")
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--mode", choices=("upsert", "append"), default="upsert")
+    sp.add_argument("--key-col", default=None)
+    sp.add_argument("--schema", choices=("docs", "facts"), default=None)
+    sp.add_argument("--num-partitions", type=int, default=16)
+    sp.add_argument("--partition-by-month", metavar="TS_COL", default=None)
+    sp.add_argument("--depends-on", default="", help="comma-separated table names")
+
+    sp = sub.add_parser(
+        "sync",
+        help="sync every registered table from <wal-root>/<name>, dims before facts",
+    )
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--wal-root", required=True)
+    sp.add_argument("--epoch-segments", type=int, default=None)
+
+    sp = sub.add_parser("registry-status", help="per-table watermarks/rows")
+    sp.add_argument("--root", required=True)
+
     sp = sub.add_parser("kpi", help="KPI report over a committed table")
     sp.add_argument("--table", required=True)
     sp.add_argument("--epoch", type=int, default=None,
@@ -163,6 +191,7 @@ def _run(argv: list[str] | None = None) -> int:
         man = create_table(
             args.table, num_partitions=args.num_partitions, schema=schema,
             mode=args.mode, key_col=key_col, partition_spec=spec,
+            retention=args.retention,
         )
         print(json.dumps({"table": args.table, "epoch": man.epoch, "mode": man.mode,
                           "partition_spec": man.spec,
@@ -200,6 +229,7 @@ def _run(argv: list[str] | None = None) -> int:
             tok_max=args.tok_max,
             evolve_frac=args.evolve_frac,
             fmt=args.format,
+            segments_per_shard=args.segments_per_shard,
         )
         if args.parallel:
             _init_ray(args.num_cpus)
@@ -211,6 +241,56 @@ def _run(argv: list[str] | None = None) -> int:
 
             ray.shutdown()
         return 0
+
+    if args.cmd == "register":
+        from .schemas import FACT_SNAPSHOT_SCHEMA, SNAPSHOT_SCHEMA
+        from .state import registry as R
+
+        schema_name = args.schema or ("facts" if args.mode == "append" else "docs")
+        schema = FACT_SNAPSHOT_SCHEMA if schema_name == "facts" else SNAPSHOT_SCHEMA
+        key_col = args.key_col or ("event_id" if schema_name == "facts" else "doc_id")
+        spec = (
+            {"kind": "time", "col": args.partition_by_month, "granularity": "month"}
+            if args.partition_by_month
+            else None
+        )
+        s = R.register_table(
+            args.root, args.name, schema, key_col=key_col, mode=args.mode,
+            partition_spec=spec, num_partitions=args.num_partitions,
+            depends_on=tuple(d for d in args.depends_on.split(",") if d),
+        )
+        print(json.dumps({"registered": s.name, "mode": s.mode,
+                          "key_col": s.key_col, "partition_spec": s.partition_spec,
+                          "depends_on": list(s.depends_on)}))
+        return 0
+
+    if args.cmd == "registry-status":
+        from .state import registry as R
+
+        print(json.dumps(R.registry_status(args.root)))
+        return 0
+
+    if args.cmd == "sync":
+        import os as _os
+
+        from .pipelines.apply import ApplyConfig
+        from .state import registry as R
+
+        ray = _init_ray(args.num_cpus)
+        try:
+            wals = {
+                name: wal
+                for name in R.load_registry(args.root)
+                if _os.path.isdir(wal := _os.path.join(args.wal_root, name))
+            }
+            out = R.sync_all(
+                args.root, wals, ApplyConfig(max_segments=args.epoch_segments)
+            )
+            for line in out:
+                print(json.dumps(line))
+            return 0 if not any("error" in o for o in out) else 1
+        finally:
+            ray.shutdown()
 
     if args.cmd == "truncate-wal":
         from .sources.wal import truncate_wal

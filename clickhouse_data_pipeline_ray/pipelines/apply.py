@@ -96,7 +96,10 @@ def create_table(
     mode: str = "upsert",
     key_col: str = "doc_id",
     partition_spec: dict | None = None,
+    retention: int | None = None,
 ) -> Manifest:
+    from ..state.manifest import MANIFEST_RETENTION
+
     return init_table(
         table_dir,
         schema or SNAPSHOT_SCHEMA,
@@ -104,6 +107,7 @@ def create_table(
         mode=mode,
         key_col=key_col,
         partition_spec=partition_spec,
+        retention=retention if retention is not None else MANIFEST_RETENTION,
     )
 
 

@@ -49,6 +49,10 @@ class GenParams:
     evolve_frac: float | None = None  # fraction of log after which schema evolves
     # "parquet" (native) or "jsonl" (interop: Debezium-style JSON event lines)
     fmt: str = "parquet"
+    # group this many segments per LSN-named shard dir (shard-{first:012d}/);
+    # None = flat layout. Shards keep per-epoch listings O(unapplied) at
+    # million-segment WALs (see sources/wal.py).
+    segments_per_shard: int | None = None
 
 
 @dataclass(frozen=True)
@@ -215,13 +219,24 @@ def generate_wal(wal_dir: str, params: GenParams, parallel: bool = False) -> lis
     (each segment is an independent pure function of (params, plan))."""
     os.makedirs(wal_dir, exist_ok=True)
     plans = plan_segments(params)
+
+    def target_dir(plan: SegPlan) -> str:
+        if not params.segments_per_shard:
+            return wal_dir
+        first = plans[(plan.index // params.segments_per_shard) * params.segments_per_shard].first_lsn
+        d = os.path.join(wal_dir, f"shard-{first:012d}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
     if parallel:
         import ray
 
         if ray.is_initialized():
             write_remote = ray.remote(num_cpus=1)(write_segment)
-            return ray.get([write_remote.remote(wal_dir, params, p) for p in plans])
-    return [write_segment(wal_dir, params, p) for p in plans]
+            return ray.get(
+                [write_remote.remote(target_dir(p), params, p) for p in plans]
+            )
+    return [write_segment(target_dir(p), params, p) for p in plans]
 
 
 EVENT_TYPES = ("view", "click", "conv")

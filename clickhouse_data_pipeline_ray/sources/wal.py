@@ -8,11 +8,14 @@ Segment names carry the watermark predicate, so incremental scans
 /root/reference/stream_etl/core/consumer.py:86-109) never even *open*
 already-applied segments — pushdown at the file-listing level.
 
-Scale note (10^10 events): a flat directory listing is O(total segments) per
-epoch; at millions of segments the tail would shard the WAL into LSN-range
-subdirectories (same name scheme, one more level) or keep a segment manifest,
-and ``truncate_wal`` (log retention) keeps the live set bounded. The
-listing-level pruning logic is unchanged by either.
+Scale shape (10^10 events): segments may live flat in the WAL dir or inside
+LSN-named shard subdirectories (``shard-{first_lsn:012d}/``). Shard dirs make
+the per-epoch listing O(shards + segments in unapplied shards): a shard whose
+entire LSN range is at or below the watermark is skipped WITHOUT listing its
+contents (a shard's range ends where the next shard begins), so a
+million-segment retained WAL costs one readdir of shard names per epoch, not
+a million stats. ``truncate_wal`` (log retention) keeps the live set bounded
+and removes emptied shard dirs.
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ from dataclasses import dataclass
 # JSON-emitting CDC sources (Debezium's wire format is JSON — the reference
 # consumes exactly that, /root/reference/stream_etl/core/consumer.py:48).
 SEG_RE = re.compile(r"^seg-(\d{12})-(\d{12})\.(parquet|jsonl)$")
+SHARD_RE = re.compile(r"^shard-(\d{12})$")
 
 
 @dataclass(frozen=True)
@@ -46,12 +50,31 @@ def segment_path(wal_dir: str, first_lsn: int, last_lsn: int) -> str:
     return os.path.join(wal_dir, f"seg-{first_lsn:012d}-{last_lsn:012d}.parquet")
 
 
-def list_segments(wal_dir: str) -> list[Segment]:
-    segs = []
-    for name in os.listdir(wal_dir):
+def _scan_dir(d: str, segs: list[Segment]) -> None:
+    for name in os.listdir(d):
         m = SEG_RE.match(name)
         if m:
-            segs.append(Segment(int(m.group(1)), int(m.group(2)), os.path.join(wal_dir, name)))
+            segs.append(Segment(int(m.group(1)), int(m.group(2)), os.path.join(d, name)))
+
+
+def list_segments(wal_dir: str, skip_upto: int = 0) -> list[Segment]:
+    """All WAL segments (flat files + shard subdirs), LSN-sorted and
+    validated non-overlapping. ``skip_upto`` is the listing-level pruning
+    hook: a shard dir whose entire range is ≤ skip_upto is skipped without
+    even listing its contents (its range ends where the next shard starts)."""
+    segs: list[Segment] = []
+    shards: list[tuple[int, str]] = []
+    for name in os.listdir(wal_dir):
+        m = SHARD_RE.match(name)
+        if m:
+            shards.append((int(m.group(1)), os.path.join(wal_dir, name)))
+    _scan_dir(wal_dir, segs)
+    shards.sort()
+    for i, (first, path) in enumerate(shards):
+        nxt = shards[i + 1][0] if i + 1 < len(shards) else None
+        if nxt is not None and nxt - 1 <= skip_upto:
+            continue  # whole shard ≤ watermark: never listed
+        _scan_dir(path, segs)
     segs.sort(key=lambda s: s.first_lsn)
     for a, b in zip(segs, segs[1:]):
         if b.first_lsn <= a.last_lsn:
@@ -62,8 +85,9 @@ def list_segments(wal_dir: str) -> list[Segment]:
 def pending_segments(
     wal_dir: str, watermark: int, max_segments: int | None = None
 ) -> list[Segment]:
-    """Segments containing any LSN > watermark, in LSN order."""
-    segs = [s for s in list_segments(wal_dir) if s.last_lsn > watermark]
+    """Segments containing any LSN > watermark, in LSN order (whole shard
+    dirs below the watermark are pruned at the listing)."""
+    segs = [s for s in list_segments(wal_dir, skip_upto=watermark) if s.last_lsn > watermark]
     return segs[:max_segments] if max_segments else segs
 
 
@@ -74,12 +98,17 @@ def truncate_wal(wal_dir: str, watermark_lsn: int) -> list[str]:
     the reference leaves to Kafka retention). Only whole segments at or below
     the watermark are removed; a segment straddling it stays (its unapplied
     tail is still needed; re-applying its applied prefix is idempotent).
-    Returns the removed file names."""
+    Emptied shard dirs are removed too. Returns the removed file names."""
     removed = []
     for seg in list_segments(wal_dir):
         if seg.last_lsn <= watermark_lsn:
             os.remove(seg.path)
             removed.append(seg.name)
+    for name in os.listdir(wal_dir):
+        if SHARD_RE.match(name):
+            path = os.path.join(wal_dir, name)
+            if not os.listdir(path):
+                os.rmdir(path)
     return removed
 
 

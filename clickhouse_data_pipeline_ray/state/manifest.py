@@ -66,6 +66,9 @@ class Manifest:
     # partitioning starts with ZERO partitions); equals every partition's
     # watermark after any commit.
     watermark_floor: int = 0
+    # retained versioned manifests for time travel (per-table override of
+    # the MANIFEST_RETENTION default)
+    retention: int = MANIFEST_RETENTION
 
     @property
     def schema(self) -> pa.Schema:
@@ -108,6 +111,7 @@ def init_table(
     mode: str = "upsert",
     key_col: str = "doc_id",
     partition_spec: dict | None = None,
+    retention: int = MANIFEST_RETENTION,
 ) -> Manifest:
     """Create an empty table layout + manifest v0 (idempotent, the analog of
     the reference's ``CREATE TABLE IF NOT EXISTS`` DDL path,
@@ -134,6 +138,7 @@ def init_table(
         mode=mode,
         key_col=key_col,
         partition_spec=spec,
+        retention=max(1, retention),
     )
     commit_manifest(man)
     return man
@@ -169,6 +174,7 @@ def load_manifest(table_dir: str, epoch: int | None = None) -> Manifest:
         key_col=doc.get("key_col", "doc_id"),
         partition_spec=doc.get("partition_spec", {}),
         watermark_floor=doc.get("watermark_floor", 0),
+        retention=doc.get("retention", MANIFEST_RETENTION),
     )
 
 
@@ -188,6 +194,7 @@ def commit_manifest(man: Manifest) -> None:
         "key_col": man.key_col,
         "partition_spec": man.partition_spec,
         "watermark_floor": man.watermark_floor,
+        "retention": man.retention,
     }
     path = os.path.join(man.table_dir, MANIFEST_NAME)
     tmp = path + ".tmp"
@@ -203,7 +210,7 @@ def commit_manifest(man: Manifest) -> None:
         vf.flush()
         os.fsync(vf.fileno())
     os.replace(tmp, path)
-    for old in retained_epochs(man.table_dir)[:-MANIFEST_RETENTION]:
+    for old in retained_epochs(man.table_dir)[: -man.retention]:
         os.remove(os.path.join(man.table_dir, f"manifest-{old:06d}.json"))
 
 

@@ -1,5 +1,7 @@
 """Generator + WAL discovery unit tests (no Ray)."""
 
+from dataclasses import replace
+
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
@@ -103,3 +105,72 @@ def test_evolved_segments_have_lang_and_wide_n_tok():
     seg = gen_segment(params, plans[-1])
     assert "lang" in seg.column_names
     assert str(seg.schema.field("n_tok").type) == "int64"
+
+
+def test_sharded_wal_layout_and_pruned_listing(tmp_path):
+    """Shard dirs: replay-identical to flat layout; fully-applied shards are
+    pruned at the listing level (never even listed)."""
+    import os
+    from unittest import mock
+
+    from clickhouse_data_pipeline_ray.sources.wal import (
+        list_segments,
+        pending_segments,
+        truncate_wal,
+    )
+
+    p = GenParams(total_events=4_000, base_events=1_000,
+                  events_per_segment=500, seed=3, tok_min=4, tok_max=8)
+    flat = str(tmp_path / "flat")
+    generate_wal(flat, p)
+    sharded = str(tmp_path / "sharded")
+    generate_wal(sharded, replace(p, segments_per_shard=3))
+
+    shard_dirs = sorted(d for d in os.listdir(sharded) if d.startswith("shard-"))
+    assert len(shard_dirs) == 3  # 8 segments in groups of 3
+    fs = list_segments(flat)
+    ss = list_segments(sharded)
+    assert [(s.first_lsn, s.last_lsn) for s in fs] == [
+        (s.first_lsn, s.last_lsn) for s in ss
+    ]
+
+    # watermark past the first shard (segs 1-3 = lsn 1..1500): that shard's
+    # contents are never listed
+    listed: list[str] = []
+    real_listdir = os.listdir
+
+    def spy(d):
+        listed.append(str(d))
+        return real_listdir(d)
+
+    with mock.patch("clickhouse_data_pipeline_ray.sources.wal.os.listdir", spy):
+        pend = pending_segments(sharded, watermark=1_500)
+    assert [s.first_lsn for s in pend] == [1501 + 500 * i for i in range(5)]
+    assert not any(d.endswith(shard_dirs[0]) for d in listed)
+
+    # truncation removes applied segments AND the emptied shard dir
+    removed = truncate_wal(sharded, 1_500)
+    assert len(removed) == 3
+    assert not os.path.isdir(os.path.join(sharded, shard_dirs[0]))
+    assert len(list_segments(sharded)) == 5
+
+
+def test_sharded_wal_replays_identically(ray_session, tmp_path):
+    from clickhouse_data_pipeline_ray.pipelines.apply import (
+        ApplyConfig,
+        create_table,
+        replay,
+        snapshot_table,
+    )
+
+    p = GenParams(total_events=3_000, base_events=750,
+                  events_per_segment=500, seed=5, tok_min=4, tok_max=8)
+    flat, sharded = str(tmp_path / "f"), str(tmp_path / "s")
+    generate_wal(flat, p)
+    generate_wal(sharded, replace(p, segments_per_shard=2))
+    ta, tb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    create_table(ta, num_partitions=4)
+    create_table(tb, num_partitions=4)
+    replay(ta, flat, ApplyConfig(salt_factor=1))
+    replay(tb, sharded, ApplyConfig(salt_factor=1))
+    assert snapshot_table(ta).equals(snapshot_table(tb))

@@ -73,3 +73,29 @@ def test_retention_bound_and_unretained_error(ray_session, wal, tmp_path):
     assert len(eps) == MANIFEST_RETENTION
     with pytest.raises(ValueError, match="not retained"):
         snapshot_table(table_dir, epoch=1)
+
+
+def test_per_table_retention_override(ray_session, tmp_path):
+    from clickhouse_data_pipeline_ray.pipelines.apply import (
+        ApplyConfig,
+        apply_once,
+        create_table,
+    )
+    from clickhouse_data_pipeline_ray.sources.gen import GenParams, generate_wal
+    from clickhouse_data_pipeline_ray.state.manifest import (
+        load_manifest,
+        retained_epochs,
+    )
+
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, GenParams(total_events=2_000, base_events=500,
+                                events_per_segment=250, seed=7,
+                                tok_min=4, tok_max=8))
+    t = str(tmp_path / "t")
+    create_table(t, num_partitions=2, retention=3)
+    assert load_manifest(t).retention == 3
+    while apply_once(t, wal, ApplyConfig(max_segments=1, salt_factor=1)):
+        pass
+    # 9 commits total (init + 8 epochs); only the last 3 manifests retained
+    assert len(retained_epochs(t)) == 3
+    assert retained_epochs(t) == [6, 7, 8]
