@@ -370,9 +370,16 @@ def q_kpi_daily_events(sf_dir: str) -> pa.Table:
         sums=["sum_value_milli"],
         count_col="n_events",
     )
-    # distinct users: the one genuine shuffle (wide key) — dedupe (date,user)
-    # pairs distributed, then the tiny per-date tally on the driver
-    per_user = prepped.groupby(["event_date", "user_id"]).count()
+    # distinct users: the one genuine shuffle (wide key) — but each batch
+    # first dedupes its own (date, user) pairs (Arrow group_by combiner), so
+    # only unique-pairs-per-block rows enter the shuffle, not raw events
+    pairs = prepped.map_batches(
+        lambda b: b.select(["event_date", "user_id"])
+        .group_by(["event_date", "user_id"])
+        .aggregate([]),
+        batch_format="pyarrow",
+    )
+    per_user = pairs.groupby(["event_date", "user_id"]).count()
     users = (
         per_user.to_pandas().groupby("event_date").size().rename("n_users").reset_index()
     )
@@ -523,12 +530,16 @@ def q_top5_users_by_value(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "events", ["user_id", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
-        return pa.table(
+        # per-batch partial sums (combiner): the wide-key shuffle then moves
+        # one row per (user, block), not one per event
+        t = pa.table(
             {
                 "user_id": b.column("user_id"),
                 "value_milli": _fixed_point(b.column("value"), 1000.0),
             }
         )
+        agg = t.group_by("user_id").aggregate([("value_milli", "sum")])
+        return agg.rename_columns(["user_id", "value_milli"])
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
