@@ -289,22 +289,34 @@ def q_normalize_documents(sf_dir: str) -> ray.data.Dataset:
 
 def q_lww_latest_event_per_user(sf_dir: str) -> pa.Table:
     """U1/U2: the LWW kernel itself, SQL-verified — per user, the event with
-    max event_id wins. Two-level combiner plan: per-batch LWW partials (each
-    batch reduces to ≤ n_users rows) + one driver-side final compaction —
-    no shuffle, valid because the user key space is driver-small (wide keys
-    go through the CDC engine's partitioned shuffle path instead)."""
+    max event_id wins. Wide-key-safe two-level plan: per-batch LWW partials
+    (each batch reduces to ≤ its distinct users) → hash-bucket shuffle into
+    O(CPUs) groups → one vectorized LWW per group. Python is invoked
+    O(buckets) times and only the final one-row-per-user result reaches the
+    driver — valid at any user cardinality (no driver-side combine)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
-    partials = ds.map_batches(
-        lambda b: lww_compact(b, key="user_id", version="event_id"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_arrow_refs()
-    import ray as _ray
+    n_buckets = 16
 
-    combined = pa.concat_tables(
-        [t for t in _ray.get(partials) if t.num_rows], promote_options="none"
+    def partial(b: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        w = lww_compact(b, key="user_id", version="event_id")
+        uid = w.column("user_id").to_numpy(zero_copy_only=False)
+        ub = (hash_array(uid, categorize=False) % np.uint64(n_buckets)).astype(np.int32)
+        return w.append_column("ub", pa.array(ub))
+
+    final = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ub")
+        .map_groups(
+            lambda g: lww_compact(g, key="user_id", version="event_id").drop_columns(["ub"]),
+            batch_format="pyarrow",
+        )
     )
-    w = lww_compact(combined, key="user_id", version="event_id")
+    w = pa.concat_tables(
+        [t for t in final.iter_batches(batch_format="pyarrow") if t.num_rows],
+        promote_options="none",
+    )
     return pa.table(
         {
             "user_id": w.column("user_id"),
