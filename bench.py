@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "revenue_by_brand",
     "top5_users_by_value",
     "sessionize_events",
+    "window_hourly_events",
+    "prev_event_gap",
     "dedup_exact_documents",
     "token_counts_documents",
     "quality_score_documents",

@@ -597,6 +597,58 @@ def q_sessionize_events(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_window_hourly_events(sf_dir: str) -> pa.Table:
+    """Tumbling-window aggregate (streaming-window analog): per-hour event
+    counts + value sums — window key derived per batch, shuffle-free
+    partial combine (hours are driver-small)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.strftime(b.column("ts"), format="%Y-%m-%d %H"),
+                "sum_value_milli": _fixed_point(b.column("value"), 1000.0),
+            }
+        )
+
+    pdf = _partial_groupby(
+        ds, prep, keys=["hour"], sums=["sum_value_milli"], count_col="n_events"
+    )
+    return pa.Table.from_pandas(
+        pdf[["hour", "n_events", "sum_value_milli"]], preserve_index=False
+    )
+
+
+def q_prev_event_gap(sf_dir: str) -> ray.data.Dataset:
+    """As-of/lag window op: per event, milliseconds since the same user's
+    previous event (null for a user's first). Users are hash-bucketed into
+    O(CPUs) groups; each group computes every user's lags in ONE vectorized
+    sort + shift pass (boundary rows masked) — the LAG() OVER (PARTITION BY
+    user ORDER BY ts) shape without per-user Python."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    n_buckets = 16
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ub = (hash_array(uid, categorize=False) % np.uint64(n_buckets)).astype(np.int32)
+        return b.append_column("ub", pa.array(ub))
+
+    def lag_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ns = g["ts"].astype("datetime64[ns]").astype("int64")  # unit-normalized
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        gap_ms = (ns - ns.shift()).where(same_user) // 1_000_000
+        return pd.DataFrame({"event_id": g["event_id"].values, "gap_ms": gap_ms.values})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(lag_block, batch_format="pandas")
+    )
+
+
 def q_dedup_exact_documents(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup: content fingerprint → hash groupby → keep smallest key.
     Vectorized aggregate (Min/Count) — no per-group Python."""
@@ -803,6 +855,8 @@ QUERIES = {
     "revenue_by_brand": q_revenue_by_brand,
     "top5_users_by_value": q_top5_users_by_value,
     "sessionize_events": q_sessionize_events,
+    "window_hourly_events": q_window_hourly_events,
+    "prev_event_gap": q_prev_event_gap,
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_counts_documents": q_token_counts_documents,
     "quality_score_documents": q_quality_score_documents,
@@ -980,6 +1034,21 @@ ORACLE_SQL = {
         FROM events GROUP BY user_id
         ORDER BY total_milli DESC, user_id ASC
         LIMIT 5
+    """,
+    "window_hourly_events": """
+        SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+               count(*) AS n_events,
+               CAST(sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_value_milli
+        FROM events GROUP BY 1
+    """,
+    "prev_event_gap": """
+        SELECT event_id,
+               date_diff('millisecond',
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_ms
+        FROM events
     """,
     "sessionize_events": """
         WITH flagged AS (
