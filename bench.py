@@ -78,6 +78,8 @@ def bench_cdc(ray) -> dict:
                       merge_concurrency=max(2, NUM_CPUS // 2))
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     best = None
+    import shutil
+
     for _ in range(repeats):
         table_dir = tempfile.mkdtemp(prefix="cdp_bench_table_", dir=CACHE_ROOT)
         create_table(table_dir, num_partitions=64)
@@ -85,11 +87,18 @@ def bench_cdc(ray) -> dict:
         run_epochs = replay(table_dir, wal_dir, cfg)
         run_wall = time.perf_counter() - t0
         if best is None or run_wall < best[0]:
+            if best is not None:
+                shutil.rmtree(best[2], ignore_errors=True)
             best = (run_wall, run_epochs, table_dir)
+        else:
+            shutil.rmtree(table_dir, ignore_errors=True)
     wall, epochs, table_dir = best
     apply_s = sum(e["wall_s"] for e in epochs if not e.get("compaction"))
     compact_s = sum(e["wall_s"] for e in epochs if e.get("compaction"))
     man = load_manifest(table_dir)
+    # the replayed table (≈ GBs) is scratch: repeated bench/scaling runs must
+    # not accumulate table dirs until the disk fills (observed)
+    shutil.rmtree(table_dir, ignore_errors=True)
     return {
         "wall_s": round(wall, 3),
         "events": BENCH_EVENTS,

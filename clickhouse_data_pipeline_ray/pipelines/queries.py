@@ -140,25 +140,35 @@ def cdc_replay(sf_dir: str, evolve: bool = False) -> pa.Table:
     scale factor, replay it through the complete engine path (read →
     normalize → hash shuffle → LWW merge actors → exactly-once commit),
     return the final snapshot."""
+    import shutil
+
     _params, tag = _cdc_params(sf_dir, evolve)
     wal_dir = _cdc_wal(sf_dir, evolve)
     table_dir = tempfile.mkdtemp(prefix=f"cdp_table_{tag}_")
-    create_table(table_dir, num_partitions=16)
-    replay(table_dir, wal_dir, ApplyConfig(max_segments=4))
-    return snapshot_table(table_dir).drop_columns(["tokens"])  # scalars suffice for checks
+    try:
+        create_table(table_dir, num_partitions=16)
+        replay(table_dir, wal_dir, ApplyConfig(max_segments=4))
+        return snapshot_table(table_dir).drop_columns(["tokens"])  # scalars suffice
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)  # scratch; don't accumulate
 
 
 def cdc_kpi_source_stats(sf_dir: str) -> pa.Table:
     """KPI views over the CDC snapshot (groupby parity with kpi_views.sql)."""
+    import shutil
+
     _params, tag = _cdc_params(sf_dir, evolve=False)
     wal_dir = _cdc_wal(sf_dir, evolve=False)
     table_dir = tempfile.mkdtemp(prefix=f"cdp_kpi_{tag}_")
-    create_table(table_dir, num_partitions=16)
-    replay(table_dir, wal_dir, ApplyConfig())
-    from .apply import read_snapshot
-    from .kpi import source_stats
+    try:
+        create_table(table_dir, num_partitions=16)
+        replay(table_dir, wal_dir, ApplyConfig())
+        from .apply import read_snapshot
+        from .kpi import source_stats
 
-    pdf = source_stats(read_snapshot(table_dir)).to_pandas()
+        pdf = source_stats(read_snapshot(table_dir)).to_pandas()
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
     pdf = pdf.sort_values("source").reset_index(drop=True)
     for c in ("n_docs", "sum_tok", "min_tok", "max_tok"):
         pdf[c] = pdf[c].astype("int64")
@@ -207,7 +217,13 @@ def _fact_table(sf_dir: str) -> str:
 def cdc_append_replay(sf_dir: str) -> pa.Table:
     """Append-only CDC replay (fact tables, init.sql:32-52): every event row
     lands exactly once, time-partitioned by month, no per-key merge."""
-    snap = snapshot_table(_fact_table(sf_dir))
+    import shutil
+
+    table_dir = _fact_table(sf_dir)
+    try:
+        snap = snapshot_table(table_dir)
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
     return pa.table(
         {
             "lsn": snap.column("lsn"),
@@ -229,22 +245,27 @@ def cdc_fact_monthly_kpi(sf_dir: str) -> pa.Table:
     """Date-range KPI over the append table: reads ONLY February's partition
     (manifest-level yyyymm pruning — the PARTITION BY toYYYYMM read path),
     then a shuffle-free partial-combine per event_type."""
+    import shutil
+
     table_dir = _fact_table(sf_dir)
-    ds = read_time_range(
-        table_dir, _dt.datetime(2024, 2, 1), _dt.datetime(2024, 3, 1)
-    )
-    pdf = _partial_groupby(
-        ds,
-        lambda b: pa.table(
-            {
-                "event_type": b.column("event_type"),
-                "sum_value_milli": _fixed_point(b.column("value"), 1000.0),
-            }
-        ),
-        keys=["event_type"],
-        sums=["sum_value_milli"],
-        count_col="n_events",
-    )
+    try:
+        ds = read_time_range(
+            table_dir, _dt.datetime(2024, 2, 1), _dt.datetime(2024, 3, 1)
+        )
+        pdf = _partial_groupby(
+            ds,
+            lambda b: pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "sum_value_milli": _fixed_point(b.column("value"), 1000.0),
+                }
+            ),
+            keys=["event_type"],
+            sums=["sum_value_milli"],
+            count_col="n_events",
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
     return pa.Table.from_pandas(
         pdf[["event_type", "n_events", "sum_value_milli"]], preserve_index=False
     )
