@@ -658,9 +658,12 @@ def q_prev_event_gap(sf_dir: str) -> ray.data.Dataset:
 
     def lag_block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
-        ns = g["ts"].astype("datetime64[ns]").astype("int64")  # unit-normalized
+        # truncate EACH timestamp to ms before differencing (millisecond
+        # boundary crossings — the date_diff('millisecond', ...) convention;
+        # flooring the raw difference diverges on sub-ms components)
+        ms = g["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
         same_user = g["user_id"].eq(g["user_id"].shift())
-        gap_ms = (ns - ns.shift()).where(same_user) // 1_000_000
+        gap_ms = (ms - ms.shift()).where(same_user)
         return pd.DataFrame({"event_id": g["event_id"].values, "gap_ms": gap_ms.values})
 
     return (
