@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "sessionize_events",
     "window_hourly_events",
     "prev_event_gap",
+    "doc_length_percentiles",
     "dedup_exact_documents",
     "token_counts_documents",
     "quality_score_documents",

@@ -673,6 +673,43 @@ def q_prev_event_gap(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_doc_length_percentiles(sf_dir: str) -> pa.Table:
+    """EXACT distributed percentiles over a bounded-domain column, no sort
+    and no raw-row gather: per-batch (source, n_chars) histogram partials →
+    tiny driver combine (state is O(distinct values), not O(rows)) → the
+    discrete quantile read off the cumulative histogram at 1-based rank
+    ceil(q·n) — DuckDB's quantile_disc convention, pinned empirically."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    hist = _partial_groupby(
+        ds,
+        lambda b: pa.table(
+            {
+                "source": b.column("source"),
+                "n_chars": b.column("n_chars").cast(pa.int64()),
+            }
+        ),
+        keys=["source", "n_chars"],
+        sums=[],
+        count_col="n",
+    )
+    rows = []
+    for source, g in hist.groupby("source", sort=True):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        pick = lambda q: int(vals[np.searchsorted(cum, int(np.ceil(q * total)))])
+        rows.append((source, pick(0.5), pick(0.9), pick(0.99)))
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "p50": pa.array([r[1] for r in rows], pa.int64()),
+            "p90": pa.array([r[2] for r in rows], pa.int64()),
+            "p99": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_dedup_exact_documents(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup: content fingerprint → hash groupby → keep smallest key.
     Vectorized aggregate (Min/Count) — no per-group Python."""
@@ -881,6 +918,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "window_hourly_events": q_window_hourly_events,
     "prev_event_gap": q_prev_event_gap,
+    "doc_length_percentiles": q_doc_length_percentiles,
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_counts_documents": q_token_counts_documents,
     "quality_score_documents": q_quality_score_documents,
@@ -1085,6 +1123,13 @@ ORACLE_SQL = {
         )
         SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
         FROM flagged GROUP BY user_id
+    """,
+    "doc_length_percentiles": """
+        SELECT source,
+               quantile_disc(n_chars, 0.5) AS p50,
+               quantile_disc(n_chars, 0.9) AS p90,
+               quantile_disc(n_chars, 0.99) AS p99
+        FROM documents GROUP BY source
     """,
     "dedup_exact_documents": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
