@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "window_hourly_events",
     "prev_event_gap",
     "doc_length_percentiles",
+    "top_docs_per_source",
     "dedup_exact_documents",
     "token_counts_documents",
     "quality_score_documents",

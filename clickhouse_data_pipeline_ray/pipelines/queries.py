@@ -673,6 +673,35 @@ def q_prev_event_gap(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_top_docs_per_source(sf_dir: str) -> pa.Table:
+    """Grouped top-k (top-3 longest docs per source): per-batch partial
+    top-k per group (each block emits ≤ k rows per source it sees), then the
+    same reduction over the tiny partials on the driver — no global sort,
+    no shuffle; deterministic tie-break (n_chars DESC, doc_id ASC)."""
+    k = 3
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["n_chars"] = df["n_chars"].astype("int64")
+        df = df.sort_values(
+            ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False).head(k), preserve_index=False
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(
+        ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+    ).groupby("source", sort=True).head(k)
+    out = out.assign(rank=(out.groupby("source").cumcount() + 1).astype("int64"))
+    return pa.Table.from_pandas(
+        out[["source", "rank", "doc_id", "n_chars"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 def q_doc_length_percentiles(sf_dir: str) -> pa.Table:
     """EXACT distributed percentiles over a bounded-domain column, no sort
     and no raw-row gather: per-batch (source, n_chars) histogram partials →
@@ -919,6 +948,7 @@ QUERIES = {
     "window_hourly_events": q_window_hourly_events,
     "prev_event_gap": q_prev_event_gap,
     "doc_length_percentiles": q_doc_length_percentiles,
+    "top_docs_per_source": q_top_docs_per_source,
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_counts_documents": q_token_counts_documents,
     "quality_score_documents": q_quality_score_documents,
@@ -1123,6 +1153,15 @@ ORACLE_SQL = {
         )
         SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
         FROM flagged GROUP BY user_id
+    """,
+    "top_docs_per_source": """
+        WITH ranked AS (
+          SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rank
+          FROM documents
+        )
+        SELECT source, rank, doc_id, n_chars FROM ranked WHERE rank <= 3
     """,
     "doc_length_percentiles": """
         SELECT source,
