@@ -21,6 +21,8 @@ bounded pair list — the documented partitioning assumption.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -31,25 +33,77 @@ from .textstats import fingerprint_batch
 
 _MERSENNE = (1 << 61) - 1
 
+_LOG = logging.getLogger(__name__)
 
-def _multi_member_values(ds: ray.data.Dataset, col: str) -> set:
-    """Values of ``col`` appearing in ≥2 rows, found WITHOUT a shuffle: each
-    batch emits its value_counts partial (tiny (value, n) rows), the driver
-    sums them. Buckets are overwhelmingly singletons in LSH blocking, so
-    pre-filtering to multi-member buckets before the per-bucket pair stage
-    removes ~all of the per-group overhead. Partials are O(distinct values);
-    at extreme cardinality switch to groupby(col).count() instead."""
+# Distinct-value budget for the driver-side bucket-count combine; above it the
+# prefilter switches to the distributed groupby path automatically.
+DRIVER_VALUE_LIMIT = 1_000_000
+
+
+def _multi_member_counts(
+    ds: ray.data.Dataset, col: str, driver_value_limit: int = DRIVER_VALUE_LIMIT
+) -> dict:
+    """``{value: count}`` for values of ``col`` appearing in ≥2 rows.
+
+    Two plans, auto-selected by MEASURED distinct cardinality:
+
+    - driver combine (common case): each batch emits its value_counts partial
+      (tiny (value, n) rows); if the partial row count fits
+      ``driver_value_limit`` the driver sums them. Buckets are overwhelmingly
+      singletons in LSH blocking, so pre-filtering to multi-member buckets
+      before the per-bucket pair stage removes ~all of the per-group overhead.
+    - distributed (high cardinality, e.g. 10^10 docs × 16 bands): the partials
+      stay in the cluster — ``groupby(col).sum(n)`` (one shuffle over partial
+      rows, never raw rows) followed by a map-side anti-singleton filter; only
+      the multi-member values (true collision candidates, bounded by the
+      candidate-pair budget) ever reach the driver.
+
+    The returned counts also feed the over-cap drop accounting
+    (:func:`_over_cap_stats`) so bucket drops are driver-visible, never only
+    worker stdout."""
     import pyarrow.compute as pc
 
     def vc(b: pa.Table) -> pa.Table:
         v = pc.value_counts(b.column(col))
-        return pa.table({col: v.field("values"), "n": v.field("counts")})
+        return pa.table(
+            {col: v.field("values"), "n": v.field("counts").cast(pa.int64())}
+        )
 
-    parts = ds.map_batches(vc, batch_format="pyarrow").to_pandas()
-    if parts.empty:
-        return set()
-    totals = parts.groupby(col)["n"].sum()
-    return set(totals[totals > 1].index)
+    parts = ds.map_batches(vc, batch_format="pyarrow").materialize()
+    if parts.count() <= driver_value_limit:
+        pdf = parts.to_pandas()
+        if pdf.empty:
+            return {}
+        totals = pdf.groupby(col)["n"].sum()
+        totals = totals[totals > 1]
+        return dict(zip(totals.index, totals.astype(int)))
+    from ray.data.aggregate import Sum
+
+    totals = parts.groupby(col).aggregate(Sum("n", alias_name="n_total"))
+    hot = totals.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n_total"), 1)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return dict(zip(hot[col], hot["n_total"].astype(int)))
+
+
+def _over_cap_stats(
+    counts: dict, max_bucket: int, op: str, out: pd.DataFrame
+) -> pd.DataFrame:
+    """Attach bucket-cap drop accounting to a pair frame (``out.attrs``) and
+    log it on the DRIVER — a capped bucket is a recall loss the caller must be
+    able to see, not a worker-stdout footnote. ``attrs['capped_buckets']`` /
+    ``attrs['over_cap_docs']`` are 0 when nothing was dropped."""
+    capped = {v: c - max_bucket for v, c in counts.items() if c > max_bucket}
+    out.attrs["capped_buckets"] = len(capped)
+    out.attrs["over_cap_docs"] = int(sum(capped.values()))
+    if capped:
+        _LOG.warning(
+            "[%s] %d bucket(s) over max_bucket=%d: %d doc(s) not verified "
+            "(recall loss; raise max_bucket or tighten blocking)",
+            op, len(capped), max_bucket, out.attrs["over_cap_docs"],
+        )
+    return out
 
 
 def _filter_to_values(ds: ray.data.Dataset, col: str, values: set) -> ray.data.Dataset:
@@ -310,12 +364,16 @@ def _bucket_pairs(group: pd.DataFrame, key_col: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, "est_jaccard": est})
 
 
-def _bucket_pairs_block(group: pd.DataFrame, key_col: str) -> pd.DataFrame:
+def _bucket_pairs_block(
+    group: pd.DataFrame, key_col: str, max_bucket: int = 512
+) -> pd.DataFrame:
     """Candidate pairs for a SUPERBUCKET (many LSH buckets per group, so the
     Python-per-group cost is O(superbuckets) ≈ O(CPUs), not O(buckets)).
     Size-2 buckets — the overwhelming majority — are paired fully vectorized
-    (one stacked signature matrix, one equality reduction); only the rare
-    larger buckets fall back to the per-bucket loop."""
+    (one stacked signature matrix, one equality reduction); larger buckets
+    pair all members in one triu-indexed equality reduction, capped at
+    ``max_bucket`` members (drop accounting happens on the driver from the
+    bucket-count partials — see _over_cap_stats)."""
     g = group.sort_values(["band_hash", key_col]).reset_index(drop=True)
     bh = g["band_hash"].to_numpy()
     if len(g) < 2:
@@ -331,17 +389,12 @@ def _bucket_pairs_block(group: pd.DataFrame, key_col: str) -> pd.DataFrame:
         parts_a.append(keys[s2])
         parts_b.append(keys[s2 + 1])
         parts_e.append((sigs[s2] == sigs[s2 + 1]).mean(axis=1))
-    big_a, big_b, big_e = [], [], []
     for st, en in zip(run_start[sizes > 2], run_end[sizes > 2]):
-        for i in range(st, en):
-            for j in range(i + 1, en):
-                big_a.append(keys[i])
-                big_b.append(keys[j])
-                big_e.append(float((sigs[i] == sigs[j]).mean()))
-    if big_a:
-        parts_a.append(np.asarray(big_a, dtype=keys.dtype))
-        parts_b.append(np.asarray(big_b, dtype=keys.dtype))
-        parts_e.append(np.asarray(big_e))
+        en = min(en, st + max_bucket)  # bounded bucket guarantee
+        ii, jj = np.triu_indices(en - st, k=1)
+        parts_a.append(keys[st + ii])
+        parts_b.append(keys[st + jj])
+        parts_e.append((sigs[st + ii] == sigs[st + jj]).mean(axis=1))
     if not parts_a:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
     return pd.DataFrame(
@@ -362,11 +415,17 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     key_col: str = "doc_id",
     concurrency: int | tuple = 2,
+    max_bucket: int = 512,
+    driver_value_limit: int = DRIVER_VALUE_LIMIT,
 ) -> pd.DataFrame:
     """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
 
     Returns the (bounded) pair list as pandas on the driver, deduplicated
-    across bands and sorted for determinism.
+    across bands and sorted for determinism. Recall is the standard LSH bound
+    1-(1-j^r)^b for a pair of true Jaccard j (r = num_perm/bands rows per
+    band); buckets larger than ``max_bucket`` verify only their first
+    ``max_bucket`` members by key — the dropped-doc count is logged on the
+    driver and returned in ``result.attrs['over_cap_docs']``.
     """
     exploded = ds.map_batches(
         MinHasher,
@@ -383,10 +442,11 @@ def minhash_lsh_pairs(
     ).materialize()
     # Pre-filter to colliding buckets (≥2 members) before any per-bucket
     # work: the pair stage then only ever sees true candidates.
-    hot = _multi_member_values(exploded, "band_hash")
-    if not hot:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-    candidates = _filter_to_values(exploded, "band_hash", hot)
+    counts = _multi_member_counts(exploded, "band_hash", driver_value_limit)
+    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+    if not counts:
+        return _over_cap_stats(counts, max_bucket, "minhash_lsh", empty)
+    candidates = _filter_to_values(exploded, "band_hash", set(counts))
 
     # Superbucket the candidates: each shuffle group holds MANY LSH buckets,
     # so the per-group Python cost is O(superbuckets), and the bucket runs
@@ -401,18 +461,22 @@ def minhash_lsh_pairs(
     pairs = (
         candidates.map_batches(add_super, batch_format="pyarrow")
         .groupby("sb")
-        .map_groups(lambda g: _bucket_pairs_block(g, key_col), batch_format="pandas")
+        .map_groups(
+            lambda g: _bucket_pairs_block(g, key_col, max_bucket),
+            batch_format="pandas",
+        )
     )
     pdf = pairs.to_pandas()
     if pdf.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+        return _over_cap_stats(counts, max_bucket, "minhash_lsh", empty)
     pdf = (
         pdf.groupby(["doc_a", "doc_b"], as_index=False)["est_jaccard"]
         .max()
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
-    return pdf[pdf["est_jaccard"] >= threshold].reset_index(drop=True)
+    pdf = pdf[pdf["est_jaccard"] >= threshold].reset_index(drop=True)
+    return _over_cap_stats(counts, max_bucket, "minhash_lsh", pdf)
 
 
 def minhash_dedup(
@@ -485,15 +549,81 @@ class SimHasher:
         return pa.table(cols)
 
 
+# 8-bit popcount lookup table: Hamming distance over uint64 signatures is
+# XOR → byte view → LUT gather → row sum, fully vectorized (no per-element
+# Python bin().count()).
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.uint8)
+
+
+def _hamming64(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Element-wise Hamming distance between two uint64 arrays."""
+    xor = np.bitwise_xor(x, y)
+    return _POP8[xor.view(np.uint8).reshape(len(xor), 8)].sum(
+        axis=1, dtype=np.int64
+    )
+
+
+def _simhash_block_pairs(
+    group: pd.DataFrame, key_col: str, max_hamming: int, max_bucket: int
+) -> pd.DataFrame:
+    """Exact-Hamming verify for a SUPERBUCKET group (many pigeonhole buckets
+    per Python call — the _bucket_pairs_block pattern). Size-2 bucket runs —
+    the overwhelming majority — verify in one vectorized XOR+popcount pass;
+    larger runs pair via triu indices, capped at ``max_bucket`` members
+    (16-bit bands mean a bucket holds ~corpus/65k docs at scale — the cap
+    bounds the quadratic, and the drop is accounted on the driver)."""
+    g = group.sort_values(["bucket", key_col]).reset_index(drop=True)
+    if len(g) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+    bh = g["bucket"].to_numpy()
+    sig = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    keys = g[key_col].to_numpy()
+    run_start = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]])
+    run_end = np.r_[run_start[1:], len(bh)]
+    sizes = run_end - run_start
+    parts_a, parts_b, parts_d = [], [], []
+    s2 = run_start[sizes == 2]
+    if len(s2):
+        d = _hamming64(sig[s2], sig[s2 + 1])
+        keep = d <= max_hamming
+        parts_a.append(keys[s2][keep])
+        parts_b.append(keys[s2 + 1][keep])
+        parts_d.append(d[keep])
+    for st, en in zip(run_start[sizes > 2], run_end[sizes > 2]):
+        en = min(en, st + max_bucket)  # bounded bucket guarantee
+        ii, jj = np.triu_indices(en - st, k=1)
+        d = _hamming64(sig[st + ii], sig[st + jj])
+        keep = d <= max_hamming
+        parts_a.append(keys[st + ii[keep]])
+        parts_b.append(keys[st + jj[keep]])
+        parts_d.append(d[keep])
+    if not parts_a:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+    return pd.DataFrame(
+        {
+            "doc_a": np.concatenate(parts_a),
+            "doc_b": np.concatenate(parts_b),
+            "hamming": np.concatenate(parts_d),
+        }
+    )
+
+
 def simhash_pairs(
     ds: ray.data.Dataset,
     max_hamming: int = 3,
     text_col: str = "text",
     key_col: str = "doc_id",
     concurrency: int | tuple = 2,
+    max_bucket: int = 512,
+    driver_value_limit: int = DRIVER_VALUE_LIMIT,
 ) -> pd.DataFrame:
     """Pairs within Hamming distance ``max_hamming`` (must be < n_bands for
-    the pigeonhole blocking to be exhaustive)."""
+    the pigeonhole blocking to be exhaustive). Buckets over ``max_bucket``
+    members verify only their first ``max_bucket`` by key; the dropped-doc
+    count is logged on the driver and returned in
+    ``result.attrs['over_cap_docs']``."""
     n_bands = 4
     assert max_hamming < n_bands
     sigs = ds.map_batches(
@@ -525,33 +655,41 @@ def simhash_pairs(
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow").materialize()
 
-    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(key_col).reset_index(drop=True)
-        out_a, out_b, out_d = [], [], []
-        sig = g["simhash"].to_numpy().astype(np.uint64)
-        keys = list(g[key_col])
-        for i in range(len(g)):
-            x = sig[i] ^ sig[i + 1 :]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            for off in np.flatnonzero(d <= max_hamming):
-                out_a.append(keys[i])
-                out_b.append(keys[i + 1 + int(off)])
-                out_d.append(int(d[off]))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_d})
+    counts = _multi_member_counts(exploded, "bucket", driver_value_limit)
+    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+    if not counts:
+        return _over_cap_stats(counts, max_bucket, "simhash", empty)
+    cands = _filter_to_values(exploded, "bucket", set(counts))
 
-    hot = _multi_member_values(exploded, "bucket")
-    if not hot:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-    cands = _filter_to_values(exploded, "bucket", hot)
-    pdf = cands.groupby("bucket").map_groups(band_pairs, batch_format="pandas").to_pandas()
+    # Superbucket shuffle key (hash(bucket) % 2×CPUs): O(CPUs) Python group
+    # calls with every bucket's rows co-grouped; the verify inside is the
+    # vectorized XOR+popcount pass, never per-element Python.
+    n_super = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_super(b: pa.Table) -> pa.Table:
+        bh = b.column("bucket").to_numpy(zero_copy_only=False)
+        sb = (_splitmix64(bh.view(np.uint64)) % np.uint64(n_super)).astype(np.int32)
+        return b.append_column("sb", pa.array(sb))
+
+    pdf = (
+        cands.map_batches(add_super, batch_format="pyarrow")
+        .groupby("sb")
+        .map_groups(
+            lambda g: _simhash_block_pairs(g, key_col, max_hamming, max_bucket),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
     if pdf.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-    return (
+        return _over_cap_stats(counts, max_bucket, "simhash", empty)
+    pdf = (
         pdf.groupby(["doc_a", "doc_b"], as_index=False)["hamming"]
         .min()
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
+    pdf["hamming"] = pdf["hamming"].astype("int64")
+    return _over_cap_stats(counts, max_bucket, "simhash", pdf)
 
 
 class NGramBlocker:
@@ -670,18 +808,22 @@ def ngram_jaccard_pairs(
     bands: int = 16,
     max_bucket: int = 64,
     concurrency: int | tuple = 2,
+    driver_value_limit: int = DRIVER_VALUE_LIMIT,
 ) -> pd.DataFrame:
     """Exact word n-gram Jaccard over content-blocked candidate pairs.
 
     Blocking is MinHash-band LSH over each doc's own gram set (r=2 rows per
     band: a pair with Jaccard j collides with prob 1-(1-j²)^bands — ≈0.48 at
     j=0.2, ≈0.99 at j=0.5 with b=16 — an explicitly approximate blocking for
-    sub-threshold pairs), so bucket membership depends on shared content,
-    never on document length. Exact Jaccard (set intersection
-    over the sorted-unique gram-hash arrays) verifies each bucket; buckets are
-    pre-filtered to ≥2 members and capped at ``max_bucket`` with a logged
-    drop. ``block_col`` overrides blocking with a user column (caller asserts
-    bounded blocks)."""
+    sub-threshold pairs; callers wanting exhaustive pairs must supply
+    ``block_col``), so bucket membership depends on shared content, never on
+    document length. Exact Jaccard (set intersection over the sorted-unique
+    gram-hash arrays) verifies each bucket; buckets are pre-filtered to ≥2
+    members and capped at ``max_bucket`` — the dropped-doc count is logged on
+    the DRIVER and returned in ``result.attrs['over_cap_docs']`` (plus
+    ``attrs['capped_buckets']``), never only worker stdout. ``block_col``
+    overrides blocking with a user column (caller asserts bounded blocks)."""
+    counts: dict = {}
     if block_col is None:
         exploded = ds.map_batches(
             NGramBlocker,
@@ -696,10 +838,13 @@ def ngram_jaccard_pairs(
             concurrency=concurrency,
             num_cpus=0.5,
         ).materialize()
-        hot = _multi_member_values(exploded, "bucket")
-        if not hot:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-        cands = _filter_to_values(exploded, "bucket", hot)
+        counts = _multi_member_counts(exploded, "bucket", driver_value_limit)
+        if not counts:
+            return _over_cap_stats(
+                counts, max_bucket, "ngram_jaccard",
+                pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}),
+            )
+        cands = _filter_to_values(exploded, "bucket", set(counts))
     else:
         # user blocking: still compute the gram sets vectorized, group by the
         # caller's column
@@ -738,13 +883,17 @@ def ngram_jaccard_pairs(
         .to_pandas()
     )
     if pdf.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    return (
+        return _over_cap_stats(
+            counts, max_bucket, "ngram_jaccard",
+            pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}),
+        )
+    pdf = (
         pdf.groupby(["doc_a", "doc_b"], as_index=False)["jaccard"]
         .max()
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
+    return _over_cap_stats(counts, max_bucket, "ngram_jaccard", pdf)
 
 
 class HyperplaneLSH:
@@ -771,11 +920,13 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     concurrency: int | tuple = 2,
     max_bucket: int = 512,
+    driver_value_limit: int = DRIVER_VALUE_LIMIT,
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicates: hyperplane-LSH blocking, exact
-    within-bucket cosine verify. Buckets are capped at ``max_bucket`` with a
-    logged drop — a degenerate bucket (e.g. a cluster of identical vectors)
-    is bounded, never O(n²)-scanned."""
+    within-bucket cosine verify. Buckets are capped at ``max_bucket`` — a
+    degenerate bucket (e.g. a cluster of identical vectors) is bounded, never
+    O(n²)-scanned; the dropped count is logged on the driver and returned in
+    ``result.attrs['over_cap_docs']``."""
     bucketed = ds.map_batches(
         HyperplaneLSH,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "vec_col": vec_col},
@@ -783,10 +934,11 @@ def embedding_neardup_pairs(
         concurrency=concurrency,
         num_cpus=0.5,
     ).materialize()
-    hot = _multi_member_values(bucketed, "bucket")
-    if not hot:
-        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-    bucketed = _filter_to_values(bucketed, "bucket", hot)
+    counts = _multi_member_counts(bucketed, "bucket", driver_value_limit)
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    if not counts:
+        return _over_cap_stats(counts, max_bucket, "embedding_neardup", empty)
+    bucketed = _filter_to_values(bucketed, "bucket", set(counts))
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(key_col).reset_index(drop=True)
@@ -816,5 +968,6 @@ def embedding_neardup_pairs(
 
     pdf = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas").to_pandas()
     if pdf.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-    return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return _over_cap_stats(counts, max_bucket, "embedding_neardup", empty)
+    pdf = pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return _over_cap_stats(counts, max_bucket, "embedding_neardup", pdf)

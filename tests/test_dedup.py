@@ -92,3 +92,199 @@ def test_embedding_neardup(ray_session):
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert (1, 2) in got
     assert (1, 4) not in got  # opposite vector: cosine -1
+
+
+# ---------------------------------------------------------------------------
+# Exact small-scale oracles: all-pairs brute force at sf0.001 pins recall of
+# every LSH blocking against its analytic bound, not just planted-pair hits.
+# ---------------------------------------------------------------------------
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sf_docs():
+    df = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _gram_sets(texts, k):
+    """Per-doc sorted-unique gram-hash sets via the SAME hash pipeline the
+    operators use (identical hash space → identical true Jaccard)."""
+    from clickhouse_data_pipeline_ray.functions.dedup import (
+        _batch_shingle_hashes,
+        _segment_unique,
+    )
+
+    flat, off = _batch_shingle_hashes(list(texts), k)
+    gu, guoff = _segment_unique(flat, off)
+    return [gu[guoff[i] : guoff[i + 1]] for i in range(len(guoff) - 1)]
+
+
+def _true_jaccard_pairs(doc_ids, grams, floor):
+    """All-pairs exact Jaccard >= floor (brute force; 500 docs -> 125k pairs)."""
+    out = {}
+    sets = [frozenset(g.tolist()) for g in grams]
+    lens = [len(s) for s in sets]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            if inter == 0:
+                continue
+            jac = inter / (lens[i] + lens[j] - inter)
+            if jac >= floor:
+                out[(doc_ids[i], doc_ids[j])] = jac
+    return out
+
+
+def test_simhash_recall_exact_vs_bruteforce(ray_session):
+    """Pigeonhole blocking (4 bands, hamming<=3) is EXHAUSTIVE: the operator's
+    pair set must EQUAL brute-force all-pairs Hamming over the very same
+    signatures — zero misses, zero extras."""
+    from clickhouse_data_pipeline_ray.functions.dedup import (
+        SimHasher,
+        _hamming64,
+        simhash_pairs,
+    )
+
+    df = _sf_docs()
+    sigs = SimHasher().simhash_batch(list(df["text"]))
+    ids = df["doc_id"].to_numpy()
+    ii, jj = np.triu_indices(len(ids), k=1)
+    d = _hamming64(sigs[ii], sigs[jj])
+    keep = d <= 3
+    expected = {
+        (int(ids[i]), int(ids[j])): int(h)
+        for i, j, h in zip(ii[keep], jj[keep], d[keep])
+    }
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    pairs = simhash_pairs(ds, max_hamming=3)
+    got = {
+        (int(a), int(b)): int(h)
+        for a, b, h in pairs[["doc_a", "doc_b", "hamming"]].itertuples(index=False)
+    }
+    assert got == expected
+    assert pairs.attrs["over_cap_docs"] == 0
+
+
+def test_minhash_recall_vs_analytic_bound(ray_session):
+    """Observed recall on true-Jaccard pairs >= the analytic LSH bound
+    1-(1-j^r)^b minus slack (deterministic seeds -> stable number)."""
+    from clickhouse_data_pipeline_ray.functions.dedup import minhash_lsh_pairs
+
+    df = _sf_docs()
+    truth = _true_jaccard_pairs(
+        df["doc_id"].to_numpy(), _gram_sets(df["text"], 2), floor=0.35
+    )
+    assert truth, "sf0.001 corpus should contain pairs with jaccard >= 0.35"
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.2, shingle_k=2)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    # b=16 bands, r=4 rows: P(block) = 1-(1-j^4)^16 per pair
+    probs = [1 - (1 - j**4) ** 16 for j in truth.values()]
+    expected_recall = float(np.mean(probs))
+    hit = sum((a, b) in got for (a, b) in truth)
+    recall = hit / len(truth)
+    assert recall >= expected_recall - 0.15, (recall, expected_recall, len(truth))
+
+
+def test_ngram_recall_vs_analytic_bound(ray_session):
+    """Content-blocked n-gram Jaccard: recall on pairs with true j >= 0.5 must
+    meet the documented 1-(1-j^2)^16 blocking bound (~0.99 at j=0.5)."""
+    from clickhouse_data_pipeline_ray.functions.dedup import ngram_jaccard_pairs
+
+    df = _sf_docs()
+    truth = _true_jaccard_pairs(
+        df["doc_id"].to_numpy(), _gram_sets(df["text"], 2), floor=0.5
+    )
+    assert truth, "sf0.001 corpus should contain pairs with jaccard >= 0.5"
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.1, n=2)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    probs = [1 - (1 - j**2) ** 16 for j in truth.values()]
+    expected_recall = float(np.mean(probs))
+    hit = sum((a, b) in got for (a, b) in truth)
+    recall = hit / len(truth)
+    assert recall >= expected_recall - 0.1, (recall, expected_recall, len(truth))
+    # and every reported pair's exact jaccard must MATCH brute force
+    full_truth = _true_jaccard_pairs(
+        df["doc_id"].to_numpy(), _gram_sets(df["text"], 2), floor=0.1
+    )
+    for a, b, j in pairs[["doc_a", "doc_b", "jaccard"]].itertuples(index=False):
+        assert abs(full_truth[(a, b)] - j) < 1e-5
+
+
+def test_embedding_recall_vs_analytic_bound(ray_session):
+    """Hyperplane-LSH near-dup: recall on brute-force cosine pairs >= the
+    analytic (1-theta/pi)^n_planes single-band bound minus slack."""
+    from clickhouse_data_pipeline_ray.functions.dedup import embedding_neardup_pairs
+
+    base = pd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rng = np.random.default_rng(11)
+    planted = []
+    for i, row in base.head(40).iterrows():
+        v = np.asarray(row["embedding"], dtype=np.float64)
+        planted.append(
+            {"vec_id": int(row["vec_id"]) + 100_000,
+             "embedding": (v + rng.standard_normal(len(v)) * 0.02 * np.linalg.norm(v) / np.sqrt(len(v))).tolist()}
+        )
+    df = pd.concat([base, pd.DataFrame(planted)], ignore_index=True)
+
+    emb = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = emb @ emb.T
+    ii, jj = np.triu_indices(len(df), k=1)
+    keep = sims[ii, jj] >= 0.95
+    ids = df["vec_id"].to_numpy()
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))): sims[i, j]
+        for i, j in zip(ii[keep], jj[keep])
+    }
+    assert truth, "planted near-dups must exist at cosine >= 0.95"
+
+    ds = ray.data.from_pandas(df.reset_index(drop=True))
+    pairs = embedding_neardup_pairs(ds, dim=emb.shape[1], threshold=0.95)
+    got = {(int(min(a, b)), int(max(a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    probs = [
+        (1 - np.arccos(min(1.0, c)) / np.pi) ** 12 for c in truth.values()
+    ]
+    expected_recall = float(np.mean(probs))
+    hit = sum(p in got for p in truth)
+    recall = hit / len(truth)
+    assert recall >= expected_recall - 0.2, (recall, expected_recall, len(truth))
+
+
+def test_multi_member_counts_distributed_path_identical(ray_session):
+    """Forcing the distributed groupby path (driver_value_limit=0) must give
+    byte-identical hot-bucket counts AND identical LSH pairs."""
+    from clickhouse_data_pipeline_ray.functions.dedup import (
+        _multi_member_counts,
+        minhash_lsh_pairs,
+    )
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    items = [{"v": x} for x in [1, 1, 2, 3, 3, 3, 4]]
+    small = ray.data.from_items(items)
+    driver = _multi_member_counts(small, "v", driver_value_limit=10**6)
+    dist = _multi_member_counts(small, "v", driver_value_limit=0)
+    assert driver == dist == {1: 2, 3: 3}
+
+    p_driver = minhash_lsh_pairs(ds, threshold=0.2, shingle_k=2)
+    p_dist = minhash_lsh_pairs(ds, threshold=0.2, shingle_k=2, driver_value_limit=0)
+    pd.testing.assert_frame_equal(p_driver, p_dist)
+
+
+def test_cap_drop_stats_reach_driver(ray_session):
+    """A bucket over max_bucket must surface its drop count in result.attrs
+    (driver-visible), not only worker stdout."""
+    from clickhouse_data_pipeline_ray.functions.dedup import simhash_pairs
+
+    rows = [{"doc_id": f"d-{i:03d}", "text": "identical text for every doc"} for i in range(10)]
+    ds = ray.data.from_items(rows)
+    pairs = simhash_pairs(ds, max_hamming=3, max_bucket=4)
+    assert pairs.attrs["capped_buckets"] > 0
+    assert pairs.attrs["over_cap_docs"] > 0
+    # capped verify still returns the pairs among the first max_bucket members
+    assert ("d-000", "d-001") in set(zip(pairs["doc_a"], pairs["doc_b"]))
