@@ -41,5 +41,12 @@ def oracle_sql() -> dict[str, str]:
     deterministic WAL parquet (generated here if absent) that the Ray
     pipeline replays, as a DuckDB ``arg_max`` LWW reduction. MinHash/SimHash
     LSH and IVF entries are intentionally absent (non-SQL-expressible) —
-    their semantics are pinned by tests/."""
-    return Q.build_oracle_sql("/root/testdata/sf0.01")
+    their semantics are pinned by tests/.
+
+    CONTRACT: the driver evaluates queries() at sf0.01, so the CDC oracles
+    bake WAL paths sized to that scale factor. If the driver ever moves to a
+    different sf, set GRAFT_ORACLE_SF_DIR to the matching directory — both
+    sides derive their WALs from the same _cdc_params(sf_dir), so they stay
+    in lockstep."""
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return Q.build_oracle_sql(sf_dir)

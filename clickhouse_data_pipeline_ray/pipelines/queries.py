@@ -67,6 +67,14 @@ def _round_half_up(series, ndigits: int):
     scale = 10.0 ** ndigits
     return np.floor(series.astype(float) * scale + 0.5) / scale
 
+
+def _n_reduce_buckets() -> int:
+    """Reduce-side bucket count for hash-bucketed map_groups stages, sized
+    from the cluster (2×CPUs) so reduce parallelism scales with the node
+    count instead of a hardcoded literal. Results are bucket-count-invariant
+    (pure hash partitioning; see test_queries_oracle bucket-invariance)."""
+    return max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
 def _partial_groupby(
     ds: ray.data.Dataset,
     prep,
@@ -94,8 +102,12 @@ def _partial_groupby(
                 count_col, pa.nulls(t.num_rows, pa.int64()).fill_null(1)
             )
         agg = t.group_by(keys).aggregate([(c, "sum") for c in cols])
+        # rename ONLY the aggregated columns (their names are known exactly);
+        # pattern-matching every name would clobber a grouping key that itself
+        # ends in '_sum'
+        agg_names = {f"{c}_sum": c for c in cols}
         return agg.rename_columns(
-            [n[: -len("_sum")] if n.endswith("_sum") else n for n in agg.column_names]
+            [agg_names.get(n, n) for n in agg.column_names]
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
@@ -316,7 +328,7 @@ def q_lww_latest_event_per_user(sf_dir: str) -> pa.Table:
     O(buckets) times and only the final one-row-per-user result reaches the
     driver — valid at any user cardinality (no driver-side combine)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
-    n_buckets = 16
+    n_buckets = _n_reduce_buckets()
 
     def partial(b: pa.Table) -> pa.Table:
         from pandas.util import hash_array
@@ -376,49 +388,53 @@ def q_kpi_source_stats(sf_dir: str) -> pa.Table:
 
 
 def q_kpi_daily_events(sf_dir: str) -> pa.Table:
-    """A2 shape: per-day events, DISTINCT users (two-level pre-aggregated
-    distinct — no raw-row shuffle), fixed-point value sum."""
+    """A2 shape: per-day events, DISTINCT users, fixed-point value sum —
+    ONE streamed scan, ONE shuffle, NO materialized intermediate.
+
+    Each batch pre-aggregates to one row per (date, user) it sees (Arrow
+    group_by combiner carrying both the event count and the value sum), so
+    the single genuine shuffle moves unique-pairs-per-block rows, never raw
+    events. After the (date, user) reduction, a shuffle-free per-date partial
+    combine (counts each user-row once) produces the driver-small result —
+    the old two-pass plan pinned the whole prepped input in the object store
+    via .materialize() to share the scan; folding both aggregates into the
+    pair rows removes that."""
     ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
 
-    def prep(b: pa.Table) -> pa.Table:
-        return pa.table(
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
             {
                 "event_date": _date_str(b.column("ts")),
                 "user_id": b.column("user_id"),
-                "value_milli": _fixed_point(b.column("value"), 1000.0),
+                "n": pa.nulls(b.num_rows, pa.int64()).fill_null(1),
+                "v": _fixed_point(b.column("value"), 1000.0),
             }
         )
+        agg = t.group_by(["event_date", "user_id"]).aggregate(
+            [("n", "sum"), ("v", "sum")]
+        )
+        return agg.select(["event_date", "user_id", "n_sum", "v_sum"]).rename_columns(
+            ["event_date", "user_id", "n", "v"]
+        )
 
-    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
-    # per-day counts/sums: low-cardinality → shuffle-free partial combine
-    a = _partial_groupby(
-        prepped,
+    per_user = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["event_date", "user_id"])
+        .aggregate(Sum("n", alias_name="n"), Sum("v", alias_name="v"))
+    )
+    pdf = _partial_groupby(
+        per_user,
         lambda b: pa.table(
             {
                 "event_date": b.column("event_date"),
-                "sum_value_milli": b.column("value_milli"),
+                "n_events": b.column("n").cast(pa.int64()),
+                "sum_value_milli": b.column("v").cast(pa.int64()),
             }
         ),
         keys=["event_date"],
-        sums=["sum_value_milli"],
-        count_col="n_events",
+        sums=["n_events", "sum_value_milli"],
+        count_col="n_users",
     )
-    # distinct users: the one genuine shuffle (wide key) — but each batch
-    # first dedupes its own (date, user) pairs (Arrow group_by combiner), so
-    # only unique-pairs-per-block rows enter the shuffle, not raw events
-    pairs = prepped.map_batches(
-        lambda b: b.select(["event_date", "user_id"])
-        .group_by(["event_date", "user_id"])
-        .aggregate([]),
-        batch_format="pyarrow",
-    )
-    per_user = pairs.groupby(["event_date", "user_id"]).count()
-    users = (
-        per_user.to_pandas().groupby("event_date").size().rename("n_users").reset_index()
-    )
-    pdf = a.merge(users, on="event_date").sort_values("event_date").reset_index(drop=True)
-    for c in ("n_events", "sum_value_milli", "n_users"):
-        pdf[c] = pdf[c].astype("int64")
     return pa.Table.from_pandas(
         pdf[["event_date", "n_events", "n_users", "sum_value_milli"]],
         preserve_index=False,
@@ -592,7 +608,7 @@ def q_sessionize_events(sf_dir: str) -> ray.data.Dataset:
     user-boundary OR gap>30min starts a session, per-user sum) — one Python
     call per bucket, never per user."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
-    n_buckets = 16
+    n_buckets = _n_reduce_buckets()
 
     def add_bucket(b: pa.Table) -> pa.Table:
         from pandas.util import hash_array
@@ -647,7 +663,7 @@ def q_prev_event_gap(sf_dir: str) -> ray.data.Dataset:
     sort + shift pass (boundary rows masked) — the LAG() OVER (PARTITION BY
     user ORDER BY ts) shape without per-user Python."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    n_buckets = 16
+    n_buckets = _n_reduce_buckets()
 
     def add_bucket(b: pa.Table) -> pa.Table:
         from pandas.util import hash_array
@@ -682,14 +698,30 @@ def q_top_docs_per_source(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["n_chars"] = df["n_chars"].astype("int64")
-        df = df.sort_values(
-            ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+        # Arrow-native: sort_indices + take, then a vectorized head-k over the
+        # source runs (grouped arange < k) — no pandas round-trip in the hot
+        # stage (the lww_compact pattern).
+        t = pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "source": b.column("source"),
+                "n_chars": b.column("n_chars").cast(pa.int64()),
+            }
         )
-        return pa.Table.from_pandas(
-            df.groupby("source", sort=False).head(k), preserve_index=False
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("source", "ascending"),
+                ("n_chars", "descending"),
+                ("doc_id", "ascending"),
+            ],
         )
+        t = t.take(order)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        counts = np.diff(np.r_[starts, len(src)])
+        seq = np.arange(len(src), dtype=np.int64) - np.repeat(starts, counts)
+        return t.filter(pa.array(seq < k))
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = parts.sort_values(

@@ -88,3 +88,17 @@ def test_entry_smoke(ray_session):
     assert len(df) > 0
     assert "doc_id" in df.columns
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_bucket_count_invariance(ray_session, con, monkeypatch):
+    """Hash-bucketed reduce stages must give identical results at any bucket
+    count (pure hash partitioning): run lww/sessionize/lag at n_buckets=3 and
+    compare against the DuckDB oracle again."""
+    from clickhouse_data_pipeline_ray.pipelines import queries as Q
+
+    monkeypatch.setattr(Q, "_n_reduce_buckets", lambda: 3)
+    oracle = Q.build_oracle_sql(SF_DIR)
+    for name in ("lww_latest_event_per_user", "sessionize_events", "prev_event_gap"):
+        got = _canon(_to_pandas(Q.QUERIES[name](SF_DIR)))
+        want = _canon(con.execute(oracle[name]).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
