@@ -9,14 +9,44 @@ The decode libraries (PIL/ffmpeg/torchaudio) are NOT available in this
 container, so the codec step is STUBBED: ``decoder="fake"`` produces
 deterministic, hash-seeded outputs with the real output schema, and
 ``decoder="real"`` raises ``NotImplementedError`` at the clearly marked
-point. Everything Ray-side — schema, batch sizing, actor signature, output
-layout — is real and tested (tests/test_multimodal.py).
+point. ``decoder="auto"`` (self-upgrading) probes the codec library at actor
+init — once per actor, never per batch — and selects "real" when the library
+is importable, "fake" otherwise, with the output schema identical either
+way. Everything Ray-side — schema, batch sizing, actor signature, output
+layout — is real and tested (tests/test_similarity_multimodal.py).
 """
 
 from __future__ import annotations
 
+import importlib.util
+import shutil as _shutil
+
 import numpy as np
 import pyarrow as pa
+
+
+def _codec_available(kind: str) -> bool:
+    """Import-probe for the real codec backing each media kind (cheap: spec
+    lookup only, no import side effects; the ffmpeg probe is a PATH check)."""
+    if kind == "image":
+        return importlib.util.find_spec("PIL") is not None
+    if kind == "audio":
+        return any(
+            importlib.util.find_spec(m) is not None
+            for m in ("soundfile", "torchaudio", "librosa")
+        )
+    if kind == "video":
+        return _shutil.which("ffmpeg") is not None
+    raise ValueError(kind)
+
+
+def _resolve_decoder(requested: str, kind: str) -> str:
+    """'auto' → 'real' iff the codec library is present, else 'fake'."""
+    if requested not in ("fake", "real", "auto"):
+        raise ValueError(requested)
+    if requested == "auto":
+        return "real" if _codec_available(kind) else "fake"
+    return requested
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -43,19 +73,32 @@ class ImageDecode:
     """
 
     def __init__(self, decoder: str = "fake", resize_to: tuple[int, int] = (224, 224)):
-        if decoder not in ("fake", "real"):
-            raise ValueError(decoder)
-        self.decoder = decoder
+        self.decoder = _resolve_decoder(decoder, "image")
         self.resize_to = resize_to
         # real decoder state (e.g. a PIL import / model handle) would be
         # created HERE, once per actor.
 
     def _decode_one(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
         if self.decoder == "real":
-            # STUB: no image codec available in this environment.
-            raise NotImplementedError(
-                "real image decoding requires PIL/opencv, not present in this container"
-            )
+            if not _codec_available("image"):
+                # STUB: no image codec available in this environment (probe
+                # decoder="auto" to fall back to the fake codec instead).
+                raise NotImplementedError(
+                    "real image decoding requires PIL/opencv, not present in this container"
+                )
+            from io import BytesIO
+
+            from PIL import Image
+
+            img = Image.open(BytesIO(payload)).convert("RGB")
+            w, h = img.size
+            thumb = np.asarray(
+                img.resize(self.resize_to), dtype=np.float32
+            ).mean(axis=2).ravel()
+            step = max(1, len(thumb) // IMAGE_FEATURE_DIM)
+            feat = thumb[: step * IMAGE_FEATURE_DIM : step].astype(np.float32)
+            feat = np.pad(feat, (0, IMAGE_FEATURE_DIM - len(feat)))
+            return h, w, 3, feat
         rng = np.random.default_rng(_payload_seed(payload))
         h, w = (int(rng.integers(64, 1024)) for _ in range(2))
         feat = rng.standard_normal(IMAGE_FEATURE_DIM).astype(np.float32)
@@ -90,9 +133,7 @@ class VideoFrameSample:
     """
 
     def __init__(self, decoder: str = "fake", frames_per_video: int = 4):
-        if decoder not in ("fake", "real"):
-            raise ValueError(decoder)
-        self.decoder = decoder
+        self.decoder = _resolve_decoder(decoder, "video")
         self.n = frames_per_video
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -130,9 +171,7 @@ class AudioFeatures:
     is faked deterministically; the Ray-side plumbing is real."""
 
     def __init__(self, decoder: str = "fake", target_sample_rate: int = 16_000):
-        if decoder not in ("fake", "real"):
-            raise ValueError(decoder)
-        self.decoder = decoder
+        self.decoder = _resolve_decoder(decoder, "audio")
         self.sr = target_sample_rate
         # real decoder state (torchaudio backend / resampler) would load HERE,
         # once per actor.

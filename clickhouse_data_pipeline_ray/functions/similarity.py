@@ -172,9 +172,16 @@ def build_ivf_index(
     ``ivf_topk`` only approximates: the corpus is scanned ONCE at build time,
     and every subsequent search opens only its ``nprobe`` probed buckets'
     files — cost corpus×(nprobe/n_centroids) per query batch, zero full
-    scans, and the bucket layout is shared by all future queries."""
+    scans, and the bucket layout is shared by all future queries.
+
+    IDEMPOTENT: the vector layout is written to a temp directory and swapped
+    into place atomically (the tmp-write commit protocol the table sink
+    uses), so a rebuild after a partial failure — or into a reused
+    index_dir — can never leave stale or duplicate vector files for
+    ``ivf_index_topk`` to read."""
     import json
     import os
+    import shutil
 
     cents = kmeans_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
     bucketed = ds.map_batches(
@@ -185,16 +192,27 @@ def build_ivf_index(
         num_cpus=0.5,
     )
     vec_dir = os.path.join(index_dir, "vectors")
-    bucketed.write_parquet(vec_dir, partition_cols=["ivf_bucket"])
-    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    tmp_dir = vec_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    bucketed.write_parquet(tmp_dir, partition_cols=["ivf_bucket"])
+    shutil.rmtree(vec_dir, ignore_errors=True)
+    os.replace(tmp_dir, vec_dir)
+    np.save(os.path.join(index_dir, "centroids.npy.tmp.npy"), cents)
+    os.replace(
+        os.path.join(index_dir, "centroids.npy.tmp.npy"),
+        os.path.join(index_dir, "centroids.npy"),
+    )
     meta = {
         "n_centroids": int(len(cents)),
         "dim": int(cents.shape[1]),
         "key_col": key_col,
         "vec_col": vec_col,
     }
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+    with open(os.path.join(index_dir, "meta.json.tmp"), "w") as f:
         json.dump(meta, f)
+    os.replace(
+        os.path.join(index_dir, "meta.json.tmp"), os.path.join(index_dir, "meta.json")
+    )
     return meta
 
 

@@ -61,7 +61,17 @@ def list_segments(wal_dir: str, skip_upto: int = 0) -> list[Segment]:
     """All WAL segments (flat files + shard subdirs), LSN-sorted and
     validated non-overlapping. ``skip_upto`` is the listing-level pruning
     hook: a shard dir whose entire range is ≤ skip_upto is skipped without
-    even listing its contents (its range ends where the next shard starts)."""
+    even listing its contents (its range ends where the next shard starts).
+
+    Shard-range CONTRACT (hard, on the WAL producer): every segment inside
+    ``shard-{S}/`` must satisfy S ≤ first_lsn and last_lsn < next shard's
+    start. Pruning a shard without listing it is only sound under this
+    contract; it is therefore AUDITED wherever it can be checked cheaply —
+    every shard that IS listed is validated against its range, so any full
+    listing (skip_upto=0, e.g. create-time scans and ``truncate_wal``)
+    audits the whole WAL, and a replay fails loudly on the first violating
+    shard it opens rather than silently never applying a misplaced
+    segment."""
     segs: list[Segment] = []
     shards: list[tuple[int, str]] = []
     for name in os.listdir(wal_dir):
@@ -74,7 +84,16 @@ def list_segments(wal_dir: str, skip_upto: int = 0) -> list[Segment]:
         nxt = shards[i + 1][0] if i + 1 < len(shards) else None
         if nxt is not None and nxt - 1 <= skip_upto:
             continue  # whole shard ≤ watermark: never listed
+        before = len(segs)
         _scan_dir(path, segs)
+        for s in segs[before:]:
+            if s.first_lsn < first or (nxt is not None and s.last_lsn >= nxt):
+                raise ValueError(
+                    f"segment {s.name} (lsn {s.first_lsn}-{s.last_lsn}) violates "
+                    f"shard range [{first}, {nxt if nxt is not None else 'inf'}) of "
+                    f"{os.path.basename(path)} — misplaced segments would be "
+                    f"silently skipped by watermark pruning"
+                )
     segs.sort(key=lambda s: s.first_lsn)
     for a, b in zip(segs, segs[1:]):
         if b.first_lsn <= a.last_lsn:

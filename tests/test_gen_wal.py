@@ -174,3 +174,24 @@ def test_sharded_wal_replays_identically(ray_session, tmp_path):
     replay(ta, flat, ApplyConfig(salt_factor=1))
     replay(tb, sharded, ApplyConfig(salt_factor=1))
     assert snapshot_table(ta).equals(snapshot_table(tb))
+
+
+def test_shard_range_violation_detected(tmp_path):
+    """A segment misplaced in an earlier shard (extending past the next
+    shard's start) must fail the listing loudly — watermark pruning would
+    otherwise silently never apply it."""
+    import os
+    import shutil
+
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, replace(PARAMS, segments_per_shard=1))
+    shards = sorted(d for d in os.listdir(wal) if d.startswith("shard-"))
+    assert len(shards) >= 2
+    # move the second shard's segment into the FIRST shard dir (misplaced:
+    # shard-2 still exists, so shard-1's range ends at shard-2's start and
+    # the moved segment extends past it)
+    src_dir = os.path.join(wal, shards[1])
+    seg = os.listdir(src_dir)[0]
+    shutil.move(os.path.join(src_dir, seg), os.path.join(wal, shards[0], seg))
+    with pytest.raises(ValueError, match="shard range"):
+        list_segments(wal)

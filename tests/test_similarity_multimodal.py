@@ -196,3 +196,71 @@ def test_ivf_persisted_index_prunes_and_recalls(ray_session, tmp_path):
             "neighbor_id"
         ].tolist()
         assert g == want[qi]
+
+
+def test_ivf_rebuild_is_idempotent(ray_session, tmp_path):
+    """Rebuilding into a reused index_dir must not leave stale/duplicate
+    vector files: same file count, identical search results."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from clickhouse_data_pipeline_ray.functions.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    emb = rng.standard_normal((300, 16))
+    rows = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(300)]
+    ds = ray.data.from_items(rows)
+    idx = str(tmp_path / "ivf")
+
+    build_ivf_index(ds, idx, n_centroids=8)
+
+    def vec_files():
+        out = []
+        for root, _dirs, files in os.walk(os.path.join(idx, "vectors")):
+            out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+        return sorted(out)
+
+    files_1 = vec_files()
+    r1 = ivf_index_topk(idx, emb[:3], [0, 1, 2], k=5, nprobe=3)
+
+    # rebuild into the SAME dir (simulates retry after a partial failure)
+    build_ivf_index(ds, idx, n_centroids=8)
+    files_2 = vec_files()
+    assert len(files_1) == len(files_2)  # no appended duplicates
+    assert not os.path.exists(os.path.join(idx, "vectors.tmp"))
+    r2 = ivf_index_topk(idx, emb[:3], [0, 1, 2], k=5, nprobe=3)
+    pd.testing.assert_frame_equal(r1, r2)
+    # duplicates would surface as repeated neighbor ids per query
+    assert not r2.duplicated(subset=["query_id", "neighbor_id"]).any()
+
+
+def test_codec_auto_probe_selects_fake_here():
+    """decoder='auto' must resolve to the fake codec in this container (no
+    PIL/ffmpeg/torchaudio) while keeping the output schema identical."""
+    from clickhouse_data_pipeline_ray.functions.multimodal import (
+        AudioFeatures,
+        ImageDecode,
+        VideoFrameSample,
+        _codec_available,
+    )
+
+    assert not _codec_available("image")
+    assert ImageDecode(decoder="auto").decoder == "fake"
+    assert AudioFeatures(decoder="auto").decoder == "fake"
+    assert VideoFrameSample(decoder="auto").decoder == "fake"
+    import pyarrow as pa
+
+    batch = pa.table(
+        {
+            "media_id": ["m1"],
+            "mime": ["image/fake"],
+            "payload": [b"payload-bytes"],
+        }
+    )
+    out = ImageDecode(decoder="auto")(batch)
+    assert out.column_names == ["media_id", "height", "width", "channels", "feature"]
