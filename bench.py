@@ -113,6 +113,59 @@ def bench_cdc(ray) -> dict:
     }
 
 
+def bench_latency(ray) -> dict:
+    """Micro-batch tail latency: many SMALL segments applied one per epoch
+    through the same replay machinery `apply --follow` uses — the analog of
+    the reference's 1 s-poll streaming consumer (stream_etl/core/consumer.py:
+    95), measuring how fast an epoch turns around when the WAL tail feeds
+    single segments. Reports epochs/s and p50/p95 per-epoch wall (first epoch
+    excluded: it pays Ray's one-time worker warmup)."""
+    import shutil
+    import tempfile
+
+    from clickhouse_data_pipeline_ray.pipelines.apply import (
+        ApplyConfig,
+        create_table,
+        replay,
+    )
+    from clickhouse_data_pipeline_ray.sources.gen import GenParams, ensure_wal
+
+    events = int(os.environ.get("BENCH_LATENCY_EVENTS", "50000"))
+    seg = int(os.environ.get("BENCH_LATENCY_SEGMENT", "1000"))
+    params = GenParams(
+        total_events=events,
+        base_events=events // 4,
+        events_per_segment=seg,
+        seed=42,
+        tok_min=256,
+        tok_max=2048,
+    )
+    wal_dir = ensure_wal(CACHE_ROOT, params, f"lat-{events}-{seg}", parallel=True)
+    table_dir = tempfile.mkdtemp(prefix="cdp_lat_table_", dir=CACHE_ROOT)
+    create_table(table_dir, num_partitions=16)
+    cfg = ApplyConfig(max_segments=1, merge_concurrency=max(2, NUM_CPUS // 4))
+    t0 = time.perf_counter()
+    epochs = replay(table_dir, wal_dir, cfg)
+    wall = time.perf_counter() - t0
+    shutil.rmtree(table_dir, ignore_errors=True)
+    walls = sorted(e["wall_s"] for e in epochs[1:] if not e.get("compaction"))
+    if not walls:
+        walls = [e["wall_s"] for e in epochs]
+    p = lambda q: round(walls[min(len(walls) - 1, int(q * len(walls)))], 3)
+    return {
+        "metric": "cdc_epoch_latency (single-segment micro-batches via the follow-tail path)",
+        "events": events,
+        "events_per_segment": seg,
+        "epochs": len(epochs),
+        "wall_s": round(wall, 3),
+        "epochs_per_s": round(len(epochs) / wall, 3),
+        "epoch_p50_s": p(0.50),
+        "epoch_p95_s": p(0.95),
+        "events_per_s": round(events / wall, 1),
+        "num_cpus": NUM_CPUS,
+    }
+
+
 BENCH_QUERIES = [
     "cdc_append_replay",
     "cdc_fact_monthly_kpi",
@@ -227,9 +280,30 @@ def run_scaling() -> dict:
     }
 
 
+def run_latency() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        return bench_latency(ray)
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     os.makedirs(CACHE_ROOT, exist_ok=True)
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--latency" in sys.argv:
+        print(json.dumps(run_latency()))
     else:
         print(json.dumps(run_once()))

@@ -1,0 +1,123 @@
+"""Mergeable quantile sketch (t-digest) for unbounded double domains.
+
+``doc_length_percentiles`` computes EXACT distributed percentiles via value
+histograms, which requires a bounded discrete domain (ints). For continuous
+columns (e.g. ``events.value``) that state is O(rows); the scalable analog is
+a MERGEABLE sketch: each batch reduces to a bounded centroid set, partials
+merge associatively, and only O(blocks × delta) centroids ever reach the
+driver regardless of corpus size (tree-merge the partials on a 256-node
+cluster if even that is too many — merging is associative).
+
+Implementation: the merging t-digest of Dunning & Ertl ("Computing extremely
+accurate quantiles using t-digests", arXiv:1902.04023) with the k1 scale
+function k(q) = δ/(2π)·asin(2q−1), which bounds each centroid's k-width by 1
+— rank error is ~O(1/δ) mid-range and tighter at the tails. Both the
+per-batch build and the merge are vectorized (sort → integer k-bin →
+reduceat); no Python loop over values or centroids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _k_scale(q: np.ndarray, delta: float) -> np.ndarray:
+    return (delta / (2 * np.pi)) * np.arcsin(np.clip(2 * q - 1, -1.0, 1.0))
+
+
+def _cluster(means: np.ndarray, weights: np.ndarray, delta: float) -> tuple[np.ndarray, np.ndarray]:
+    """Re-cluster (mean, weight) centroids sorted by mean into k1-scale bins
+    (vectorized): a centroid boundary falls wherever the cumulative k value
+    crosses an integer, so every output centroid has k-width ≤ 1."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    if total == 0:
+        return means[:0], weights[:0]
+    q_right = np.cumsum(weights) / total
+    bins = np.floor(_k_scale(q_right, delta) + 0.5 * (2.0 / delta)).astype(np.int64)
+    # boundaries where the bin id changes; reduceat over the runs
+    starts = np.flatnonzero(np.r_[True, bins[1:] != bins[:-1]])
+    w_out = np.add.reduceat(weights, starts)
+    m_out = np.add.reduceat(means * weights, starts) / w_out
+    return m_out, w_out
+
+
+class TDigest:
+    """Immutable centroid set; construct via from_values / merge_all."""
+
+    def __init__(self, means: np.ndarray, weights: np.ndarray, delta: float = 200.0):
+        self.means = np.asarray(means, dtype=np.float64)
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.delta = float(delta)
+
+    @classmethod
+    def from_values(cls, values: np.ndarray, delta: float = 200.0) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return cls(np.empty(0), np.empty(0), delta)
+        m, w = _cluster(v, np.ones(len(v)), delta)
+        return cls(m, w, delta)
+
+    @classmethod
+    def merge_all(cls, digests: list["TDigest"], delta: float = 200.0) -> "TDigest":
+        ms = [d.means for d in digests if len(d.means)]
+        ws = [d.weights for d in digests if len(d.means)]
+        if not ms:
+            return cls(np.empty(0), np.empty(0), delta)
+        m, w = _cluster(np.concatenate(ms), np.concatenate(ws), delta)
+        return cls(m, w, delta)
+
+    @property
+    def total_weight(self) -> float:
+        return float(self.weights.sum())
+
+    def quantile(self, q: float) -> float:
+        """Interpolated value at quantile q (centroid-midpoint convention)."""
+        n = len(self.means)
+        if n == 0:
+            return float("nan")
+        if n == 1:
+            return float(self.means[0])
+        total = self.weights.sum()
+        t = q * total
+        cum_mid = np.cumsum(self.weights) - self.weights / 2.0
+        i = int(np.searchsorted(cum_mid, t))
+        if i <= 0:
+            return float(self.means[0])
+        if i >= n:
+            return float(self.means[-1])
+        c0, c1 = cum_mid[i - 1], cum_mid[i]
+        m0, m1 = self.means[i - 1], self.means[i]
+        frac = 0.0 if c1 == c0 else (t - c0) / (c1 - c0)
+        return float(m0 + (m1 - m0) * frac)
+
+
+def quantile_sketch(
+    ds: ray.data.Dataset, col: str, delta: float = 200.0
+) -> TDigest:
+    """Distributed t-digest over a double column: one streamed pass, each
+    batch emitting its centroid set as a single (means, weights) list row;
+    the driver merge sees O(blocks × delta) centroids, never raw values."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        d = TDigest.from_values(v, delta)
+        return pa.table(
+            {
+                "mean": pa.array([d.means.tolist()], pa.list_(pa.float64())),
+                "weight": pa.array([d.weights.tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts: pd.DataFrame = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    digests = [
+        TDigest(np.asarray(m), np.asarray(w), delta)
+        for m, w in zip(parts["mean"], parts["weight"])
+    ]
+    return TDigest.merge_all(digests, delta)

@@ -283,6 +283,123 @@ def cdc_fact_monthly_kpi(sf_dir: str) -> pa.Table:
     )
 
 
+def cdc_registry_sync(sf_dir: str) -> pa.Table:
+    """Multi-table lifecycle end-to-end (the reference's four-table
+    dependency-ordered sync, etl/core/pipeline.py:341-347): register a lake
+    with an upsert dim (docs) and an append fact table depending on it, sync
+    BOTH WALs through ``registry.sync_all`` (dims before facts), then a
+    cross-table summary joining fact events to live dim docs.
+
+    The join is the co-partitioned shuffle shape (not broadcast): facts
+    pre-aggregate per doc inside map_batches, both sides are hash-bucketed on
+    doc_id into O(CPUs) groups, and each group left-joins vectorized and
+    emits per-source partials — so the shuffle moves one row per (doc, side),
+    and only tiny (source, sums) partials reach the driver."""
+    import shutil
+
+    from ..schemas import FACT_SNAPSHOT_SCHEMA as _FS
+    from ..schemas import SNAPSHOT_SCHEMA as _DS
+    from ..state.registry import register_table, sync_all, table_dir
+    from .apply import read_snapshot
+
+    lake = tempfile.mkdtemp(prefix="cdp_lake_")
+    try:
+        register_table(lake, "docs", _DS, key_col="doc_id", mode="upsert")
+        register_table(
+            lake, "facts", _FS, key_col="event_id", mode="append",
+            partition_spec=_FACT_TIME_SPEC, depends_on=("docs",),
+        )
+        results = sync_all(
+            lake,
+            {"docs": _cdc_wal(sf_dir, evolve=False), "facts": _fact_wal(sf_dir)},
+        )
+        bad = [r for r in results if "error" in r or r.get("skipped")]
+        if bad:
+            raise RuntimeError(f"registry sync failed: {bad}")
+
+        dim = read_snapshot(table_dir(lake, "docs"))
+        facts = read_snapshot(table_dir(lake, "facts"))
+        n_buckets = _n_reduce_buckets()
+
+        def _bucketed(t: pa.Table) -> pa.ChunkedArray:
+            from pandas.util import hash_array
+
+            did = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.array(
+                (hash_array(did, categorize=False) % np.uint64(n_buckets)).astype(
+                    np.int32
+                )
+            )
+
+        def dim_side(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "source": b.column("source"),
+                    "n": pa.nulls(b.num_rows, pa.int64()),
+                    "v": pa.nulls(b.num_rows, pa.int64()),
+                }
+            )
+            return t.append_column("ub", _bucketed(t))
+
+        def fact_side(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "n": pa.nulls(b.num_rows, pa.int64()).fill_null(1),
+                    "v": _fixed_point(b.column("value"), 1000.0),
+                }
+            )
+            agg = t.group_by("doc_id").aggregate([("n", "sum"), ("v", "sum")])
+            out = pa.table(
+                {
+                    "doc_id": agg.column("doc_id"),
+                    "source": pa.nulls(agg.num_rows, pa.string()),
+                    "n": agg.column("n_sum"),
+                    "v": agg.column("v_sum"),
+                }
+            )
+            return out.append_column("ub", _bucketed(out))
+
+        def join_block(g: pd.DataFrame) -> pd.DataFrame:
+            d = g[g["source"].notna()][["doc_id", "source"]]
+            f = (
+                g[g["source"].isna()]
+                .groupby("doc_id", as_index=False)[["n", "v"]]
+                .sum()
+            )
+            m = d.merge(f, on="doc_id", how="left")
+            out = m.groupby("source", as_index=False).agg(
+                n_docs=("doc_id", "count"), n_events=("n", "sum"), v=("v", "sum")
+            )
+            for c in ("n_events", "v"):
+                out[c] = out[c].fillna(0).astype("int64")
+            return out
+
+        parts = (
+            dim.map_batches(dim_side, batch_format="pyarrow")
+            .union(facts.map_batches(fact_side, batch_format="pyarrow"))
+            .groupby("ub")
+            .map_groups(join_block, batch_format="pandas")
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    pdf = (
+        parts.groupby("source", as_index=False)[["n_docs", "n_events", "v"]]
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_events", "v"):
+        pdf[c] = pdf[c].astype("int64")
+    pdf = pdf.rename(columns={"v": "sum_value_milli"})
+    return pa.Table.from_pandas(
+        pdf[["source", "n_docs", "n_events", "sum_value_milli"]],
+        preserve_index=False,
+    )
+
+
 # --------------------------------------------------------------------------
 # Incremental scan / normalize / LWW (SQL-checked)
 # --------------------------------------------------------------------------
@@ -819,6 +936,26 @@ def q_ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "rank", "neighbor_id"]]
 
 
+def q_value_quantiles_sketch(sf_dir: str) -> pa.Table:
+    """Approximate percentiles over an UNBOUNDED double column (events.value)
+    via the mergeable t-digest (functions/sketch.py): one streamed pass, each
+    block reduced to ≤~2δ centroids — the scalable complement to the exact
+    bounded-domain histogram of q_doc_length_percentiles. Approximate ⇒ no
+    SQL oracle; the rank-error bound vs DuckDB quantile_cont is pinned by
+    tests/test_sketch.py."""
+    from ..functions.sketch import quantile_sketch
+
+    ds = _read(sf_dir, "events", ["value"])
+    d = quantile_sketch(ds, "value")
+    qs = [0.01, 0.5, 0.9, 0.99]
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value_est": pa.array([d.quantile(q) for q in qs], pa.float64()),
+        }
+    )
+
+
 # ---- non-SQL-expressible (rows-only driver check; pytest covers behavior) --
 
 
@@ -966,6 +1103,7 @@ QUERIES = {
     "cdc_kpi_source_stats": cdc_kpi_source_stats,
     "cdc_append_replay": cdc_append_replay,
     "cdc_fact_monthly_kpi": cdc_fact_monthly_kpi,
+    "cdc_registry_sync": cdc_registry_sync,
     "incremental_scan_events": q_incremental_scan_events,
     "normalize_documents": q_normalize_documents,
     "lww_latest_event_per_user": q_lww_latest_event_per_user,
@@ -980,6 +1118,7 @@ QUERIES = {
     "window_hourly_events": q_window_hourly_events,
     "prev_event_gap": q_prev_event_gap,
     "doc_length_percentiles": q_doc_length_percentiles,
+    "value_quantiles_sketch": q_value_quantiles_sketch,
     "top_docs_per_source": q_top_docs_per_source,
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_counts_documents": q_token_counts_documents,
@@ -1084,6 +1223,19 @@ def build_oracle_sql(sf_dir: str) -> dict[str, str]:
         WHERE event_ts >= TIMESTAMP '2024-02-01'
           AND event_ts < TIMESTAMP '2024-03-01'
         GROUP BY event_type
+    """
+    out["cdc_registry_sync"] = f"""
+        WITH snap AS ({_cdc_snapshot_sql(wal, evolved=False)}),
+        f AS (
+          SELECT doc_id, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS value_milli
+          FROM read_parquet('{fact_wal}/seg-*.parquet')
+        )
+        SELECT snap.source,
+               count(DISTINCT snap.doc_id) AS n_docs,
+               CAST(count(f.doc_id) AS BIGINT) AS n_events,
+               CAST(coalesce(sum(f.value_milli), 0) AS BIGINT) AS sum_value_milli
+        FROM snap LEFT JOIN f USING (doc_id)
+        GROUP BY snap.source
     """
     return out
 

@@ -1,0 +1,67 @@
+"""t-digest quantile sketch: merge associativity + rank-error bound against
+DuckDB's exact quantile_cont on the real testdata column."""
+
+import duckdb
+import numpy as np
+
+import ray.data
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_tdigest_rank_error_bound_vs_duckdb(ray_session):
+    from clickhouse_data_pipeline_ray.functions.sketch import quantile_sketch
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["value"])
+    d = quantile_sketch(ds, "value")
+
+    con = duckdb.connect()
+    exact_vals = np.sort(
+        con.execute(
+            f"SELECT value FROM read_parquet('{SF_DIR}/events.parquet')"
+        ).df()["value"].to_numpy()
+    )
+    n = len(exact_vals)
+    assert abs(d.total_weight - n) < 1e-6
+
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = d.quantile(q)
+        exact = con.execute(
+            f"SELECT quantile_cont(value, {q}) FROM read_parquet('{SF_DIR}/events.parquet')"
+        ).fetchone()[0]
+        # rank-error bound: the estimate's rank must sit within 1% of q
+        rank = np.searchsorted(exact_vals, est) / n
+        assert abs(rank - q) <= 0.01, (q, est, exact, rank)
+
+
+def test_tdigest_merge_matches_single_build():
+    """Merging per-chunk digests must track the single-pass digest (both
+    within the rank-error bound of the exact quantiles)."""
+    from clickhouse_data_pipeline_ray.functions.sketch import TDigest
+
+    rng = np.random.default_rng(7)
+    v = rng.lognormal(size=100_000)
+    sv = np.sort(v)
+    single = TDigest.from_values(v)
+    merged = TDigest.merge_all(
+        [TDigest.from_values(c) for c in np.array_split(v, 37)]
+    )
+    for q in (0.05, 0.5, 0.95, 0.999):
+        for d in (single, merged):
+            rank = np.searchsorted(sv, d.quantile(q)) / len(sv)
+            assert abs(rank - q) <= 0.005, (q, rank)
+
+
+def test_tdigest_bounded_state():
+    """Centroid count stays O(delta) no matter the input size (the mergeable
+    -sketch contract: driver state independent of corpus size)."""
+    from clickhouse_data_pipeline_ray.functions.sketch import TDigest
+
+    rng = np.random.default_rng(3)
+    d = TDigest.from_values(rng.normal(size=500_000), delta=100.0)
+    assert len(d.means) <= 220  # ~2x delta worst case
+
+    empty = TDigest.from_values(np.array([]))
+    assert np.isnan(empty.quantile(0.5))
+    one = TDigest.from_values(np.array([42.0]))
+    assert one.quantile(0.9) == 42.0
