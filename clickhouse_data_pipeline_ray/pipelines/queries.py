@@ -936,6 +936,165 @@ def q_ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "rank", "neighbor_id"]]
 
 
+# Stratified sampling rates (percent) — the SQL CASE twin is generated from
+# this dict, so both sides share one source of truth.
+_SAMPLE_RATES = {"src0": 100, "src1": 50}
+_SAMPLE_DEFAULT = 20
+
+
+def q_sample_documents(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic stratified hash sampling (train-set downsampling by
+    source): keep a doc iff LehmerHash(doc_id) % 100 < rate(source). The
+    hash ((key*48271) % (2^31-1), Park-Miller constants) is plain int64
+    arithmetic computable identically in SQL — no RNG, no state — so the
+    sample is reproducible on any engine and any partitioning. Map-only:
+    no shuffle, prunes at full scan speed."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def f(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (did * 48271) % 2147483647
+        rate = np.full(len(did), _SAMPLE_DEFAULT, np.int64)
+        for s, r in _SAMPLE_RATES.items():
+            rate[pc.equal(b.column("source"), s).to_numpy(zero_copy_only=False)] = r
+        return b.filter(pa.array((h % 100) < rate))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _tokenize_words(b: pa.Table, vocab: int = 50_257) -> pa.Table:
+    """(doc_id, tokens:list<int32>) via word-regex split + hash-mod-vocab ids
+    — fully vectorized (one split kernel, one hash pass, offset rebuild; the
+    empty-string boundary artifacts of splitting are masked without a Python
+    loop). Token COUNTS equal len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+    — the SQL-checkable invariant q_pack_sequences leans on."""
+    from pandas.util import hash_array
+
+    words = pc.split_pattern_regex(
+        b.column("text"), pattern="[^A-Za-z0-9]+"
+    ).combine_chunks()
+    offsets = words.offsets.to_numpy().astype(np.int64)
+    flat = words.flatten()
+    if len(flat):
+        mask = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        ids_all = hash_array(
+            flat.to_numpy(zero_copy_only=False).astype(object), categorize=False
+        )
+        ids = (ids_all[mask] % np.uint64(vocab)).astype(np.int32)
+        cums = np.r_[0, np.cumsum(mask.astype(np.int64))]
+        doc_counts = cums[offsets[1:]] - cums[offsets[:-1]]
+    else:
+        ids = np.empty(0, np.int32)
+        doc_counts = np.zeros(b.num_rows, np.int64)
+    new_off = np.r_[0, np.cumsum(doc_counts)]
+    tokens = pa.LargeListArray.from_arrays(pa.array(new_off), pa.array(ids)).cast(
+        pa.list_(pa.int32())
+    )
+    return pa.table({"doc_id": b.column("doc_id"), "tokens": tokens})
+
+
+def q_pack_sequences(sf_dir: str) -> pa.Table:
+    """Sequence packing for pretraining (functions/packing.py): tokenize each
+    doc (word-hash ids), bucket by doc_id % 16, concatenate each bucket's
+    docs in key order and chunk into 512-token training sequences. Returns
+    the per-bucket summary, which is SQL-checkable because packing conserves
+    tokens: total_tok = sum of word counts, n_sequences = ceil(total/512).
+    The packed sequences themselves (exact chunk contents/boundaries) are
+    pinned by tests/test_packing.py."""
+    from ..functions.packing import pack_token_sequences
+
+    seq_len, nb = 512, 16
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tokenized = ds.map_batches(_tokenize_words, batch_format="pyarrow")
+    packed = pack_token_sequences(
+        tokenized, tokens_col="tokens", key_col="doc_id", seq_len=seq_len, n_buckets=nb
+    )
+    pdf = _partial_groupby(
+        packed,
+        lambda b: pa.table(
+            {
+                "bucket": b.column("bucket").cast(pa.int64()),
+                "total_tok": b.column("n_tok").cast(pa.int64()),
+            }
+        ),
+        keys=["bucket"],
+        sums=["total_tok"],
+        count_col="n_sequences",
+    )
+    return pa.Table.from_pandas(
+        pdf[["bucket", "n_sequences", "total_tok"]], preserve_index=False
+    )
+
+
+def q_click_attribution(sf_dir: str) -> ray.data.Dataset:
+    """As-of (temporal) join: each click event attributed to the same user's
+    most recent view at ts_view ≤ ts_click — the ASOF JOIN / point-in-time
+    lookup the reference's CTR views approximate with day buckets. Scale
+    shape: both event kinds are hash-bucketed on user into O(CPUs) co-groups;
+    each group resolves EVERY user's attributions in one vectorized pass
+    (views deduped per (user, ts) to max event_id, merge-sorted with clicks,
+    per-user forward-fill of the last view) — no per-user Python, no
+    broadcast, one shuffle."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_buckets = _n_reduce_buckets()
+
+    def side(b: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        et = b.column("event_type")
+        keep = pc.or_(pc.equal(et, "click"), pc.equal(et, "view"))
+        t = b.filter(keep)
+        kind = pc.if_else(
+            pc.equal(t.column("event_type"), "view"), 0, 1
+        ).cast(pa.int8())
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ub = (hash_array(uid, categorize=False) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "kind": kind,
+                "ub": pa.array(ub),
+            }
+        )
+
+    def attr_block(g: pd.DataFrame) -> pd.DataFrame:
+        v = (
+            g[g["kind"] == 0]
+            .groupby(["user_id", "ts"], as_index=False)["event_id"]
+            .max()
+        )
+        v["kind"] = np.int8(0)
+        c = g[g["kind"] == 1][["user_id", "ts", "event_id", "kind"]]
+        m = pd.concat([v[["user_id", "ts", "event_id", "kind"]], c])
+        # view sorts BEFORE click at equal ts (the inclusive ts >= ts of ASOF)
+        m = m.sort_values(["user_id", "ts", "kind"], kind="mergesort")
+        vid = m["event_id"].where(m["kind"] == 0)
+        vts = m["ts"].where(m["kind"] == 0)
+        last_vid = vid.groupby(m["user_id"], sort=False).ffill()
+        last_vts = vts.groupby(m["user_id"], sort=False).ffill()
+        out = m["kind"] == 1
+        # ms-truncate each side before differencing (date_diff convention,
+        # same as q_prev_event_gap)
+        ms_c = m["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+        ms_v = last_vts.astype("datetime64[ns]").astype("int64") // 1_000_000
+        gap = pd.Series(np.where(last_vts.notna(), ms_c - ms_v, np.nan), index=m.index)
+        return pd.DataFrame(
+            {
+                "event_id": m.loc[out, "event_id"].to_numpy(),
+                "view_event_id": last_vid[out].to_numpy(),
+                "gap_ms": gap[out].to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(side, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(attr_block, batch_format="pandas")
+    )
+
+
 def q_value_quantiles_sketch(sf_dir: str) -> pa.Table:
     """Approximate percentiles over an UNBOUNDED double column (events.value)
     via the mergeable t-digest (functions/sketch.py): one streamed pass, each
@@ -1119,6 +1278,9 @@ QUERIES = {
     "prev_event_gap": q_prev_event_gap,
     "doc_length_percentiles": q_doc_length_percentiles,
     "value_quantiles_sketch": q_value_quantiles_sketch,
+    "sample_documents": q_sample_documents,
+    "pack_sequences": q_pack_sequences,
+    "click_attribution": q_click_attribution,
     "top_docs_per_source": q_top_docs_per_source,
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_counts_documents": q_token_counts_documents,
@@ -1357,6 +1519,35 @@ ORACLE_SQL = {
     "dedup_exact_documents": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY text
+    """,
+    "sample_documents": f"""
+        SELECT doc_id, source FROM documents
+        WHERE ((doc_id * 48271) % 2147483647) % 100 <
+              CASE {' '.join(f"WHEN source = '{s}' THEN {r}" for s, r in _SAMPLE_RATES.items())}
+                   ELSE {_SAMPLE_DEFAULT} END
+    """,
+    "pack_sequences": """
+        SELECT doc_id % 16 AS bucket,
+               CAST(CEIL(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) / 512.0)
+                   AS BIGINT) AS n_sequences,
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+                   AS total_tok
+        FROM documents
+        GROUP BY 1
+        HAVING sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) > 0
+    """,
+    "click_attribution": """
+        WITH v AS (
+          SELECT user_id, ts, max(event_id) AS view_event_id
+          FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        ),
+        c AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        )
+        SELECT c.event_id, v.view_event_id,
+               date_diff('millisecond', v.ts, c.ts) AS gap_ms
+        FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
     """,
     "token_counts_documents": """
         SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words
