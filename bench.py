@@ -180,7 +180,12 @@ BENCH_QUERIES = [
     "window_hourly_events",
     "prev_event_gap",
     "doc_length_percentiles",
+    "value_quantiles_sketch",
     "top_docs_per_source",
+    "sample_documents",
+    "pack_sequences",
+    "click_attribution",
+    "cdc_registry_sync",
     "dedup_exact_documents",
     "token_counts_documents",
     "quality_score_documents",

@@ -172,6 +172,17 @@ def _run(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("status", help="print the manifest summary")
     sp.add_argument("--table", required=True)
 
+    sp = sub.add_parser(
+        "query",
+        help="run a driver-contract query/operator by name over an sf dir "
+             "(list available names with `query --list`)",
+    )
+    sp.add_argument("name", nargs="?", default=None)
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--list", action="store_true", dest="list_queries")
+    sp.add_argument("--limit", type=int, default=20,
+                    help="rows printed (full result still computed)")
+
     args = p.parse_args(argv)
 
     if args.cmd == "init":
@@ -340,6 +351,39 @@ def _run(argv: list[str] | None = None) -> int:
                 print(json.dumps(kpi_report(args.table, epoch=args.epoch), default=str))
         finally:
             ray.shutdown()
+        return 0
+
+    if args.cmd == "query":
+        from .pipelines.queries import QUERIES
+
+        if args.list_queries or args.name is None:
+            print(json.dumps(sorted(QUERIES)))
+            return 0
+        if args.name not in QUERIES:
+            raise ValueError(
+                f"unknown query {args.name!r} — `query --list` prints the names"
+            )
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        res = QUERIES[args.name](args.sf_dir)
+        import pandas as pd
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            pdf = res.to_pandas()
+        elif isinstance(res, pa.Table):
+            pdf = res.to_pandas()
+        else:
+            pdf = pd.DataFrame(res)
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "query": args.name, "sf_dir": args.sf_dir, "rows": len(pdf),
+            "columns": list(map(str, pdf.columns)), "wall_s": round(wall, 3),
+        }))
+        with pd.option_context("display.max_columns", 20, "display.width", 200):
+            print(pdf.head(args.limit).to_string(index=False))
         return 0
 
     if args.cmd == "status":
