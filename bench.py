@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "top_docs_per_source",
     "sample_documents",
     "pack_sequences",
+    "corpus_clean",
     "click_attribution",
     "cdc_registry_sync",
     "dedup_exact_documents",

@@ -942,6 +942,84 @@ _SAMPLE_RATES = {"src0": 100, "src1": 50}
 _SAMPLE_DEFAULT = 20
 
 
+def q_corpus_clean(sf_dir: str) -> pa.Table:
+    """Flagship training-data composition — the full corpus-cleaning workflow
+    as ONE streamed pipeline: quality filter (integer-exact predicates) →
+    exact dedup (content fingerprint, keep smallest key) → deterministic hash
+    sample (60%) → tokenize → pack into 512-token sequences. Two shuffles
+    total (dedup groupby + pack bucket groupby); every other stage is
+    map-only. The per-bucket summary is EXACTLY SQL-checkable end-to-end
+    because each stage is deterministic and token-conserving.
+
+    Quality predicates use integer cross-multiplication (2*n_alpha >=
+    n_chars), never float ratios — bit-identical accept/reject on both
+    engines."""
+    from ..functions.packing import pack_token_sequences
+
+    seq_len, nb = 512, 16
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def quality_filter(b: pa.Table) -> pa.Table:
+        n_words = pc.count_substring_regex(b.column("text"), pattern="[A-Za-z0-9]+")
+        n_alpha = pc.count_substring_regex(b.column("text"), pattern="[A-Za-z]")
+        n_chars = pc.utf8_length(b.column("text"))
+        keep = pc.and_(
+            pc.greater_equal(n_words, 5),
+            pc.greater_equal(pc.multiply(n_alpha.cast(pa.int64()), 2), n_chars.cast(pa.int64())),
+        )
+        t = b.filter(keep)
+        return F_text.fingerprint_batch(t, "text")
+
+    filtered = ds.map_batches(quality_filter, batch_format="pyarrow")
+    # exact dedup, two-level like functions.dedup.exact_dedup: per-batch
+    # keep-min partial (shrinks blocks before the shuffle) → hash-bucket the
+    # fingerprints into O(CPUs) groups → one vectorized keep-min per group.
+    # Python runs O(buckets) times, never O(distinct texts).
+    nb_red = _n_reduce_buckets()
+
+    def compact_and_bucket(b: pa.Table) -> pa.Table:
+        w = lww_compact(b, key="fingerprint", version="doc_id", version_order="min")
+        fp = w.column("fingerprint").to_numpy(zero_copy_only=False)
+        fb = (fp.astype(np.int64).view(np.uint64) % np.uint64(nb_red)).astype(np.int32)
+        return w.append_column("fpb", pa.array(fb))
+
+    deduped = (
+        filtered.map_batches(compact_and_bucket, batch_format="pyarrow")
+        .groupby("fpb")
+        .map_groups(
+            lambda g: lww_compact(
+                g, key="fingerprint", version="doc_id", version_order="min"
+            ).drop_columns(["fpb"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def sample_and_tokenize(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((did * 48271) % 2147483647) % 100 < 60
+        return _tokenize_words(b.filter(pa.array(keep)))
+
+    tokenized = deduped.map_batches(sample_and_tokenize, batch_format="pyarrow")
+    packed = pack_token_sequences(
+        tokenized, tokens_col="tokens", key_col="doc_id", seq_len=seq_len, n_buckets=nb
+    )
+    pdf = _partial_groupby(
+        packed,
+        lambda b: pa.table(
+            {
+                "bucket": b.column("bucket").cast(pa.int64()),
+                "total_tok": b.column("n_tok").cast(pa.int64()),
+            }
+        ),
+        keys=["bucket"],
+        sums=["total_tok"],
+        count_col="n_sequences",
+    )
+    return pa.Table.from_pandas(
+        pdf[["bucket", "n_sequences", "total_tok"]], preserve_index=False
+    )
+
+
 def q_sample_documents(sf_dir: str) -> ray.data.Dataset:
     """Deterministic stratified hash sampling (train-set downsampling by
     source): keep a doc iff LehmerHash(doc_id) % 100 < rate(source). The
@@ -1281,6 +1359,7 @@ QUERIES = {
     "sample_documents": q_sample_documents,
     "pack_sequences": q_pack_sequences,
     "click_attribution": q_click_attribution,
+    "corpus_clean": q_corpus_clean,
     "top_docs_per_source": q_top_docs_per_source,
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_counts_documents": q_token_counts_documents,
@@ -1534,6 +1613,26 @@ ORACLE_SQL = {
                    AS total_tok
         FROM documents
         GROUP BY 1
+        HAVING sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) > 0
+    """,
+    "corpus_clean": """
+        WITH q AS (
+          SELECT doc_id, text FROM documents
+          WHERE len(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 5
+            AND 2 * len(regexp_extract_all(text, '[A-Za-z]')) >= LENGTH(text)
+        ),
+        kept AS (
+          SELECT min(doc_id) AS doc_id, text FROM q GROUP BY text
+        ),
+        sampled AS (
+          SELECT * FROM kept WHERE ((doc_id * 48271) % 2147483647) % 100 < 60
+        )
+        SELECT doc_id % 16 AS bucket,
+               CAST(CEIL(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) / 512.0)
+                   AS BIGINT) AS n_sequences,
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+                   AS total_tok
+        FROM sampled GROUP BY 1
         HAVING sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) > 0
     """,
     "click_attribution": """
