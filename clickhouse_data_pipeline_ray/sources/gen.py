@@ -331,12 +331,21 @@ def ensure_fact_wal(cache_root: str, params: FactGenParams, tag: str) -> str:
 
 
 def ensure_wal(cache_root: str, params: GenParams, tag: str, parallel: bool = False) -> str:
-    """Idempotent cached generation: /{cache_root}/{tag}/ with a DONE marker."""
+    """Idempotent cached generation: /{cache_root}/{tag}/ with a DONE marker
+    recording the generating params. A cache built from DIFFERENT params is
+    regenerated (same contract as ensure_fact_wal — a stale cache would
+    silently desync the Ray query from its DuckDB oracle)."""
+    import shutil
+
     wal_dir = os.path.join(cache_root, tag)
     marker = os.path.join(wal_dir, "_DONE")
+    want = repr(params)
     if os.path.exists(marker):
-        return wal_dir
+        with open(marker) as f:
+            if f.read() == want:
+                return wal_dir
+        shutil.rmtree(wal_dir)
     generate_wal(wal_dir, params, parallel=parallel)
     with open(marker, "w") as f:
-        f.write(repr(params))
+        f.write(want)
     return wal_dir

@@ -195,3 +195,28 @@ def test_shard_range_violation_detected(tmp_path):
     shutil.move(os.path.join(src_dir, seg), os.path.join(wal, shards[0], seg))
     with pytest.raises(ValueError, match="shard range"):
         list_segments(wal)
+
+
+def test_ensure_wal_regenerates_on_param_change(tmp_path):
+    """ensure_wal's _DONE marker records the generating params; a cache built
+    from different params is torn down and regenerated (a stale cache would
+    silently desync a Ray query from its DuckDB oracle)."""
+    import os
+
+    from clickhouse_data_pipeline_ray.sources.gen import ensure_wal
+
+    root = str(tmp_path)
+    p1 = replace(PARAMS, total_events=1_500)
+    wal = ensure_wal(root, p1, "t")
+    marker = os.path.join(wal, "_DONE")
+    mtime = os.path.getmtime(marker)
+    # same params -> cache hit, nothing rewritten
+    assert ensure_wal(root, p1, "t") == wal
+    assert os.path.getmtime(marker) == mtime
+    # changed params -> regenerated with the new marker
+    p2 = replace(PARAMS, total_events=2_500)
+    ensure_wal(root, p2, "t")
+    with open(marker) as f:
+        assert f.read() == repr(p2)
+    n_segments = len(list_segments(wal))
+    assert n_segments == len(plan_segments(p2))
