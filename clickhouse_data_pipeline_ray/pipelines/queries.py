@@ -36,6 +36,7 @@ from ..functions import textstats as F_text
 from ..functions.multimodal import ImageDecode
 from ..schemas import FACT_SNAPSHOT_SCHEMA
 from ..sources.gen import FactGenParams, GenParams, ensure_fact_wal, ensure_wal
+from ..stages.join import hash_join
 from ..stages.merge import lww_compact
 from .apply import (
     ApplyConfig,
@@ -684,6 +685,82 @@ def q_revenue_by_brand(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         pdf[["p_brand", "n_items", "revenue_cents"]], preserve_index=False
     )
+
+
+def q_order_lineitem_revenue(sf_dir: str) -> pa.Table:
+    """J8 (beyond the reference): LARGE × LARGE distributed hash join —
+    orders ⋈ lineitem on orderkey where NEITHER side is broadcastable at
+    scale (the reference can only do this inside ClickHouse SQL,
+    /root/reference/etl/clickhouse_schema/kpi_views.sql). Both sides are
+    column-pruned and map-side reduced to their minimal payloads (orders →
+    month + priority strings; lineitem → pre-fixed-pointed revenue cents)
+    BEFORE the single co-partitioning shuffle, then joined per bucket with
+    Acero's vectorized hash join and aggregate-combined to ~60 groups."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_month": pc.strftime(b.column("o_orderdate"), format="%Y-%m"),
+                "o_orderpriority": b.column("o_orderpriority"),
+            }
+        )
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice").cast(pa.float64()),
+            pc.subtract(1.0, b.column("l_discount").cast(pa.float64())),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "revenue_cents": pc.floor(
+                    pc.add(pc.multiply(rev, 100.0), 0.5)
+                ).cast(pa.int64()),
+            }
+        )
+
+    joined = hash_join(
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        on="o_orderkey",
+        how="inner",
+    )
+    pdf = _partial_groupby(
+        joined,
+        lambda b: b.select(["o_month", "o_orderpriority", "revenue_cents"]),
+        keys=["o_month", "o_orderpriority"],
+        sums=["revenue_cents"],
+        count_col="n_items",
+    )
+    pdf = pdf[["o_month", "o_orderpriority", "n_items", "revenue_cents"]].sort_values(
+        ["o_month", "o_orderpriority"]
+    )
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def q_orders_no_lineitem(sf_dir: str) -> pa.Table:
+    """Anti-join via the same co-partitioned shuffle: orders with zero
+    lineitems, counted per priority. The right side ships only its key
+    column, per-batch deduplicated map-side (unique before the shuffle) —
+    the distributed form of ``WHERE key NOT IN (SELECT ...)``."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li_keys = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        lambda b: pa.table({"o_orderkey": pc.unique(b.column("l_orderkey"))}),
+        batch_format="pyarrow",
+    )
+    missing = hash_join(orders, li_keys, on="o_orderkey", how="left anti")
+    pdf = _partial_groupby(
+        missing,
+        lambda b: b.select(["o_orderpriority"]),
+        keys=["o_orderpriority"],
+        sums=[],
+        count_col="n_orders",
+    )
+    pdf = pdf[["o_orderpriority", "n_orders"]].sort_values("o_orderpriority")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
 # --------------------------------------------------------------------------
@@ -1350,6 +1427,8 @@ QUERIES = {
     "ctr_daily": q_ctr_daily,
     "orders_by_nation": q_orders_by_nation,
     "revenue_by_brand": q_revenue_by_brand,
+    "order_lineitem_revenue": q_order_lineitem_revenue,
+    "orders_no_lineitem": q_orders_no_lineitem,
     "top5_users_by_value": q_top5_users_by_value,
     "sessionize_events": q_sessionize_events,
     "window_hourly_events": q_window_hourly_events,
@@ -1544,6 +1623,21 @@ ORACLE_SQL = {
                    AS BIGINT) AS revenue_cents
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
+    """,
+    "order_lineitem_revenue": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+               o_orderpriority,
+               count(*) AS n_items,
+               CAST(sum(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS revenue_cents
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+    """,
+    "orders_no_lineitem": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        GROUP BY o_orderpriority
     """,
     "top5_users_by_value": """
         SELECT user_id,

@@ -1,0 +1,140 @@
+"""Distributed co-partitioned hash join vs a pandas-merge oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from clickhouse_data_pipeline_ray.stages.join import hash_join
+
+
+def _sides(seed=11, n_left=5_000, n_right=1_200, n_keys=800):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_left),
+            "lv": rng.integers(0, 1000, n_left),
+        }
+    )
+    # right misses some keys and has keys the left misses (outer coverage)
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(n_keys // 4, n_keys + n_keys // 4, n_right),
+            "rv": rng.normal(size=n_right).round(4),
+        }
+    )
+    return left, right
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return (
+        df[cols]
+        .sort_values(cols, na_position="last")
+        .reset_index(drop=True)
+        .astype({c: "float64" for c in cols})
+    )
+
+
+@pytest.mark.parametrize(
+    "how,pd_how",
+    [
+        ("inner", "inner"),
+        ("left outer", "left"),
+        ("full outer", "outer"),
+    ],
+)
+def test_hash_join_matches_pandas(ray_session, how, pd_how):
+    import ray
+
+    left, right = _sides()
+    got = hash_join(
+        ray.data.from_pandas(left).repartition(7),
+        ray.data.from_pandas(right).repartition(3),
+        on="k",
+        how=how,
+    ).to_pandas()
+    want = left.merge(right, on="k", how=pd_how)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_hash_join_semi_anti(ray_session):
+    import ray
+
+    left, right = _sides(seed=3)
+    lds = ray.data.from_pandas(left).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(4)
+    in_right = set(right["k"])
+
+    semi = hash_join(lds, rds, on="k", how="left semi").to_pandas()
+    want_semi = left[left["k"].isin(in_right)]
+    pd.testing.assert_frame_equal(_canon(semi), _canon(want_semi))
+
+    anti = hash_join(lds, rds, on="k", how="left anti").to_pandas()
+    want_anti = left[~left["k"].isin(in_right)]
+    pd.testing.assert_frame_equal(_canon(anti), _canon(want_anti))
+
+
+def test_hash_join_multi_key_bucket_invariant(ray_session):
+    """Composite keys join correctly and the result is invariant to the
+    bucket count (pure hash partitioning)."""
+    import ray
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "a": rng.integers(0, 20, 2_000),
+            "b": rng.choice(["x", "y", "z"], 2_000),
+            "lv": np.arange(2_000),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "a": rng.integers(0, 25, 600),
+            "b": rng.choice(["x", "y", "w"], 600),
+            "rv": np.arange(600) * 2,
+        }
+    )
+    want = left.merge(right, on=["a", "b"], how="inner")
+    outs = []
+    for nb in (8, 31):
+        got = hash_join(
+            ray.data.from_pandas(left).repartition(6),
+            ray.data.from_pandas(right).repartition(2),
+            on=["a", "b"],
+            how="inner",
+            n_buckets=nb,
+        ).to_pandas()
+        num = _canon(got.drop(columns=["b"]))
+        outs.append((num, got))
+        pd.testing.assert_frame_equal(num, _canon(want.drop(columns=["b"])))
+    # string column equality too (canonical order by all columns)
+    for _, got in outs:
+        g = got.sort_values(sorted(got.columns)).reset_index(drop=True)
+        w = want.sort_values(sorted(want.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            g[sorted(g.columns)], w[sorted(w.columns)], check_dtype=False
+        )
+
+
+def test_hash_join_rejects_bad_input(ray_session):
+    import ray
+
+    left = pd.DataFrame({"k": [1], "v": [1]})
+    right_clash = pd.DataFrame({"k": [1], "v": [2]})
+    with pytest.raises(ValueError, match="both sides"):
+        hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right_clash), on="k"
+        )
+    right_typed = pd.DataFrame({"k": ["1"], "rv": [2]})
+    with pytest.raises(TypeError, match="join key"):
+        hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right_typed), on="k"
+        )
+    with pytest.raises(ValueError, match="how="):
+        hash_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(pd.DataFrame({"k": [1], "rv": [2]})),
+            on="k",
+            how="cross",
+        )
