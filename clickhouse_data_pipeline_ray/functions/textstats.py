@@ -67,6 +67,130 @@ class QualityScore:
         return batch
 
 
+class Redact:
+    """PII / blocklist scrubbing (the safety pass every training-data
+    pipeline runs before tokenization): sequentially apply RE2 patterns,
+    replacing every match with ``token`` and counting matches per row.
+
+    Patterns are RE2 in both pyarrow and DuckDB, so the SQL oracle applies
+    the IDENTICAL patterns via nested regexp_replace/regexp_extract_all.
+    Sequential contract: pattern i's matches are counted on the text AFTER
+    patterns < i were applied (mirrored by the SQL nesting). Stateful stage:
+    the pattern list lives in the actor, applied vectorized per batch."""
+
+    # Classic PII shapes (RE2-safe, no backrefs). The synthetic corpus
+    # contains none of these — driver queries add a term blocklist that does
+    # match, so the replacement path is exercised end-to-end.
+    PII_PATTERNS = {
+        "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+        "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "phone": r"\+?[0-9][0-9() -]{6,}[0-9]",
+    }
+
+    def __init__(
+        self,
+        patterns: tuple[str, ...],
+        token: str = "[PII]",
+        text_col: str = "text",
+    ):
+        self.patterns = tuple(patterns)
+        self.token = token
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        total = pa.nulls(batch.num_rows, pa.int64()).fill_null(0)
+        for pat in self.patterns:
+            c = pc.count_substring_regex(text, pattern=pat).cast(pa.int64())
+            total = pc.add(total, c)
+            text = pc.replace_substring_regex(
+                text, pattern=pat, replacement=self.token
+            )
+        batch = batch.append_column("text_redacted", text)
+        return batch.append_column("n_redactions", total)
+
+
+class RepetitionStats:
+    """Gopher-style repetition signals per document: duplicate-word fraction,
+    top-word fraction, duplicate-bigram fraction (the quality filters used to
+    drop boilerplate/spam before pretraining).
+
+    One fully vectorized pass per batch: split → flatten → SipHash each word
+    → one lexsort over (row, hash) gives per-row distinct counts, run lengths
+    (→ top-word count) and, from adjacent-hash mixing, bigram distincts —
+    no Python loop over rows or words. Word identity is the 64-bit SipHash
+    (collision odds ~n²/2⁶⁴ — negligible, and deterministic across runs)."""
+
+    def __init__(self, text_col: str = "text", max_dup_word_ratio: float = 0.5):
+        self.text_col = text_col
+        self.max_dup_word_ratio = max_dup_word_ratio
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            empty = pa.nulls(0, pa.int64())
+            for name in ("n_words", "n_dup_words", "n_dup_bigrams"):
+                batch = batch.append_column(name, empty)
+            for name in ("dup_word_ratio", "top_word_ratio", "dup_bigram_ratio"):
+                batch = batch.append_column(name, pa.nulls(0, pa.float64()))
+            return batch.append_column("repetitive", pa.nulls(0, pa.bool_()))
+        lists = pc.split_pattern(batch.column(self.text_col), pattern=" ")
+        flat_counts = pc.list_value_length(lists).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        values = pc.list_flatten(lists).to_numpy(zero_copy_only=False).astype(object)
+        h = hash_array(values, categorize=False)
+        rows = np.repeat(np.arange(n, dtype=np.int64), flat_counts)
+
+        order = np.lexsort((h, rows))
+        rs, hs = rows[order], h[order]
+        is_new = np.empty(len(rs), dtype=bool)
+        is_new[:1] = True
+        is_new[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+        distinct = np.bincount(rs[is_new], minlength=n)
+        # run lengths of equal (row, word) -> max per row = top-word count
+        starts = np.flatnonzero(is_new)
+        run_len = np.diff(np.append(starts, len(rs)))
+        top = np.zeros(n, dtype=np.int64)
+        np.maximum.at(top, rs[starts], run_len)
+
+        # bigrams: mix adjacent hashes within a row (order-sensitive mix)
+        same_row = rows[1:] == rows[:-1]
+        bg = (h[:-1] * np.uint64(0x9E3779B97F4A7C15)) ^ h[1:]
+        bg_rows, bg = rows[:-1][same_row], bg[same_row]
+        n_bigrams = np.bincount(bg_rows, minlength=n)
+        if len(bg):
+            border = np.lexsort((bg, bg_rows))
+            brs, bhs = bg_rows[border], bg[border]
+            bnew = np.empty(len(brs), dtype=bool)
+            bnew[:1] = True
+            bnew[1:] = (brs[1:] != brs[:-1]) | (bhs[1:] != bhs[:-1])
+            bg_distinct = np.bincount(brs[bnew], minlength=n)
+        else:
+            bg_distinct = np.zeros(n, dtype=np.int64)
+
+        n_words = flat_counts
+        safe_w = np.maximum(n_words, 1).astype(np.float64)
+        safe_b = np.maximum(n_bigrams, 1).astype(np.float64)
+        dup_ratio = np.floor((n_words - distinct) / safe_w * 1e6 + 0.5) / 1e6
+        top_ratio = np.floor(top / safe_w * 1e6 + 0.5) / 1e6
+        bg_ratio = np.floor((n_bigrams - bg_distinct) / safe_b * 1e6 + 0.5) / 1e6
+
+        batch = batch.append_column("n_words", pa.array(n_words, pa.int64()))
+        batch = batch.append_column(
+            "n_dup_words", pa.array(n_words - distinct, pa.int64())
+        )
+        batch = batch.append_column(
+            "n_dup_bigrams", pa.array(n_bigrams - bg_distinct, pa.int64())
+        )
+        batch = batch.append_column("dup_word_ratio", pa.array(dup_ratio))
+        batch = batch.append_column("top_word_ratio", pa.array(top_ratio))
+        batch = batch.append_column("dup_bigram_ratio", pa.array(bg_ratio))
+        return batch.append_column(
+            "repetitive", pa.array(dup_ratio > self.max_dup_word_ratio)
+        )
+
+
 class LangId:
     """N-gram/stopword language-ID heuristic (en/de/fr/es + CJK detection).
 

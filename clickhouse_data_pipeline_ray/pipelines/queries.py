@@ -1000,6 +1000,51 @@ def q_quality_score_documents(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# Blocklist terms (match the synthetic vocab so replacement is exercised)
+# + a real email PII pattern (RE2 on both sides; single source of truth for
+# the Ray stage AND the SQL oracle below).
+_REDACT_TERMS = r"\b(customer|key|value)\b"
+_REDACT_EMAIL = F_text.Redact.PII_PATTERNS["email"]
+_REDACT_TOKEN = "[PII]"
+
+
+def q_redact_documents(sf_dir: str) -> ray.data.Dataset:
+    """PII/blocklist scrub — actor-pool stage, sequential RE2 patterns
+    (term blocklist, then email shapes) with per-row redaction counts."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    red = ds.map_batches(
+        F_text.Redact,
+        fn_constructor_kwargs={
+            "patterns": (_REDACT_TERMS, _REDACT_EMAIL),
+            "token": _REDACT_TOKEN,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return red.select_columns(["doc_id", "source", "text_redacted", "n_redactions"])
+
+
+def q_repetition_stats_documents(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition quality filter: duplicate-word / top-word /
+    duplicate-bigram fractions per document, one vectorized lexsort pass."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        F_text.RepetitionStats, batch_format="pyarrow", concurrency=2
+    )
+    return out.select_columns(
+        [
+            "doc_id",
+            "n_words",
+            "n_dup_words",
+            "n_dup_bigrams",
+            "dup_word_ratio",
+            "top_word_ratio",
+            "dup_bigram_ratio",
+            "repetitive",
+        ]
+    )
+
+
 def q_ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-5 for the first 8 vectors (broadcast queries,
     per-batch partial top-k). Score dropped from output (float-order safety);
@@ -1443,6 +1488,8 @@ QUERIES = {
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_counts_documents": q_token_counts_documents,
     "quality_score_documents": q_quality_score_documents,
+    "redact_documents": q_redact_documents,
+    "repetition_stats_documents": q_repetition_stats_documents,
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "minhash_dedup_documents": q_minhash_dedup_documents,
     "simhash_documents": q_simhash_documents,
@@ -1755,6 +1802,52 @@ ORACLE_SQL = {
                round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
                      / greatest(LENGTH(text), 1), 6) AS q_alpha_ratio
         FROM documents
+    """,
+    "redact_documents": f"""
+        SELECT doc_id, source,
+               regexp_replace(
+                   regexp_replace(text, '{_REDACT_TERMS}', '{_REDACT_TOKEN}', 'g'),
+                   '{_REDACT_EMAIL}', '{_REDACT_TOKEN}', 'g') AS text_redacted,
+               CAST(len(regexp_extract_all(text, '{_REDACT_TERMS}'))
+                    + len(regexp_extract_all(
+                          regexp_replace(text, '{_REDACT_TERMS}', '{_REDACT_TOKEN}', 'g'),
+                          '{_REDACT_EMAIL}')) AS BIGINT) AS n_redactions
+        FROM documents
+    """,
+    "repetition_stats_documents": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        idx AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+                FROM d),
+        per_word AS (SELECT doc_id, w, count(*) AS c FROM idx GROUP BY doc_id, w),
+        agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                       CAST(count(*) AS BIGINT) AS n_distinct,
+                       CAST(max(c) AS BIGINT) AS top_cnt
+                FROM per_word GROUP BY doc_id),
+        bg0 AS (SELECT doc_id, w,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+                FROM idx),
+        bigrams AS (SELECT doc_id, w || ' ' || nxt AS bg FROM bg0
+                    WHERE nxt IS NOT NULL),
+        bagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+                        CAST(count(DISTINCT bg) AS BIGINT) AS n_bg_distinct
+                 FROM bigrams GROUP BY doc_id)
+        SELECT agg.doc_id,
+               agg.n_words,
+               agg.n_words - agg.n_distinct AS n_dup_words,
+               coalesce(bagg.n_bg, 0) - coalesce(bagg.n_bg_distinct, 0) AS n_dup_bigrams,
+               floor(CAST(agg.n_words - agg.n_distinct AS DOUBLE)
+                     / greatest(agg.n_words, 1) * 1000000.0 + 0.5) / 1000000.0
+                   AS dup_word_ratio,
+               floor(CAST(agg.top_cnt AS DOUBLE)
+                     / greatest(agg.n_words, 1) * 1000000.0 + 0.5) / 1000000.0
+                   AS top_word_ratio,
+               floor(CAST(coalesce(bagg.n_bg, 0) - coalesce(bagg.n_bg_distinct, 0) AS DOUBLE)
+                     / greatest(coalesce(bagg.n_bg, 0), 1) * 1000000.0 + 0.5) / 1000000.0
+                   AS dup_bigram_ratio,
+               (floor(CAST(agg.n_words - agg.n_distinct AS DOUBLE)
+                      / greatest(agg.n_words, 1) * 1000000.0 + 0.5) / 1000000.0 > 0.5)
+                   AS repetitive
+        FROM agg LEFT JOIN bagg USING (doc_id)
     """,
     "ann_topk_embeddings": """
         WITH q AS (

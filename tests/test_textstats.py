@@ -1,0 +1,73 @@
+"""Unit tests for the text-analysis stages (no Ray needed — pure batch fns):
+planted-PII redaction and Gopher-style repetition signals vs hand-computed
+expectations."""
+
+import pyarrow as pa
+
+from clickhouse_data_pipeline_ray.functions.textstats import Redact, RepetitionStats
+
+
+def _tbl(texts):
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+def test_redact_planted_pii():
+    r = Redact(
+        patterns=(Redact.PII_PATTERNS["email"], Redact.PII_PATTERNS["ipv4"]),
+        token="[PII]",
+    )
+    out = r(
+        _tbl(
+            [
+                "contact me at alice@example.com or bob.smith@corp.co.uk now",
+                "server at 192.168.0.1 and 10.0.0.255 responded",
+                "nothing sensitive here",
+                "mixed alice@example.com from 127.0.0.1",
+            ]
+        )
+    )
+    red = out.column("text_redacted").to_pylist()
+    n = out.column("n_redactions").to_pylist()
+    assert red[0] == "contact me at [PII] or [PII] now"
+    assert red[1] == "server at [PII] and [PII] responded"
+    assert red[2] == "nothing sensitive here"
+    assert red[3] == "mixed [PII] from [PII]"
+    assert n == [2, 2, 0, 2]
+    # original column untouched (redaction is additive)
+    assert "alice@example.com" in out.column("text").to_pylist()[0]
+
+
+def test_redact_sequential_counting():
+    """Pattern i counts matches on the text AFTER patterns < i applied — a
+    term swallowed by an earlier pattern is not double-counted."""
+    r = Redact(patterns=(r"\bfoo bar\b", r"\bbar\b"), token="X")
+    out = r(_tbl(["foo bar baz bar"]))
+    assert out.column("text_redacted").to_pylist() == ["X baz X"]
+    # 'foo bar' matched once; remaining standalone 'bar' matched once
+    assert out.column("n_redactions").to_pylist() == [2]
+
+
+def test_repetition_stats_hand_computed():
+    stats = RepetitionStats(max_dup_word_ratio=0.5)
+    out = stats(
+        _tbl(
+            [
+                "a b c d",  # no repetition
+                "a a a a",  # full repetition
+                "x y x y x",  # bigrams: 'x y','y x','x y','y x' -> 2 dups
+                "solo",  # single word, no bigrams
+            ]
+        )
+    )
+    assert out.column("n_words").to_pylist() == [4, 4, 5, 1]
+    assert out.column("n_dup_words").to_pylist() == [0, 3, 3, 0]
+    assert out.column("n_dup_bigrams").to_pylist() == [0, 2, 2, 0]
+    assert out.column("dup_word_ratio").to_pylist() == [0.0, 0.75, 0.6, 0.0]
+    assert out.column("top_word_ratio").to_pylist() == [0.25, 1.0, 0.6, 1.0]
+    assert out.column("repetitive").to_pylist() == [False, True, True, False]
+
+
+def test_repetition_stats_empty_batch():
+    out = RepetitionStats()(_tbl([]))
+    assert out.num_rows == 0
+    assert "dup_word_ratio" in out.column_names
