@@ -26,6 +26,7 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -153,6 +154,156 @@ def exact_dedup(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("fpb")
         .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def segment_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    seg_words: int = 10,
+    num_buckets: int | None = None,
+    pos_scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Cross-corpus SEGMENT-level dedup (the CCNet/CommonCrawl paragraph-
+    dedup operator, adapted to newline-free docs): each document is tiled
+    into non-overlapping ``seg_words``-word segments; a segment survives iff
+    its global position ``doc_id*pos_scale + seg_no`` is the minimum over all
+    exact occurrences of that segment text (first-occurrence-wins, fully
+    deterministic). Output per doc: ``(key, n_segments, n_kept, text_clean)``
+    with ``text_clean`` = surviving segments re-joined in order; docs whose
+    every segment was seen earlier are dropped entirely (n_kept would be 0).
+
+    Plan — two bucket shuffles, zero per-row Python:
+    1. map: vectorized tiling (Arrow list offsets → ``binary_join``), SipHash
+       per segment, hash-bucket id;
+    2. ``groupby(hash bucket)``: one lexsort per bucket keeps the min-pos
+       occurrence of every distinct segment (each segment hash lives in
+       exactly one bucket → exact);
+    3. ``groupby(doc bucket)``: re-join each doc's survivors in segment
+       order (run-boundary list rebuild + ``binary_join``).
+
+    Scale notes: segment text crosses the wire twice (once per shuffle). For
+    corpora where that dominates, ship ``(hash, pos)`` pairs through step 2
+    and ``hash_join`` winners back instead (trade one more shuffle of small
+    pairs for not moving text twice). ``pos_scale`` bounds seg_no and
+    requires ``max(doc_id) * pos_scale`` to fit int64 — re-key upstream if
+    ids are not dense."""
+    nb = num_buckets or max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    from pandas.util import hash_array
+
+    def tile(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.nulls(0, b.schema.field(key_col).type),
+                    "seg_no": pa.nulls(0, pa.int64()),
+                    "n_segments": pa.nulls(0, pa.int64()),
+                    "seg_text": pa.nulls(0, pa.string()),
+                    "hb": pa.nulls(0, pa.int32()),
+                    "pos": pa.nulls(0, pa.int64()),
+                }
+            )
+        lists = pc.split_pattern(b.column(text_col), pattern=" ").combine_chunks()
+        n_words = pc.list_value_length(lists).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        values = pc.list_flatten(lists)
+        n_segs = -(-n_words // seg_words)  # ceil
+        # flat word index where each doc starts
+        doc_start = np.zeros(len(n_words), dtype=np.int64)
+        doc_start[1:] = np.cumsum(n_words[:-1])
+        # each segment starts at doc_start + seg_words * (its within-doc idx);
+        # segments tile the flat values exactly, so starts + [total] is a
+        # valid monotone offsets vector
+        seg_no = _grouped_arange(n_segs)
+        starts = np.repeat(doc_start, n_segs) + seg_words * seg_no
+        offsets = np.append(starts, int(n_words.sum()))
+        seg_lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+        seg_text = pc.binary_join(seg_lists, " ")
+        doc_ids = b.column(key_col).to_numpy(zero_copy_only=False)
+        seg_docs = np.repeat(doc_ids, n_segs)
+        h = hash_array(
+            seg_text.to_numpy(zero_copy_only=False).astype(object), categorize=False
+        )
+        pos = seg_docs.astype(np.int64) * pos_scale + seg_no
+        return pa.table(
+            {
+                key_col: pa.array(seg_docs),
+                "seg_no": pa.array(seg_no),
+                "n_segments": pa.array(np.repeat(n_segs, n_segs)),
+                "seg_text": seg_text,
+                "h": pa.array(h.view(np.int64)),
+                "hb": pa.array((h % np.uint64(nb)).astype(np.int32)),
+                "pos": pa.array(pos),
+            }
+        )
+
+    def keep_winners(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.drop_columns(["h", "hb"])
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, h))
+        first = np.empty(len(order), dtype=bool)
+        first[:1] = True
+        first[1:] = h[order][1:] != h[order][:-1]
+        return g.take(pa.array(order[first])).drop_columns(["h", "hb"])
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.nulls(0, g.schema.field(key_col).type),
+                    "n_segments": pa.nulls(0, pa.int64()),
+                    "n_kept": pa.nulls(0, pa.int64()),
+                    "text_clean": pa.nulls(0, pa.string()),
+                }
+            )
+        order = np.lexsort(
+            (
+                g.column("seg_no").to_numpy(zero_copy_only=False),
+                g.column(key_col).to_numpy(zero_copy_only=False),
+            )
+        )
+        g = g.take(pa.array(order))
+        docs = g.column(key_col).to_numpy(zero_copy_only=False)
+        boundary = np.empty(len(docs), dtype=bool)
+        boundary[:1] = True
+        boundary[1:] = docs[1:] != docs[:-1]
+        starts = np.flatnonzero(boundary)
+        n_kept = np.diff(np.append(starts, len(docs)))
+        offsets = np.append(starts, len(docs))
+        doc_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            g.column("seg_text").combine_chunks(),
+        )
+        return pa.table(
+            {
+                key_col: pa.array(docs[starts]),
+                "n_segments": g.column("n_segments").take(pa.array(starts)),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "text_clean": pc.binary_join(doc_lists, " "),
+            }
+        )
+
+    kept = (
+        ds.map_batches(tile, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(keep_winners, batch_format="pyarrow")
+    )
+
+    def dbucket(b: pa.Table) -> pa.Table:
+        ids = b.column(key_col).to_numpy(zero_copy_only=False)
+        db = (ids.astype(np.int64).view(np.uint64) % np.uint64(nb)).astype(np.int32)
+        return b.append_column("db", pa.array(db))
+
+    return (
+        kept.map_batches(dbucket, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(
+            lambda g: rebuild(g.drop_columns(["db"])), batch_format="pyarrow"
+        )
     )
 
 

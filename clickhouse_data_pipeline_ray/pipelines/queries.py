@@ -1000,6 +1000,15 @@ def q_quality_score_documents(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_segment_dedup_documents(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style cross-corpus segment dedup: tile docs into 10-word
+    segments, keep each distinct segment's first occurrence (min global
+    position), re-join survivors per doc. ~5% of the corpus's segments are
+    natural duplicates, so the drop path is exercised end to end."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return F_dedup.segment_dedup(ds, seg_words=10)
+
+
 # Blocklist terms (match the synthetic vocab so replacement is exercised)
 # + a real email PII pattern (RE2 on both sides; single source of truth for
 # the Ray stage AND the SQL oracle below).
@@ -1489,6 +1498,7 @@ QUERIES = {
     "token_counts_documents": q_token_counts_documents,
     "quality_score_documents": q_quality_score_documents,
     "redact_documents": q_redact_documents,
+    "segment_dedup_documents": q_segment_dedup_documents,
     "repetition_stats_documents": q_repetition_stats_documents,
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "minhash_dedup_documents": q_minhash_dedup_documents,
@@ -1813,6 +1823,26 @@ ORACLE_SQL = {
                           regexp_replace(text, '{_REDACT_TERMS}', '{_REDACT_TOKEN}', 'g'),
                           '{_REDACT_EMAIL}')) AS BIGINT) AS n_redactions
         FROM documents
+    """,
+    "segment_dedup_documents": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        idx AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+                FROM d),
+        seg AS (SELECT doc_id, CAST((i - 1) // 10 AS BIGINT) AS seg_no,
+                       string_agg(w, ' ' ORDER BY i) AS seg_text
+                FROM idx GROUP BY doc_id, 2),
+        win AS (SELECT seg_text, min(doc_id * 1000000 + seg_no) AS wpos
+                FROM seg GROUP BY seg_text),
+        kept AS (SELECT s.doc_id, s.seg_no, s.seg_text FROM seg s
+                 JOIN win ON s.seg_text = win.seg_text
+                         AND s.doc_id * 1000000 + s.seg_no = win.wpos),
+        stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+                  FROM seg GROUP BY doc_id)
+        SELECT k.doc_id, stats.n_segments,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(k.seg_text, ' ' ORDER BY k.seg_no) AS text_clean
+        FROM kept k JOIN stats USING (doc_id)
+        GROUP BY k.doc_id, stats.n_segments
     """,
     "repetition_stats_documents": """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

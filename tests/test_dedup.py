@@ -288,3 +288,43 @@ def test_cap_drop_stats_reach_driver(ray_session):
     assert pairs.attrs["over_cap_docs"] > 0
     # capped verify still returns the pairs among the first max_bucket members
     assert ("d-000", "d-001") in set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+def test_segment_dedup_planted(ray_session):
+    """First occurrence of a shared 10-word segment survives; later copies
+    are dropped; a doc whose every segment was seen earlier vanishes."""
+    import pandas as pd
+    import ray
+
+    from clickhouse_data_pipeline_ray.functions.dedup import segment_dedup
+
+    seg_a = " ".join(f"a{i}" for i in range(10))
+    seg_b = " ".join(f"b{i}" for i in range(10))
+    tail = "x y z"  # short trailing segment
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"{seg_a} {seg_b}",         # both segments first seen here
+                f"{seg_b} {tail}",          # seg_b dup -> only tail kept
+                f"{seg_a} {seg_b}",         # all segments dup -> doc dropped
+                f"{tail}",                  # 'x y z' first POSITION is doc 2
+            ],
+        }
+    )
+    out = (
+        segment_dedup(ray.data.from_pandas(docs).repartition(3), seg_words=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2]
+    row1 = out[out.doc_id == 1].iloc[0]
+    assert row1.text_clean == f"{seg_a} {seg_b}"
+    assert (row1.n_segments, row1.n_kept) == (2, 2)
+    row2 = out[out.doc_id == 2].iloc[0]
+    assert row2.text_clean == tail
+    assert (row2.n_segments, row2.n_kept) == (2, 1)
+    # doc 3 fully duplicate -> absent; doc 4's single segment 'x y z'
+    # already appeared at an earlier position (doc 2 seg 1) -> absent
+    assert 3 not in out.doc_id.values and 4 not in out.doc_id.values
