@@ -98,6 +98,116 @@ class TDigest:
         return float(m0 + (m1 - m0) * frac)
 
 
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros over uint64 (exact — no float log2,
+    which loses precision above 2^53)."""
+    x = x.astype(np.uint64, copy=True)
+    nz = x != 0
+    cnt = np.full(x.shape, 64, dtype=np.int64)
+    cnt[nz] = 0
+    for s in (32, 16, 8, 4, 2, 1):
+        m = nz & ((x >> np.uint64(64 - s)) == 0)
+        cnt[m] += s
+        x[m] <<= np.uint64(s)
+    return cnt
+
+
+class HyperLogLog:
+    """Mergeable approximate-distinct sketch — the ClickHouse ``uniq()``
+    analog (Flajolet et al. 2007, with the HLL++ small-range linear-counting
+    correction). ``p`` index bits → m=2^p one-byte registers; standard error
+    ≈ 1.04/sqrt(m) (~0.81% at the default p=14, 16 KiB of state).
+
+    Registers merge by elementwise max (associative + commutative), so
+    per-batch partials combine in any order / any tree shape — only O(blocks)
+    × 2^p bytes ever reach the driver regardless of corpus size. Hashing is
+    SipHash (pandas hash_array) — deterministic across processes."""
+
+    def __init__(self, p: int = 14, registers: np.ndarray | None = None):
+        if not 4 <= p <= 18:
+            raise ValueError(f"p={p} out of range [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            np.zeros(self.m, dtype=np.uint8) if registers is None else registers
+        )
+
+    def add_hashed(self, h: np.ndarray) -> "HyperLogLog":
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h << np.uint64(self.p)
+        rank = np.where(w == 0, 64 - self.p + 1, _clz64(w) + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def add_values(self, values: np.ndarray) -> "HyperLogLog":
+        from pandas.util import hash_array
+
+        v = np.asarray(values)
+        if v.dtype == object or v.dtype.kind in "USO":
+            h = hash_array(v.astype(object), categorize=False)
+        else:
+            h = hash_array(v, categorize=False)
+        return self.add_hashed(h)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError(f"cannot merge p={other.p} into p={self.p}")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
+        raw = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if raw <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting (small range)
+        return float(raw)
+
+
+def distinct_sketch(
+    ds: ray.data.Dataset, col: str, group_col: str | None = None, p: int = 14
+) -> pd.DataFrame:
+    """Distributed approximate COUNT(DISTINCT col) [GROUP BY group_col] via
+    HyperLogLog: one streamed pass, each batch emitting one register blob per
+    group (group count must be driver-small — the `_partial_groupby`
+    contract); the driver merges by elementwise max. The column itself never
+    shuffles. Returns (group, n_distinct_approx)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column(col).to_numpy(zero_copy_only=False)
+        if group_col is None:
+            groups, codes = np.array(["_all"], dtype=object), np.zeros(len(vals), np.int64)
+        else:
+            groups, codes = np.unique(
+                b.column(group_col).to_numpy(zero_copy_only=False), return_inverse=True
+            )
+        blobs = []
+        for gi in range(len(groups)):  # O(groups) per batch, never O(rows)
+            blobs.append(
+                HyperLogLog(p).add_values(vals[codes == gi]).registers.tobytes()
+            )
+        return pa.table(
+            {
+                "group": pa.array(groups.astype(object), pa.string()),
+                "regs": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for group, sub in parts.groupby("group"):
+        hll = HyperLogLog(p)
+        for blob in sub["regs"]:
+            hll.merge(HyperLogLog(p, np.frombuffer(blob, dtype=np.uint8).copy()))
+        out.append((group, int(round(hll.estimate()))))
+    return pd.DataFrame(out, columns=["group", "n_distinct_approx"]).sort_values(
+        "group"
+    ).reset_index(drop=True)
+
+
 def quantile_sketch(
     ds: ray.data.Dataset, col: str, delta: float = 200.0
 ) -> TDigest:

@@ -1327,6 +1327,22 @@ def q_value_quantiles_sketch(sf_dir: str) -> pa.Table:
 # ---- non-SQL-expressible (rows-only driver check; pytest covers behavior) --
 
 
+def q_approx_distinct_users(sf_dir: str) -> pa.Table:
+    """Approximate COUNT(DISTINCT user_id) per event_type via mergeable
+    HyperLogLog registers (the ClickHouse ``uniq()`` analog): the user column
+    NEVER shuffles — each block emits 16 KiB of registers per group, merged
+    by elementwise max on the driver. Approximate ⇒ no SQL oracle; the
+    1.04/sqrt(m) error bound vs DuckDB's exact distinct is pinned by
+    tests/test_sketch.py."""
+    from ..functions.sketch import distinct_sketch
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    pdf = distinct_sketch(ds, "user_id", group_col="event_type").rename(
+        columns={"group": "event_type"}
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def _query_vectors(sf_dir: str, upto: int) -> pd.DataFrame:
     """The first ``upto`` query vectors via parquet filter pushdown — only
     the matching row groups are decoded, never the whole embeddings table
@@ -1489,6 +1505,7 @@ QUERIES = {
     "prev_event_gap": q_prev_event_gap,
     "doc_length_percentiles": q_doc_length_percentiles,
     "value_quantiles_sketch": q_value_quantiles_sketch,
+    "approx_distinct_users": q_approx_distinct_users,
     "sample_documents": q_sample_documents,
     "pack_sequences": q_pack_sequences,
     "click_attribution": q_click_attribution,

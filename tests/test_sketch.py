@@ -65,3 +65,68 @@ def test_tdigest_bounded_state():
     assert np.isnan(empty.quantile(0.5))
     one = TDigest.from_values(np.array([42.0]))
     assert one.quantile(0.9) == 42.0
+
+
+def test_hll_error_bound_across_cardinalities():
+    """|estimate - n| <= 3 sigma where sigma = 1.04/sqrt(m), across small
+    (linear-counting) and large (raw-HLL) ranges."""
+    import numpy as np
+
+    from clickhouse_data_pipeline_ray.functions.sketch import HyperLogLog
+
+    p = 14
+    sigma = 1.04 / np.sqrt(1 << p)
+    for n in (100, 5_000, 100_000, 1_000_000):
+        hll = HyperLogLog(p).add_values(np.arange(n, dtype=np.int64))
+        est = hll.estimate()
+        assert abs(est - n) / n <= 3 * sigma + 1e-9, (n, est)
+
+
+def test_hll_merge_order_invariant_and_matches_single_build():
+    import numpy as np
+
+    from clickhouse_data_pipeline_ray.functions.sketch import HyperLogLog
+
+    rng = np.random.default_rng(7)
+    values = rng.integers(0, 50_000, 200_000)
+    single = HyperLogLog(12).add_values(values)
+    chunks = np.array_split(values, 7)
+    a = HyperLogLog(12)
+    for c in chunks:
+        a.merge(HyperLogLog(12).add_values(c))
+    b = HyperLogLog(12)
+    for c in reversed(chunks):
+        b.merge(HyperLogLog(12).add_values(c))
+    assert np.array_equal(a.registers, single.registers)
+    assert np.array_equal(b.registers, single.registers)
+
+
+def test_hll_string_and_int_hashing_distinct():
+    import numpy as np
+
+    from clickhouse_data_pipeline_ray.functions.sketch import HyperLogLog
+
+    h = HyperLogLog(14).add_values(np.array(["u%d" % i for i in range(20_000)], dtype=object))
+    assert abs(h.estimate() - 20_000) / 20_000 < 0.03
+
+
+def test_distinct_sketch_grouped_vs_exact(ray_session):
+    """Distributed grouped HLL within 3 sigma of DuckDB's exact distinct."""
+    import duckdb
+    import numpy as np
+    import ray
+
+    from clickhouse_data_pipeline_ray.functions.sketch import distinct_sketch
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/events.parquet", columns=["user_id", "event_type"])
+    got = distinct_sketch(ds, "user_id", group_col="event_type", p=14)
+    exact = duckdb.sql(
+        f"""SELECT event_type AS "group", count(DISTINCT user_id) AS n
+            FROM read_parquet('{sf}/events.parquet') GROUP BY 1 ORDER BY 1"""
+    ).df()
+    sigma = 1.04 / np.sqrt(1 << 14)
+    merged = got.merge(exact, on="group")
+    assert len(merged) == len(exact)
+    for _, r in merged.iterrows():
+        assert abs(r.n_distinct_approx - r.n) / max(r.n, 1) <= 3 * sigma + 1e-9, dict(r)
