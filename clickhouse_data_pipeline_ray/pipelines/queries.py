@@ -850,6 +850,41 @@ def q_window_hourly_events(sf_dir: str) -> pa.Table:
     )
 
 
+def q_window_sliding_events(sf_dir: str) -> pa.Table:
+    """SLIDING/hopping-window aggregate (2 h windows every 30 min): each
+    event belongs to width/hop = 4 windows, assigned per batch with pure
+    int64 microsecond arithmetic (no float epoch division — a boundary
+    timestamp must land in the same window on both engines), expanded 4× via
+    vectorized repeat/tile, then shuffle-free partial combine (window starts
+    are driver-small)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    hop_us, n_hops = 1_800_000_000, 4  # 30 min hop, 2 h width
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = us // hop_us
+        j = np.tile(np.arange(n_hops, dtype=np.int64), len(us))
+        starts = (np.repeat(base, n_hops) - j) * hop_us
+        vals = np.repeat(
+            _fixed_point(b.column("value"), 1000.0).to_numpy(zero_copy_only=False),
+            n_hops,
+        )
+        # second precision: pyarrow's %S appends fractional digits for us-
+        # precision timestamps (starts are whole seconds by construction)
+        ws = pc.strftime(
+            pa.array(starts // 1_000_000, pa.timestamp("s")),
+            format="%Y-%m-%d %H:%M:%S",
+        )
+        return pa.table({"window_start": ws, "sum_value_milli": pa.array(vals)})
+
+    pdf = _partial_groupby(
+        ds, prep, keys=["window_start"], sums=["sum_value_milli"], count_col="n_events"
+    )
+    return pa.Table.from_pandas(
+        pdf[["window_start", "n_events", "sum_value_milli"]], preserve_index=False
+    )
+
+
 def q_prev_event_gap(sf_dir: str) -> ray.data.Dataset:
     """As-of/lag window op: per event, milliseconds since the same user's
     previous event (null for a user's first). Users are hash-bucketed into
@@ -1502,6 +1537,7 @@ QUERIES = {
     "top5_users_by_value": q_top5_users_by_value,
     "sessionize_events": q_sessionize_events,
     "window_hourly_events": q_window_hourly_events,
+    "window_sliding_events": q_window_sliding_events,
     "prev_event_gap": q_prev_event_gap,
     "doc_length_percentiles": q_doc_length_percentiles,
     "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -1726,6 +1762,15 @@ ORACLE_SQL = {
                CAST(sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
                    AS sum_value_milli
         FROM events GROUP BY 1
+    """,
+    "window_sliding_events": """
+        SELECT strftime(make_timestamp((epoch_us(ts) // 1800000000 - j) * 1800000000),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               count(*) AS n_events,
+               CAST(sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_value_milli
+        FROM events, range(4) r(j)
+        GROUP BY 1
     """,
     "prev_event_gap": """
         SELECT event_id,
