@@ -176,8 +176,11 @@ BENCH_QUERIES = [
     "orders_by_nation",
     "revenue_by_brand",
     "top5_users_by_value",
+    "order_lineitem_revenue",
+    "orders_no_lineitem",
     "sessionize_events",
     "window_hourly_events",
+    "window_sliding_events",
     "prev_event_gap",
     "doc_length_percentiles",
     "value_quantiles_sketch",
@@ -188,6 +191,11 @@ BENCH_QUERIES = [
     "click_attribution",
     "cdc_registry_sync",
     "dedup_exact_documents",
+    "segment_dedup_documents",
+    "redact_documents",
+    "repetition_stats_documents",
+    "approx_distinct_users",
+    "heavy_hitter_users",
     "token_counts_documents",
     "quality_score_documents",
     "ann_topk_embeddings",

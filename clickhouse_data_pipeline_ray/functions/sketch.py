@@ -208,6 +208,90 @@ def distinct_sketch(
     ).reset_index(drop=True)
 
 
+def _mg_summarize(values: np.ndarray, counts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra–Gries reduction of exact (value, count) pairs to ≤ k-1 entries:
+    keep the k-1 largest counts and subtract the k-th largest from each
+    (equivalent to decrementing all counters whenever a k-th distinct value
+    arrives). Guarantees count_est ∈ [true - N/k, true] for every value."""
+    if len(values) < k:
+        return values, counts
+    order = np.argsort(counts, kind="stable")[::-1]
+    values, counts = values[order], counts[order]
+    dec = counts[k - 1]
+    keep = counts[: k - 1] - dec
+    nz = keep > 0
+    return values[: k - 1][nz], keep[nz]
+
+
+class HeavyHitters:
+    """Mergeable Misra–Gries / SpaceSaving heavy-hitters sketch — the
+    ClickHouse ``topK()`` analog (Misra & Gries 1982; merge rule from
+    Agarwal et al., "Mergeable Summaries", PODS 2012). State is ≤ k-1
+    (value, count) pairs; merging concatenates and re-reduces, preserving the
+    deterministic error bound |est - true| ≤ N/k over the TOTAL stream length
+    N. Any value with true frequency > N/k is guaranteed present."""
+
+    def __init__(self, k: int = 64, values: np.ndarray | None = None, counts: np.ndarray | None = None):
+        if k < 2:
+            raise ValueError(f"k={k} must be >= 2")
+        self.k = k
+        self.values = np.empty(0, dtype=object) if values is None else values
+        self.counts = np.empty(0, dtype=np.int64) if counts is None else counts
+
+    @classmethod
+    def from_values(cls, raw: np.ndarray, k: int = 64) -> "HeavyHitters":
+        vals, cnts = np.unique(np.asarray(raw, dtype=object), return_counts=True)
+        v, c = _mg_summarize(vals, cnts.astype(np.int64), k)
+        return cls(k, v, c)
+
+    def merge(self, other: "HeavyHitters") -> "HeavyHitters":
+        if other.k != self.k:
+            raise ValueError(f"cannot merge k={other.k} into k={self.k}")
+        vals = np.concatenate([self.values, other.values])
+        cnts = np.concatenate([self.counts, other.counts])
+        # same value may appear in both partials: combine exactly first
+        uvals, inv = np.unique(vals, return_inverse=True)
+        ucnts = np.bincount(inv, weights=cnts).astype(np.int64)
+        self.values, self.counts = _mg_summarize(uvals, ucnts, self.k)
+        return self
+
+    def top(self, n: int) -> list[tuple[object, int]]:
+        order = np.lexsort((self.values, -self.counts))[:n]
+        return [(self.values[i], int(self.counts[i])) for i in order]
+
+
+def heavy_hitters_sketch(
+    ds: ray.data.Dataset, col: str, k: int = 64
+) -> HeavyHitters:
+    """Distributed heavy hitters over a column of ANY cardinality: each batch
+    reduces to ≤ k-1 (value, count) pairs (one np.unique, no Python loop over
+    rows), the driver merges O(blocks × k) pairs — the column itself never
+    shuffles, unlike an exact groupby().count() top-k."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        hh = HeavyHitters.from_values(
+            b.column(col).to_numpy(zero_copy_only=False), k
+        )
+        return pa.table(
+            {
+                "v": pa.array(list(hh.values)),
+                "c": pa.array(hh.counts, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = HeavyHitters(k)
+    for _, sub in parts.groupby(np.arange(len(parts)) // max(1, k - 1)):
+        out.merge(
+            HeavyHitters(
+                k,
+                sub["v"].to_numpy().astype(object),
+                sub["c"].to_numpy().astype(np.int64),
+            )
+        )
+    return out
+
+
 def quantile_sketch(
     ds: ray.data.Dataset, col: str, delta: float = 200.0
 ) -> TDigest:

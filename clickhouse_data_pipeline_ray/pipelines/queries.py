@@ -1378,6 +1378,26 @@ def q_approx_distinct_users(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_heavy_hitter_users(sf_dir: str) -> pa.Table:
+    """Top-10 most frequent users via the mergeable Misra–Gries sketch (the
+    ClickHouse ``topK()`` analog): each block reduces to ≤ k-1 (value, count)
+    pairs, so the user column never shuffles and driver state is O(blocks×k)
+    at any cardinality. Deterministic but approximate (|est-true| ≤ N/k) ⇒
+    no SQL oracle; the error/presence guarantees are pinned by
+    tests/test_sketch.py."""
+    from ..functions.sketch import heavy_hitters_sketch
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    hh = heavy_hitters_sketch(ds, "user_id", k=512)
+    top = hh.top(10)
+    return pa.table(
+        {
+            "user_id": pa.array([int(v) for v, _ in top], pa.int64()),
+            "count_est": pa.array([c for _, c in top], pa.int64()),
+        }
+    )
+
+
 def _query_vectors(sf_dir: str, upto: int) -> pd.DataFrame:
     """The first ``upto`` query vectors via parquet filter pushdown — only
     the matching row groups are decoded, never the whole embeddings table
@@ -1542,6 +1562,7 @@ QUERIES = {
     "doc_length_percentiles": q_doc_length_percentiles,
     "value_quantiles_sketch": q_value_quantiles_sketch,
     "approx_distinct_users": q_approx_distinct_users,
+    "heavy_hitter_users": q_heavy_hitter_users,
     "sample_documents": q_sample_documents,
     "pack_sequences": q_pack_sequences,
     "click_attribution": q_click_attribution,

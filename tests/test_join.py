@@ -138,3 +138,22 @@ def test_hash_join_rejects_bad_input(ray_session):
             on="k",
             how="cross",
         )
+
+
+def test_hash_join_null_keys_sql_semantics(ray_session):
+    """NULL join keys never match (SQL semantics, via Acero); left outer
+    preserves null-key left rows with null right payload."""
+    import ray
+
+    left = pd.DataFrame({"k": [1.0, None, 2.0, None], "lv": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": [1.0, None, 3.0], "rv": [100, 200, 300]})
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+
+    inner = hash_join(lds, rds, on="k", how="inner").to_pandas()
+    assert inner["lv"].tolist() == [10] and inner["rv"].tolist() == [100]
+
+    outer = hash_join(lds, rds, on="k", how="left outer").to_pandas()
+    assert len(outer) == 4
+    matched = outer[outer["rv"].notna()]
+    assert matched["lv"].tolist() == [10]
+    assert set(outer["lv"]) == {10, 20, 30, 40}

@@ -130,3 +130,67 @@ def test_distinct_sketch_grouped_vs_exact(ray_session):
     assert len(merged) == len(exact)
     for _, r in merged.iterrows():
         assert abs(r.n_distinct_approx - r.n) / max(r.n, 1) <= 3 * sigma + 1e-9, dict(r)
+
+
+def test_heavy_hitters_exact_when_under_k():
+    import numpy as np
+
+    from clickhouse_data_pipeline_ray.functions.sketch import HeavyHitters
+
+    vals = np.repeat(np.arange(20), np.arange(1, 21))
+    hh = HeavyHitters.from_values(vals, k=64)
+    top = dict(hh.top(20))
+    assert top == {i: i + 1 for i in range(20)}
+
+
+def test_heavy_hitters_zipf_guarantees():
+    """Every value with true freq > N/k is present; estimates lie in
+    [true - N/k, true] — after merging chunked partials in any order."""
+    import numpy as np
+
+    from clickhouse_data_pipeline_ray.functions.sketch import HeavyHitters
+
+    rng = np.random.default_rng(42)
+    vals = rng.zipf(1.3, 100_000)
+    vals = vals[vals < 10_000]
+    n = len(vals)
+    k = 128
+    true = {}
+    u, c = np.unique(vals, return_counts=True)
+    true = dict(zip(u.tolist(), c.tolist()))
+
+    for order in (1, -1):
+        hh = HeavyHitters(k)
+        for chunk in np.array_split(vals, 13)[::order]:
+            hh.merge(HeavyHitters.from_values(chunk, k))
+        est = dict(zip(hh.values.tolist(), hh.counts.tolist()))
+        bound = n / k
+        for v, t in true.items():
+            if t > bound:
+                assert v in est, (v, t, bound)
+            if v in est:
+                assert t - bound <= est[v] <= t, (v, t, est[v], bound)
+
+
+def test_heavy_hitters_distributed_vs_exact(ray_session):
+    import duckdb
+    import ray
+
+    from clickhouse_data_pipeline_ray.functions.sketch import heavy_hitters_sketch
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
+    hh = heavy_hitters_sketch(ds, "user_id", k=512)
+    exact = dict(
+        duckdb.sql(
+            f"SELECT user_id, count(*) FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    n = sum(exact.values())
+    bound = n / 512
+    est = dict(zip(hh.values.tolist(), hh.counts.tolist()))
+    for v, t in exact.items():
+        if t > bound:
+            assert v in est, (v, t, bound)
+        if v in est:
+            assert t - bound <= est[v] <= t, (v, t, est[v])
