@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "cdc_registry_sync",
     "dedup_exact_documents",
     "segment_dedup_documents",
+    "term_doc_frequency",
     "redact_documents",
     "repetition_stats_documents",
     "approx_distinct_users",

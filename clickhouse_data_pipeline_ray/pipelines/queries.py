@@ -1035,6 +1035,48 @@ def q_quality_score_documents(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_term_doc_frequency(sf_dir: str) -> pa.Table:
+    """Inverted-index statistics (the IDF table a retrieval/tf-idf pipeline
+    builds): per term, total occurrences and document frequency. Per batch:
+    one split/flatten + bincount for occurrences, one lexsort over
+    (row, word-hash) for per-doc distincts — partials are (term, n_occ,
+    n_docs) rows, summable because a document never spans batches. Vocab here
+    is driver-small; at web scale swap the driver combine for
+    ``groupby("term").sum()`` (partials stay per-batch-bounded either way)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(b.column("text"), pattern=" ").combine_chunks()
+        counts = pc.list_value_length(lists).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        words = pc.list_flatten(lists)
+        rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        wnp = words.to_numpy(zero_copy_only=False).astype(object)
+        # occurrences per term
+        uvals, inv = np.unique(wnp, return_inverse=True)
+        n_occ = np.bincount(inv, minlength=len(uvals))
+        # document frequency: distinct (row, term) pairs
+        order = np.lexsort((inv, rows))
+        ri, wi = rows[order], inv[order]
+        first = np.empty(len(ri), dtype=bool)
+        first[:1] = True
+        first[1:] = (ri[1:] != ri[:-1]) | (wi[1:] != wi[:-1])
+        n_docs = np.bincount(wi[first], minlength=len(uvals))
+        return pa.table(
+            {
+                "term": pa.array(uvals.astype(str)),
+                "n_occurrences": pa.array(n_occ, pa.int64()),
+                "n_docs": pa.array(n_docs, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(prep, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("term", as_index=False)[["n_occurrences", "n_docs"]].sum()
+    out = out.sort_values("term").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_segment_dedup_documents(sf_dir: str) -> ray.data.Dataset:
     """CCNet-style cross-corpus segment dedup: tile docs into 10-word
     segments, keep each distinct segment's first occurrence (min global
@@ -1573,6 +1615,7 @@ QUERIES = {
     "quality_score_documents": q_quality_score_documents,
     "redact_documents": q_redact_documents,
     "segment_dedup_documents": q_segment_dedup_documents,
+    "term_doc_frequency": q_term_doc_frequency,
     "repetition_stats_documents": q_repetition_stats_documents,
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "minhash_dedup_documents": q_minhash_dedup_documents,
@@ -1906,6 +1949,14 @@ ORACLE_SQL = {
                           regexp_replace(text, '{_REDACT_TERMS}', '{_REDACT_TOKEN}', 'g'),
                           '{_REDACT_EMAIL}')) AS BIGINT) AS n_redactions
         FROM documents
+    """,
+    "term_doc_frequency": """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents)
+        SELECT term,
+               count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM w GROUP BY term
     """,
     "segment_dedup_documents": """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
