@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -182,6 +183,10 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--list", action="store_true", dest="list_queries")
     sp.add_argument("--limit", type=int, default=20,
                     help="rows printed (full result still computed)")
+    sp.add_argument("--output", default=None,
+                    help="write the FULL result to this directory as parquet "
+                         "(Dataset results stream one file per block — never "
+                         "materialized on the driver)")
 
     args = p.parse_args(argv)
 
@@ -371,6 +376,33 @@ def _run(argv: list[str] | None = None) -> int:
 
         import ray.data as rd
 
+        if args.output:
+            import pyarrow.parquet as pq
+
+            if isinstance(res, rd.Dataset):
+                # streaming sink: one file per block, no driver materialization
+                res.write_parquet(args.output)
+            else:
+                tbl = (
+                    res
+                    if isinstance(res, pa.Table)
+                    else pa.Table.from_pandas(pd.DataFrame(res), preserve_index=False)
+                )
+                os.makedirs(args.output, exist_ok=True)
+                pq.write_table(tbl, os.path.join(args.output, "part-0.parquet"))
+            files = sorted(
+                f for f in os.listdir(args.output) if f.endswith(".parquet")
+            )
+            rows = sum(
+                pq.ParquetFile(os.path.join(args.output, f)).metadata.num_rows
+                for f in files
+            )
+            print(json.dumps({
+                "query": args.name, "sf_dir": args.sf_dir, "output": args.output,
+                "files": len(files), "rows": rows,
+                "wall_s": round(time.perf_counter() - t0, 3),
+            }))
+            return 0
         if isinstance(res, rd.Dataset):
             pdf = res.to_pandas()
         elif isinstance(res, pa.Table):

@@ -47,8 +47,21 @@ from .apply import (
 )
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+def _read(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    num_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """``num_blocks`` pins the read fan-out for shuffle-bound pipelines:
+    Ray's default split (64 blocks/file) makes tiny blocks whose per-block
+    sort/merge overhead dominates an all-to-all at bench scale (the block-
+    count-vs-O(blocks²) trade the apply path already pins, apply.py)."""
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"),
+        columns=columns,
+        override_num_blocks=num_blocks,
+    )
 
 
 def _fixed_point(col: pa.ChunkedArray, scale: float) -> pa.ChunkedArray:
@@ -696,8 +709,13 @@ def q_order_lineitem_revenue(sf_dir: str) -> pa.Table:
     month + priority strings; lineitem → pre-fixed-pointed revenue cents)
     BEFORE the single co-partitioning shuffle, then joined per bucket with
     Acero's vectorized hash join and aggregate-combined to ~60 groups."""
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"])
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    nb = max(4, _n_reduce_buckets() // 4)  # ~CPUs/2 blocks per side
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"], num_blocks=nb
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"], num_blocks=nb
+    )
 
     def prep_orders(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -727,6 +745,13 @@ def q_order_lineitem_revenue(sf_dir: str) -> pa.Table:
         li.map_batches(prep_li, batch_format="pyarrow"),
         on="o_orderkey",
         how="inner",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_month", pa.string()),
+             ("o_orderpriority", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
+        ),
     )
     pdf = _partial_groupby(
         joined,
@@ -746,12 +771,22 @@ def q_orders_no_lineitem(sf_dir: str) -> pa.Table:
     lineitems, counted per priority. The right side ships only its key
     column, per-batch deduplicated map-side (unique before the shuffle) —
     the distributed form of ``WHERE key NOT IN (SELECT ...)``."""
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    li_keys = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+    nb = max(4, _n_reduce_buckets() // 4)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"], num_blocks=nb)
+    li_keys = _read(sf_dir, "lineitem", ["l_orderkey"], num_blocks=nb).map_batches(
         lambda b: pa.table({"o_orderkey": pc.unique(b.column("l_orderkey"))}),
         batch_format="pyarrow",
     )
-    missing = hash_join(orders, li_keys, on="o_orderkey", how="left anti")
+    missing = hash_join(
+        orders,
+        li_keys,
+        on="o_orderkey",
+        how="left anti",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64())]),
+    )
     pdf = _partial_groupby(
         missing,
         lambda b: b.select(["o_orderpriority"]),

@@ -141,6 +141,8 @@ def hash_join(
     *,
     how: str = "inner",
     n_buckets: int | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Join two large Datasets on equal-named key columns.
 
@@ -149,13 +151,20 @@ def hash_join(
     ``right anti``). Output columns: keys, then left payload, then right
     payload (semi/anti keep only the surviving side's columns, matching
     ``pa.Table.join``). Row order is unspecified — sort downstream if needed.
+
+    Pass ``left_schema``/``right_schema`` when known: ``Dataset.schema()`` on
+    a not-yet-executed pipeline triggers a one-block probe execution per
+    side — measurable fixed cost on short interactive queries.
     """
     on = [on] if isinstance(on, str) else list(on)
     if how not in _JOIN_TYPES:
         raise ValueError(f"how={how!r}; expected one of {_JOIN_TYPES}")
     if n_buckets is None:
         n_buckets = _n_join_buckets()
-    left_schema, right_schema = _arrow_schema(left), _arrow_schema(right)
+    if left_schema is None:
+        left_schema = _arrow_schema(left)
+    if right_schema is None:
+        right_schema = _arrow_schema(right)
     schema = _unified_schema(left_schema, right_schema, on)
     left_names = [f.name for f in left_schema]
     right_names = [f.name for f in right_schema]
