@@ -229,3 +229,46 @@ class LangId:
         best[scores.max(axis=0) == 0] = "unknown"
         best[cjk > 0] = "zh"
         return batch.append_column("lang_pred", pa.array(best, pa.string()))
+
+
+class Decontaminate:
+    """Test-set decontamination: flag documents that contain any benchmark
+    snippet (the n-gram-overlap decontamination step every pretraining
+    pipeline runs before training; reference analog: the defensive
+    row-filtering discipline of stream_etl/core/processor.py:186-217).
+
+    The snippet list is SMALL relative to the corpus (benchmarks are KBs,
+    corpora are TBs) — it ships once per actor via ``fn_constructor_kwargs``
+    (Ray serializes the constructor args into the actor, never per batch).
+    Matching is one vectorized ``pc.match_substring`` pass per snippet over
+    the whole batch; ``n_hits`` counts how many distinct snippets occur
+    (SQL-parity with a `JOIN ON contains(text, snip) GROUP BY doc` count).
+    At web scale the alternation becomes an Aho-Corasick automaton built in
+    ``__init__`` — same broadcast shape, one pass over the text instead of
+    one per snippet.
+    """
+
+    def __init__(
+        self,
+        snippets: list[str],
+        text_col: str = "text",
+        key_col: str = "doc_id",
+    ):
+        self.snippets = list(snippets)
+        self.text_col, self.key_col = text_col, key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        n_hits = np.zeros(batch.num_rows, dtype=np.int64)
+        for snip in self.snippets:
+            hit = pc.fill_null(pc.match_substring(text, pattern=snip), False)
+            n_hits += hit.to_numpy(zero_copy_only=False)
+        keep = n_hits > 0
+        return pa.table(
+            {
+                self.key_col: batch.column(self.key_col).filter(
+                    pa.array(keep)
+                ),
+                "n_hits": pa.array(n_hits[keep]),
+            }
+        )

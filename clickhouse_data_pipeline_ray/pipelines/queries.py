@@ -1523,6 +1523,33 @@ def q_lang_id_documents(sf_dir: str) -> ray.data.Dataset:
     ).select_columns(["doc_id", "lang_pred"])
 
 
+def q_decontaminate_documents(sf_dir: str) -> ray.data.Dataset:
+    """Test-set decontamination: flag corpus documents containing any
+    benchmark snippet. The benchmark set is FIXED-SIZE (doc_id < 40 — real
+    benchmarks are KBs no matter how big the corpus gets) and is loaded on
+    the driver with parquet filter pushdown; snippets ship once per actor.
+    The corpus side streams — one vectorized substring pass per snippet."""
+    import pyarrow.parquet as pq
+
+    bench = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text"],
+        filters=[("doc_id", "<", 40)],
+    )
+    snippets = [
+        t[10:42]
+        for t in bench.column("text").to_pylist()
+        if t is not None and len(t) >= 42
+    ]
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        F_text.Decontaminate,
+        fn_constructor_kwargs={"snippets": snippets},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
 def q_ivf_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = _query_vectors(sf_dir, upto=4)
@@ -1658,6 +1685,7 @@ QUERIES = {
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "embedding_neardup": q_embedding_neardup,
     "lang_id_documents": q_lang_id_documents,
+    "decontaminate_documents": q_decontaminate_documents,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
     "ivf_indexed_topk": q_ivf_indexed_topk,
     "multimodal_image_decode": q_multimodal_image_decode,
@@ -1771,6 +1799,15 @@ def build_oracle_sql(sf_dir: str) -> dict[str, str]:
 
 ORACLE_SQL = {
     "lang_id_documents": _LANG_SQL,
+    "decontaminate_documents": """
+        WITH bench AS (
+          SELECT substr(text, 11, 32) AS snip FROM documents
+          WHERE doc_id < 40 AND length(text) >= 42
+        )
+        SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM documents d JOIN bench b ON contains(d.text, b.snip)
+        GROUP BY d.doc_id
+    """,
     "incremental_scan_events": """
         SELECT event_id, user_id, event_type
         FROM events WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
