@@ -953,6 +953,55 @@ def q_prev_event_gap(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_running_user_value(sf_dir: str) -> ray.data.Dataset:
+    """Running/cumulative window aggregate: per event, the user's cumulative
+    value sum so far (SUM() OVER (PARTITION BY user ORDER BY ts) ROWS
+    UNBOUNDED PRECEDING). Same scale shape as the lag op: hash-bucket users
+    into O(CPUs) groups, ONE vectorized sort + cumsum pass per bucket with
+    user-boundary resets via a grouped-cumsum identity (global cumsum minus
+    each user's start offset) — no per-user Python. Values go through the
+    shared fixed-point milli convention so the oracle sums integers."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    n_buckets = _n_reduce_buckets()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ub = (hash_array(uid, categorize=False) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "value_milli": _fixed_point(b.column("value"), 1000.0),
+                "ub": pa.array(ub),
+            }
+        )
+
+    def cumsum_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        v = g["value_milli"].to_numpy()
+        run = np.cumsum(v)
+        # subtract the running total just before each user's first row
+        new_user = g["user_id"].ne(g["user_id"].shift()).to_numpy()
+        starts = np.flatnonzero(new_user)
+        base = np.where(starts > 0, run[starts - 1], 0)
+        counts = np.diff(np.r_[starts, len(v)])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].values,
+                "running_value_milli": run - np.repeat(base, counts),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(cumsum_block, batch_format="pandas")
+    )
+
+
 def q_top_docs_per_source(sf_dir: str) -> pa.Table:
     """Grouped top-k (top-3 longest docs per source): per-batch partial
     top-k per group (each block emits ≤ k rows per source it sees), then the
@@ -1663,6 +1712,7 @@ QUERIES = {
     "window_hourly_events": q_window_hourly_events,
     "window_sliding_events": q_window_sliding_events,
     "prev_event_gap": q_prev_event_gap,
+    "running_user_value": q_running_user_value,
     "doc_length_percentiles": q_doc_length_percentiles,
     "value_quantiles_sketch": q_value_quantiles_sketch,
     "approx_distinct_users": q_approx_distinct_users,
@@ -1914,6 +1964,14 @@ ORACLE_SQL = {
                          lag(ts) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id),
                          ts) AS gap_ms
+        FROM events
+    """,
+    "running_user_value": """
+        SELECT event_id,
+               CAST(sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS running_value_milli
         FROM events
     """,
     "sessionize_events": """
