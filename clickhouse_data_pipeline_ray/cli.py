@@ -75,6 +75,9 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--partition-by-month", metavar="TS_COL", default=None,
                     help="time-partition by yyyymm of this timestamp column "
                          "(PARTITION BY toYYYYMM analog)")
+    sp.add_argument("--event-time-col", default=None,
+                    help="enable event-time watermark + late-data metrics on "
+                         "this column (default: event_ts for fact schemas)")
     sp.add_argument("--retention", type=int, default=None,
                     help="retained versioned manifests for time travel (default 8)")
 
@@ -114,6 +117,9 @@ def _run(argv: list[str] | None = None) -> int:
         help="delta: append O(changes) per-partition deltas (MERGE-on-read); "
              "snapshot: rewrite touched partitions each epoch",
     )
+    sp.add_argument("--allowed-lateness", type=float, default=0.0,
+                    help="seconds of event-time lateness tolerated before an "
+                         "arrival counts as late (event_time_col tables only)")
     sp.add_argument("--compact-threshold", type=int, default=8,
                     help="compact a partition when its file chain reaches this")
 
@@ -204,10 +210,13 @@ def _run(argv: list[str] | None = None) -> int:
         key_col = args.key_col
         if args.key_col == "doc_id" and schema_name == "facts":
             key_col = "event_id"
+        ev_col = args.event_time_col
+        if ev_col is None and schema_name == "facts":
+            ev_col = "event_ts"
         man = create_table(
             args.table, num_partitions=args.num_partitions, schema=schema,
             mode=args.mode, key_col=key_col, partition_spec=spec,
-            retention=args.retention,
+            retention=args.retention, event_time_col=ev_col or "",
         )
         print(json.dumps({"table": args.table, "epoch": man.epoch, "mode": man.mode,
                           "partition_spec": man.spec,
@@ -328,6 +337,7 @@ def _run(argv: list[str] | None = None) -> int:
                     hot_ratio=args.hot_ratio,
                     write_mode=args.write_mode,
                     compact_threshold=args.compact_threshold,
+                    allowed_lateness_s=args.allowed_lateness,
                 )
                 while True:
                     stats = apply_once(args.table, args.wal, cfg)

@@ -83,6 +83,11 @@ class ApplyConfig:
     # touched partitions fully every epoch (MERGE-on-write).
     write_mode: str = "delta"
     compact_threshold: int = 8
+    # late-data tolerance for event-time watermark accounting (only used by
+    # tables with an event_time_col): an event is counted late when its event
+    # time is more than this many seconds behind the committed event-time
+    # watermark. 0 = strictly monotone expectation.
+    allowed_lateness_s: float = 0.0
     # "prev": predict hot pids from last epoch's manifest histogram (free);
     # "scan": exact per-epoch counting pass (materializes the change set);
     # "off": never salt.
@@ -97,6 +102,7 @@ def create_table(
     key_col: str = "doc_id",
     partition_spec: dict | None = None,
     retention: int | None = None,
+    event_time_col: str = "",
 ) -> Manifest:
     from ..state.manifest import MANIFEST_RETENTION
 
@@ -108,6 +114,7 @@ def create_table(
         key_col=key_col,
         partition_spec=partition_spec,
         retention=retention if retention is not None else MANIFEST_RETENTION,
+        event_time_col=event_time_col,
     )
 
 
@@ -257,6 +264,9 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
             "compact_threshold": cfg.compact_threshold,
             "mode": man.mode,
             "default_watermark": watermark,
+            "event_time_col": man.event_time_col,
+            "event_time_watermark_us": man.event_time_watermark_us,
+            "allowed_lateness_us": int(cfg.allowed_lateness_s * 1_000_000),
         },
         batch_format="pyarrow",
         concurrency=cfg.merge_concurrency,
@@ -292,6 +302,18 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
         part["lineage"] = (part.get("lineage") or [])[-200:] + seg_names
         merged_rows += int(row["applied"])
         man.last_applied[pid] = int(row["applied"])
+    # Event-time watermark advance + late-arrival count (tables with an
+    # event_time_col only): combine the O(P) per-partition partials. The
+    # watermark is monotone — late events never move it backwards.
+    late_events = 0
+    if man.event_time_col:
+        ev_maxes = [row["max_event_ts_us"] for row in stats if row["max_event_ts_us"] is not None]
+        late_events = sum(int(row["late_events"]) for row in stats)
+        if ev_maxes:
+            prev = man.event_time_watermark_us
+            man.event_time_watermark_us = max(
+                int(max(ev_maxes)), prev if prev is not None else -(1 << 63)
+            )
     # Partitions with no changes this epoch advance their watermark too
     # (no event ≤ epoch_max_lsn can belong to them).
     for part in man.partitions.values():
@@ -309,6 +331,9 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
         "wall_s": round(wall, 4),
         "events_per_s": round(n_events / wall, 1) if wall > 0 else 0.0,
     }
+    if man.event_time_col:
+        epoch_stats["late_events"] = int(late_events)
+        epoch_stats["event_time_watermark_us"] = man.event_time_watermark_us
     man.epoch = epoch
     man.schema_b64 = schema_to_b64(snap_schema)
     man.history.append(epoch_stats)

@@ -257,6 +257,11 @@ class FactGenParams:
     start_epoch_s: int = 1_704_067_200  # 2024-01-01T00:00:00Z
     span_s: int = 90 * 86_400        # ~3 months of events
     fmt: str = "parquet"
+    # out-of-order event time: this fraction of events arrives with an event
+    # timestamp late_by_s behind its in-order position (0 = strictly monotone;
+    # the knob that exercises event-time watermark / late-data accounting)
+    late_frac: float = 0.0
+    late_by_s: int = 3_600
 
 
 def gen_fact_segment(params: FactGenParams, index: int, first_lsn: int, n: int) -> pa.Table:
@@ -275,6 +280,10 @@ def gen_fact_segment(params: FactGenParams, index: int, first_lsn: int, n: int) 
         0, len(EVENT_TYPES) - 1
     )
     value = np.round(rng.random(n) * 100.0, 4)
+    if params.late_frac > 0:
+        # drawn LAST so late_frac=0 streams stay byte-identical to before
+        late = rng.random(n) < params.late_frac
+        ts_us = ts_us - late.astype(np.int64) * params.late_by_s * 1_000_000
     return pa.table(
         {
             "lsn": pa.array(lsn),

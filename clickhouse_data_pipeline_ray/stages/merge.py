@@ -173,6 +173,8 @@ def _stats_row(
     new_file: str,
     files: list[str],
     merge_s: float,
+    max_event_ts_us: int | None = None,
+    late_events: int = 0,
 ) -> pa.Table:
     import json
 
@@ -188,6 +190,11 @@ def _stats_row(
             "new_file": pa.array([new_file], pa.string()),
             "files_json": pa.array([json.dumps(files)], pa.string()),
             "merge_s": pa.array([time.perf_counter() - merge_s], pa.float64()),
+            # event-time partials (None/0 when the table has no event-time
+            # column): combined on the driver into the epoch's event-time
+            # watermark advance + late-arrival count.
+            "max_event_ts_us": pa.array([max_event_ts_us], pa.int64()),
+            "late_events": pa.array([late_events], pa.int64()),
         }
     )
 
@@ -274,6 +281,9 @@ class MergeApply:
         compact_threshold: int = 8,
         mode: str = "upsert",
         default_watermark: int = 0,
+        event_time_col: str = "",
+        event_time_watermark_us: int | None = None,
+        allowed_lateness_us: int = 0,
     ):
         self.table_dir = table_dir
         self.epoch = epoch
@@ -285,6 +295,26 @@ class MergeApply:
         # watermark for partitions the manifest hasn't seen yet (dynamic
         # time partitions): the table-level committed floor.
         self.default_watermark = default_watermark
+        # event-time watermark accounting (late-data metrics): the committed
+        # table-level event-time high-water mark as of the PREVIOUS epoch; an
+        # event this epoch is "late" if its event time is more than
+        # allowed_lateness behind it. Disabled when the col is "".
+        self.event_time_col = event_time_col
+        self.event_time_watermark_us = event_time_watermark_us
+        self.allowed_lateness_us = allowed_lateness_us
+
+    def _event_time_partials(self, changes: pa.Table) -> tuple[int | None, int]:
+        """(max event-time us, late-event count) for one change group."""
+        col = self.event_time_col
+        if not col or col not in changes.column_names or changes.num_rows == 0:
+            return None, 0
+        ts = changes.column(col).cast(pa.timestamp("us")).cast(pa.int64())
+        ev_max = pc.max(ts).as_py()
+        if self.event_time_watermark_us is None:
+            return ev_max, 0
+        bound = self.event_time_watermark_us - self.allowed_lateness_us
+        late = pc.sum(pc.less(ts, pa.scalar(bound)).cast(pa.int64())).as_py() or 0
+        return ev_max, int(late)
 
     def _read_files(self, meta: dict) -> list[pa.Table]:
         return [
@@ -334,6 +364,7 @@ class MergeApply:
                 pid, int(meta.get("rows", 0)), bool(meta.get("exact_rows", True)),
                 int(meta.get("bytes", 0)), 0, 0, watermark, "", old_files, t0,
             )
+        ev_max, ev_late = self._event_time_partials(changes)
 
         if self.mode == "append":
             # Append-only facts: immutable rows, no LWW, no tombstones.
@@ -359,7 +390,7 @@ class MergeApply:
                 rel, nbytes = self._write(rows, pid, "append")
                 return _stats_row(
                     pid, rows.num_rows, True, nbytes,
-                    n_applied, 0, max_lsn, rel, [rel], t0,
+                    n_applied, 0, max_lsn, rel, [rel], t0, ev_max, ev_late,
                 )
             rel, nbytes = self._write(rows, pid, "append")
             return _stats_row(
@@ -368,6 +399,7 @@ class MergeApply:
                 True,
                 int(meta.get("bytes", 0)) + nbytes,
                 n_applied, 0, max_lsn, rel, old_files + [rel], t0,
+                ev_max, ev_late,
             )
 
         # Bootstrap: an empty partition's first write IS its compacted state —
@@ -398,6 +430,7 @@ class MergeApply:
             return _stats_row(
                 pid, int(meta.get("rows", 0)), False, chain_bytes,
                 n_applied, n_del, max_lsn, rel, old_files + [rel], t0,
+                ev_max, ev_late,
             )
 
         # Compaction / snapshot path: full merge of the file chain + changes.
@@ -411,7 +444,7 @@ class MergeApply:
         rel, nbytes = self._write(merged, pid, "snapshot")
         return _stats_row(
             pid, merged.num_rows, True, nbytes,
-            n_applied, n_del, max_lsn, rel, [rel], t0,
+            n_applied, n_del, max_lsn, rel, [rel], t0, ev_max, ev_late,
         )
 
 

@@ -69,6 +69,16 @@ class Manifest:
     # retained versioned manifests for time travel (per-table override of
     # the MANIFEST_RETENTION default)
     retention: int = MANIFEST_RETENTION
+    # EVENT-TIME watermark (late-data accounting, §2.9 streaming concerns):
+    # when set, every epoch tracks max(event_time_col) across applied events
+    # and counts arrivals whose event time is BEHIND the committed watermark
+    # (out-of-order beyond allowed lateness). Processing-time progress is the
+    # LSN watermark above; this is the event-time twin (the Flink watermark
+    # idea, applied per micro-batch). "" = disabled (doc tables carry no
+    # event time).
+    event_time_col: str = ""
+    # microseconds since epoch; None until the first event is seen
+    event_time_watermark_us: int | None = None
 
     @property
     def schema(self) -> pa.Schema:
@@ -112,6 +122,7 @@ def init_table(
     key_col: str = "doc_id",
     partition_spec: dict | None = None,
     retention: int = MANIFEST_RETENTION,
+    event_time_col: str = "",
 ) -> Manifest:
     """Create an empty table layout + manifest v0 (idempotent, the analog of
     the reference's ``CREATE TABLE IF NOT EXISTS`` DDL path,
@@ -139,6 +150,7 @@ def init_table(
         key_col=key_col,
         partition_spec=spec,
         retention=max(1, retention),
+        event_time_col=event_time_col,
     )
     commit_manifest(man)
     return man
@@ -175,6 +187,8 @@ def load_manifest(table_dir: str, epoch: int | None = None) -> Manifest:
         partition_spec=doc.get("partition_spec", {}),
         watermark_floor=doc.get("watermark_floor", 0),
         retention=doc.get("retention", MANIFEST_RETENTION),
+        event_time_col=doc.get("event_time_col", ""),
+        event_time_watermark_us=doc.get("event_time_watermark_us"),
     )
 
 
@@ -195,6 +209,8 @@ def commit_manifest(man: Manifest) -> None:
         "partition_spec": man.partition_spec,
         "watermark_floor": man.watermark_floor,
         "retention": man.retention,
+        "event_time_col": man.event_time_col,
+        "event_time_watermark_us": man.event_time_watermark_us,
     }
     path = os.path.join(man.table_dir, MANIFEST_NAME)
     tmp = path + ".tmp"
