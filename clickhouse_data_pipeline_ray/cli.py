@@ -180,6 +180,33 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
 
     sp = sub.add_parser(
+        "mv-register",
+        help="register an incremental materialized view on an append table",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--group-keys", required=True, help="comma-separated")
+    sp.add_argument("--sums", default="",
+                    help="comma-separated col:scale:outname specs, e.g. "
+                         "value:1000:sum_value_milli")
+    sp.add_argument("--date-from", default=None,
+                    help="timestamp column to derive an event_date group key")
+
+    sp = sub.add_parser(
+        "mv-refresh",
+        help="fold WAL events since the MV watermark into its state "
+             "(all registered MVs unless --name)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--wal", required=True)
+    sp.add_argument("--name", default=None)
+
+    sp = sub.add_parser("mv-read", help="print an MV's committed state")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--limit", type=int, default=20)
+
+    sp = sub.add_parser(
         "query",
         help="run a driver-contract query/operator by name over an sf dir "
              "(list available names with `query --list`)",
@@ -323,6 +350,51 @@ def _run(argv: list[str] | None = None) -> int:
 
         removed = truncate_wal(args.wal, load_manifest(args.table).watermark)
         print(json.dumps({"removed_segments": len(removed)}))
+        return 0
+
+    if args.cmd == "mv-register":
+        from .pipelines.mv import register_mv
+
+        sums = []
+        for item in filter(None, args.sums.split(",")):
+            parts = item.split(":")
+            if len(parts) != 3:
+                print(f"error: --sums entry {item!r} must be col:scale:outname",
+                      file=sys.stderr)
+                return 1
+            sums.append({"col": parts[0], "scale": float(parts[1]), "name": parts[2]})
+        spec = register_mv(
+            args.table, args.name,
+            group_keys=[k for k in args.group_keys.split(",") if k],
+            sums=sums, date_from=args.date_from,
+        )
+        print(json.dumps({"mv": spec["name"], "group_keys": spec["group_keys"],
+                          "sums": spec["sums"], "watermark_lsn": spec["watermark_lsn"]}))
+        return 0
+
+    if args.cmd == "mv-read":
+        from .pipelines.mv import read_mv
+
+        t = read_mv(args.table, args.name)
+        print(json.dumps({"mv": args.name, "groups": t.num_rows,
+                          "columns": t.column_names}))
+        print(t.to_pandas().head(args.limit).to_string(index=False))
+        return 0
+
+    if args.cmd == "mv-refresh":
+        from .pipelines.mv import list_mvs, refresh_mv
+
+        names = [args.name] if args.name else list_mvs(args.table)
+        if not names:
+            print(json.dumps({"refreshed": 0, "note": "no MVs registered"}))
+            return 0
+        ray = _init_ray(args.num_cpus)
+        try:
+            for name in names:
+                tick = refresh_mv(args.table, args.wal, name)
+                print(json.dumps(tick if tick else {"mv": name, "caught_up": True}))
+        finally:
+            ray.shutdown()
         return 0
 
     if args.cmd in ("apply", "compact", "repartition", "import", "kpi"):

@@ -1,0 +1,261 @@
+"""Incremental materialized views over append-mode tables.
+
+The reference maintains its KPI aggregates as ClickHouse SummingMergeTree
+materialized views (/root/reference/etl/clickhouse_schema/kpi_views.sql:4-27,
+30-47): every insert into the base fact table folds additively into the
+view's summed state. This module runs the same contract on the engine's
+manifest/commit machinery:
+
+- an MV registers (group keys, summed measures) against an APPEND table;
+- each refresh tick aggregates ONLY the WAL events between the MV's
+  committed watermark and the table's committed watermark — O(tick), never
+  O(table) — and folds the partial into the persisted state;
+- state commits use the same tmp-write + atomic-rename protocol as table
+  epochs, so a crashed refresh leaves the old state visible and the next
+  refresh redoes the tick idempotently (deterministic bytes).
+
+Scale shape: the per-tick partial is a streamed ``map_batches`` Arrow
+``group_by`` combiner (only (keys, sums) rows leave each batch — the
+aggregate-first discipline); the persisted state is group-cardinality-sized,
+bounded for the KPI-style views this models (dates × types — exactly the
+reference's mv_daily_performance shape).
+
+Sums are exact by construction: every measure goes through the fixed-point
+integer convention (``CAST(FLOOR(x * scale + 0.5) AS BIGINT)`` on both
+engines), so incremental maintenance and a full recompute agree bit-for-bit
+regardless of fold order.
+
+Append-only restriction: updates/deletes would need retractions (the OLD
+row's values, which the change stream does not carry) — the same reason
+ClickHouse SummingMergeTree MVs only see inserts. Registering an MV on an
+upsert table is rejected loudly.
+
+WAL-retention contract: a refresh needs the WAL back to the MV's watermark.
+``truncate_wal`` keyed to the TABLE watermark can outrun a lagging MV; the
+refresh detects the gap (first pending segment starts past watermark+1) and
+fails loudly instead of silently under-counting.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..sources.wal import pending_segments
+from ..state.manifest import load_manifest, table_lock
+
+MV_DIR = "mv"
+SPEC_NAME = "mvspec.json"
+
+
+def _mv_dir(table_dir: str, name: str) -> str:
+    return os.path.join(table_dir, MV_DIR, name)
+
+
+def _atomic_json(path: str, doc: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def register_mv(
+    table_dir: str,
+    name: str,
+    group_keys: list[str],
+    sums: list[dict],
+    count_col: str = "n_events",
+    date_from: str | None = None,
+) -> dict:
+    """Register an incremental MV on an append table (idempotent: an
+    identical re-registration returns the existing spec; a conflicting one
+    is rejected).
+
+    ``sums``: [{"col": <source col>, "scale": <fixed-point scale>,
+    "name": <output col>}]. ``date_from``: optional timestamp column from
+    which a derived ``event_date`` (%Y-%m-%d) group key is computed — the
+    toYYYYMMDD convention of the reference's daily views.
+    """
+    man = load_manifest(table_dir)
+    if man.mode != "append":
+        raise ValueError(
+            f"materialized views require an append-mode table (got mode="
+            f"{man.mode!r}): LWW updates/deletes would need retractions the "
+            "change stream does not carry"
+        )
+    schema_names = set(man.schema.names)
+    derived = {"event_date"} if date_from else set()
+    for k in group_keys:
+        if k not in schema_names and k not in derived:
+            raise ValueError(f"group key {k!r} not in table schema")
+    for s in sums:
+        if s["col"] not in schema_names:
+            raise ValueError(f"sum column {s['col']!r} not in table schema")
+    if date_from and date_from not in schema_names:
+        raise ValueError(f"date_from column {date_from!r} not in table schema")
+    spec = {
+        "name": name,
+        "group_keys": list(group_keys),
+        "sums": [
+            {"col": s["col"], "scale": float(s.get("scale", 1.0)),
+             "name": s.get("name", f"sum_{s['col']}")}
+            for s in sums
+        ],
+        "count_col": count_col,
+        "date_from": date_from,
+        "watermark_lsn": 0,
+        "state_file": None,
+        "updated_at": 0.0,
+    }
+    d = _mv_dir(table_dir, name)
+    spec_path = os.path.join(d, SPEC_NAME)
+    if os.path.exists(spec_path):
+        with open(spec_path) as f:
+            existing = json.load(f)
+        same = all(
+            existing.get(k) == spec[k]
+            for k in ("group_keys", "sums", "count_col", "date_from")
+        )
+        if not same:
+            raise ValueError(
+                f"MV {name!r} already exists with a different definition — "
+                "drop its directory to redefine"
+            )
+        return existing
+    os.makedirs(d, exist_ok=True)
+    _atomic_json(spec_path, spec)
+    return spec
+
+
+def load_mv(table_dir: str, name: str) -> dict:
+    with open(os.path.join(_mv_dir(table_dir, name), SPEC_NAME)) as f:
+        return json.load(f)
+
+
+def list_mvs(table_dir: str) -> list[str]:
+    root = os.path.join(table_dir, MV_DIR)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        n for n in os.listdir(root)
+        if os.path.exists(os.path.join(root, n, SPEC_NAME))
+    )
+
+
+def read_mv(table_dir: str, name: str) -> pa.Table:
+    """Current committed MV state (empty-but-typed before the first tick)."""
+    spec = load_mv(table_dir, name)
+    if spec["state_file"]:
+        return pq.read_table(os.path.join(_mv_dir(table_dir, name), spec["state_file"]))
+    fields = [pa.field(k, pa.string()) for k in spec["group_keys"]]
+    fields.append(pa.field(spec["count_col"], pa.int64()))
+    fields += [pa.field(s["name"], pa.int64()) for s in spec["sums"]]
+    return pa.table({f.name: pa.array([], f.type) for f in fields})
+
+
+def _tick_partial(spec: dict, lo: int, hi: int):
+    """Per-batch combiner: fixed-point measures + derived date key, then an
+    Arrow group_by — only (keys, sums) rows leave the batch."""
+    keys = spec["group_keys"]
+    sums = spec["sums"]
+    count_col = spec["count_col"]
+    date_from = spec["date_from"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        lsn = b.column("lsn")
+        b = b.filter(
+            pc.and_(pc.greater(lsn, pa.scalar(lo)), pc.less_equal(lsn, pa.scalar(hi)))
+        )
+        cols = {}
+        for k in keys:
+            if k == "event_date" and date_from:
+                cols[k] = pc.strftime(
+                    b.column(date_from).cast(pa.timestamp("s")), format="%Y-%m-%d"
+                )
+            else:
+                cols[k] = b.column(k)
+        for s in sums:
+            v = pc.multiply(b.column(s["col"]).cast(pa.float64()), s["scale"])
+            cols[s["name"]] = pc.floor(pc.add(v, 0.5)).cast(pa.int64())
+        t = pa.table(cols)
+        t = t.append_column(count_col, pa.nulls(t.num_rows, pa.int64()).fill_null(1))
+        agg_cols = [s["name"] for s in sums] + [count_col]
+        agg = t.group_by(keys).aggregate([(c, "sum") for c in agg_cols])
+        names = {f"{c}_sum": c for c in agg_cols}
+        return agg.rename_columns([names.get(n, n) for n in agg.column_names])
+
+    return partial
+
+
+def refresh_mv(table_dir: str, wal_dir: str, name: str) -> dict | None:
+    """One maintenance tick: fold WAL events in (mv watermark, table
+    watermark] into the persisted state. Returns tick stats, or None when
+    the MV is caught up with the table. Ray must already be initialized."""
+    with table_lock(table_dir):
+        return _refresh_mv_locked(table_dir, wal_dir, name)
+
+
+def _refresh_mv_locked(table_dir: str, wal_dir: str, name: str) -> dict | None:
+    from .apply import _read_segments
+
+    t0 = time.perf_counter()
+    spec = load_mv(table_dir, name)
+    man = load_manifest(table_dir)
+    lo, hi = int(spec["watermark_lsn"]), int(man.watermark)
+    if hi <= lo:
+        return None
+    segs = [s for s in pending_segments(wal_dir, lo) if s.first_lsn <= hi]
+    if not segs or segs[0].first_lsn > lo + 1:
+        raise ValueError(
+            f"MV {name!r} needs WAL events from lsn {lo + 1} but the first "
+            f"pending segment starts at "
+            f"{segs[0].first_lsn if segs else 'nothing'} — the WAL was "
+            "truncated past the MV watermark; rebuild the view"
+        )
+
+    keys = spec["group_keys"]
+    agg_cols = [s["name"] for s in spec["sums"]] + [spec["count_col"]]
+    parts = (
+        _read_segments(segs)
+        .map_batches(_tick_partial(spec, lo, hi), batch_format="pyarrow")
+        .to_pandas()
+    )
+    prev = read_mv(table_dir, name).to_pandas()
+    merged = pd.concat([prev, parts], ignore_index=True)
+    out = merged.groupby(keys, as_index=False)[agg_cols].sum()
+    for c in agg_cols:
+        out[c] = out[c].astype("int64")
+    out = out.sort_values(keys).reset_index(drop=True)
+
+    # ---- commit: state parquet (tmp + rename), then atomic spec swap ----
+    d = _mv_dir(table_dir, name)
+    state_name = f"state-{hi:012d}.parquet"
+    tmp = os.path.join(d, f"{state_name}.tmp.{os.getpid()}")
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp,
+                   compression="zstd")
+    os.replace(tmp, os.path.join(d, state_name))
+    old_state = spec["state_file"]
+    spec.update(
+        {"watermark_lsn": hi, "state_file": state_name, "updated_at": time.time()}
+    )
+    _atomic_json(os.path.join(d, SPEC_NAME), spec)
+    if old_state and old_state != state_name:
+        try:
+            os.remove(os.path.join(d, old_state))
+        except FileNotFoundError:
+            pass
+    return {
+        "mv": name,
+        "from_lsn": lo,
+        "to_lsn": hi,
+        "groups": int(len(out)),
+        "wall_s": round(time.perf_counter() - t0, 4),
+    }

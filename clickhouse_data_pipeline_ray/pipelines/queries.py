@@ -40,6 +40,7 @@ from ..stages.join import hash_join
 from ..stages.merge import lww_compact
 from .apply import (
     ApplyConfig,
+    apply_once,
     create_table,
     read_time_range,
     replay,
@@ -295,6 +296,40 @@ def cdc_fact_monthly_kpi(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         pdf[["event_type", "n_events", "sum_value_milli"]], preserve_index=False
     )
+
+
+def cdc_mv_daily_performance(sf_dir: str) -> pa.Table:
+    """Incremental materialized view end-to-end (the SummingMergeTree MV
+    analog, kpi_views.sql:30-47 mv_daily_performance): replay the fact WAL
+    epoch-by-epoch with an MV refresh interleaved after EVERY epoch — each
+    tick folds only that epoch's events into the persisted state (O(tick),
+    never O(table)) — and return the final state. Exactness comes from the
+    shared fixed-point convention: incremental folds and the oracle's full
+    recompute sum the same integers."""
+    import shutil
+
+    from .mv import read_mv, refresh_mv, register_mv
+
+    wal_dir = _fact_wal(sf_dir)
+    table_dir = tempfile.mkdtemp(prefix="cdp_mv_")
+    try:
+        create_table(
+            table_dir, schema=FACT_SNAPSHOT_SCHEMA, mode="append",
+            key_col="event_id", partition_spec=_FACT_TIME_SPEC,
+        )
+        register_mv(
+            table_dir, "daily",
+            group_keys=["event_date", "event_type"],
+            sums=[{"col": "value", "scale": 1000, "name": "sum_value_milli"}],
+            date_from="event_ts",
+        )
+        cfg = ApplyConfig(max_segments=2)
+        while apply_once(table_dir, wal_dir, cfg) is not None:
+            refresh_mv(table_dir, wal_dir, "daily")
+        out = read_mv(table_dir, "daily")
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return out.select(["event_date", "event_type", "n_events", "sum_value_milli"])
 
 
 def cdc_registry_sync(sf_dir: str) -> pa.Table:
@@ -1695,6 +1730,7 @@ QUERIES = {
     "cdc_kpi_source_stats": cdc_kpi_source_stats,
     "cdc_append_replay": cdc_append_replay,
     "cdc_fact_monthly_kpi": cdc_fact_monthly_kpi,
+    "cdc_mv_daily_performance": cdc_mv_daily_performance,
     "cdc_registry_sync": cdc_registry_sync,
     "incremental_scan_events": q_incremental_scan_events,
     "normalize_documents": q_normalize_documents,
@@ -1830,6 +1866,14 @@ def build_oracle_sql(sf_dir: str) -> dict[str, str]:
         WHERE event_ts >= TIMESTAMP '2024-02-01'
           AND event_ts < TIMESTAMP '2024-03-01'
         GROUP BY event_type
+    """
+    out["cdc_mv_daily_performance"] = f"""
+        SELECT strftime(event_ts, '%Y-%m-%d') AS event_date, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_value_milli
+        FROM read_parquet('{fact_wal}/seg-*.parquet')
+        GROUP BY 1, 2
     """
     out["cdc_registry_sync"] = f"""
         WITH snap AS ({_cdc_snapshot_sql(wal, evolved=False)}),
