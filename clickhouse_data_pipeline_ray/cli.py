@@ -117,6 +117,10 @@ def _run(argv: list[str] | None = None) -> int:
         help="delta: append O(changes) per-partition deltas (MERGE-on-read); "
              "snapshot: rewrite touched partitions each epoch",
     )
+    sp.add_argument("--refresh-mvs", action="store_true",
+                    help="fold each committed epoch into all registered "
+                         "materialized views (the ClickHouse MV "
+                         "trigger-on-insert analog)")
     sp.add_argument("--allowed-lateness", type=float, default=0.0,
                     help="seconds of event-time lateness tolerated before an "
                          "arrival counts as late (event_time_col tables only)")
@@ -415,6 +419,13 @@ def _run(argv: list[str] | None = None) -> int:
                     stats = apply_once(args.table, args.wal, cfg)
                     if stats:
                         print(json.dumps(stats))
+                        if args.refresh_mvs:
+                            from .pipelines.mv import list_mvs, refresh_mv
+
+                            for name in list_mvs(args.table):
+                                tick = refresh_mv(args.table, args.wal, name)
+                                if tick:
+                                    print(json.dumps(tick))
                     if args.once or (stats is None and not args.follow):
                         break
                     if stats is None:
