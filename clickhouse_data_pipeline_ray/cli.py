@@ -211,6 +211,19 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--limit", type=int, default=20)
 
     sp = sub.add_parser(
+        "diff",
+        help="CDC-out: the change stream (op c|u|d) between two retained "
+             "epochs — unchanged partitions pruned at the manifest",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--from-epoch", type=int, required=True)
+    sp.add_argument("--to-epoch", type=int, default=None)
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--output", default=None,
+                    help="stream the full change set to this directory as "
+                         "parquet (one file per changed partition)")
+
+    sp = sub.add_parser(
         "query",
         help="run a driver-contract query/operator by name over an sf dir "
              "(list available names with `query --list`)",
@@ -447,6 +460,34 @@ def _run(argv: list[str] | None = None) -> int:
                 from .pipelines.kpi import kpi_report
 
                 print(json.dumps(kpi_report(args.table, epoch=args.epoch), default=str))
+        finally:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "diff":
+        from .pipelines.diff import changed_partitions, table_diff
+
+        plan = changed_partitions(args.table, args.from_epoch, args.to_epoch)
+        ray = _init_ray(args.num_cpus)
+        try:
+            ds = table_diff(args.table, args.from_epoch, args.to_epoch)
+            if args.output:
+                ds.write_parquet(args.output)
+                print(json.dumps({
+                    "from_epoch": args.from_epoch, "to_epoch": args.to_epoch,
+                    "changed_partitions": len(plan), "output": args.output,
+                }))
+            else:
+                import pandas as pd
+
+                with pd.option_context("display.width", 200):
+                    head = ds.limit(args.limit).to_pandas()
+                    print(json.dumps({
+                        "from_epoch": args.from_epoch, "to_epoch": args.to_epoch,
+                        "changed_partitions": len(plan),
+                        "columns": list(head.columns),
+                    }))
+                    print(head.to_string(index=False))
         finally:
             ray.shutdown()
         return 0
