@@ -298,6 +298,32 @@ def cdc_fact_monthly_kpi(sf_dir: str) -> pa.Table:
     )
 
 
+def cdc_epoch_diff(sf_dir: str) -> pa.Table:
+    """CDC-out end-to-end: replay the deterministic WAL in bounded epochs,
+    then emit the change stream (op c|u|d) between epoch 1's committed state
+    and the final state via the time-travel diff (pipelines/diff.py —
+    manifest-pruned, one vectorized key-diff task per changed partition).
+    The oracle recomputes the same diff relationally: LWW state at the
+    epoch-1 watermark vs LWW state at the end, outer-joined on the key."""
+    import shutil
+
+    from .diff import table_diff
+
+    wal_dir = _cdc_wal(sf_dir, evolve=False)
+    table_dir = tempfile.mkdtemp(prefix="cdp_diff_")
+    try:
+        create_table(table_dir, num_partitions=16)
+        replay(table_dir, wal_dir, ApplyConfig(max_segments=4), final_compact=False)
+        out = (
+            table_diff(table_dir, from_epoch=1)
+            .select_columns(["lsn", "doc_id", "n_tok", "source", "op"])
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def cdc_mv_daily_performance(sf_dir: str) -> pa.Table:
     """Incremental materialized view end-to-end (the SummingMergeTree MV
     analog, kpi_views.sql:30-47 mv_daily_performance): replay the fact WAL
@@ -1730,6 +1756,7 @@ QUERIES = {
     "cdc_kpi_source_stats": cdc_kpi_source_stats,
     "cdc_append_replay": cdc_append_replay,
     "cdc_fact_monthly_kpi": cdc_fact_monthly_kpi,
+    "cdc_epoch_diff": cdc_epoch_diff,
     "cdc_mv_daily_performance": cdc_mv_daily_performance,
     "cdc_registry_sync": cdc_registry_sync,
     "incremental_scan_events": q_incremental_scan_events,
@@ -1866,6 +1893,34 @@ def build_oracle_sql(sf_dir: str) -> dict[str, str]:
         WHERE event_ts >= TIMESTAMP '2024-02-01'
           AND event_ts < TIMESTAMP '2024-03-01'
         GROUP BY event_type
+    """
+    # epoch-1 watermark of the bounded replay in cdc_epoch_diff: 4 segments
+    # per epoch by construction (ApplyConfig(max_segments=4) over dense
+    # events_per_segment-sized segments)
+    params, _tag = _cdc_params(sf_dir, evolve=False)
+    k = min(4 * params.events_per_segment, params.total_events)
+    out["cdc_epoch_diff"] = f"""
+        WITH ev AS (SELECT * FROM read_parquet('{wal}/seg-*.parquet')),
+        a AS (
+          SELECT max(lsn) AS lsn, doc_id,
+                 arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+          FROM ev WHERE lsn <= {k}
+          GROUP BY doc_id HAVING arg_max(op, lsn) <> 'd'
+        ),
+        b AS (
+          SELECT max(lsn) AS lsn, doc_id,
+                 arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+          FROM ev
+          GROUP BY doc_id HAVING arg_max(op, lsn) <> 'd'
+        )
+        SELECT b.lsn, b.doc_id, b.n_tok, b.source, 'c' AS op
+        FROM b LEFT JOIN a ON a.doc_id = b.doc_id WHERE a.doc_id IS NULL
+        UNION ALL
+        SELECT b.lsn, b.doc_id, b.n_tok, b.source, 'u' AS op
+        FROM b JOIN a ON a.doc_id = b.doc_id WHERE b.lsn <> a.lsn
+        UNION ALL
+        SELECT a.lsn, a.doc_id, a.n_tok, a.source, 'd' AS op
+        FROM a LEFT JOIN b ON b.doc_id = a.doc_id WHERE b.doc_id IS NULL
     """
     out["cdc_mv_daily_performance"] = f"""
         SELECT strftime(event_ts, '%Y-%m-%d') AS event_date, event_type,
