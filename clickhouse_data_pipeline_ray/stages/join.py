@@ -134,6 +134,70 @@ def _pad_to(batch: pa.Table, schema: pa.Schema, on: list[str], side: int, n_buck
     return pa.Table.from_arrays(cols, schema=schema)
 
 
+# ---------------------------------------------------------------------------
+# Bloom prefilter: shrink the shuffle, never the result
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 7  # hash probes per key; with bits ≈ 10×keys → ~1% false positives
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing (h1 + i·h2) — the standard
+    Kirsch–Mitzenmacher construction, so one uint64 key hash yields all k
+    probes with no further hashing."""
+    h2 = h * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)  # odd ⇒ full period
+    i = np.arange(_BLOOM_K, dtype=np.uint64)[:, None]
+    return ((h[None, :] + i * h2[None, :]) % np.uint64(m_bits)).astype(np.uint64)
+
+
+def build_bloom(
+    ds: ray.data.Dataset, on: list[str], m_bits: int = 1 << 23
+) -> np.ndarray:
+    """Bloom bitarray over a dataset's join-key hashes. Each block emits one
+    m/8-byte partial bitarray (map-side, streamed); the driver OR-folds the
+    partials — driver state is O(m), independent of row count. Default 8 Mbit
+    = 1 MiB, ~1% false-positive rate at 10⁶ distinct keys; size m ≈ 10 bits
+    per expected distinct key."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits // 8, np.uint8)
+        if b.num_rows:
+            pos = _bloom_positions(_multi_key_hash(b, on), m_bits).ravel()
+            np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(1, (pos & np.uint64(7)).astype(np.int64)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.large_binary())})
+
+    out = np.zeros(m_bits // 8, np.uint8)
+    for batch in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for buf in batch.column("bits").to_pylist():
+            out |= np.frombuffer(buf, np.uint8)
+    return out
+
+
+def _bloom_keep(batch: pa.Table, on: list[str], bits: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask: False only for rows whose key is DEFINITELY absent
+    from the bloom-built side (all-probes test; false positives stay and are
+    resolved by the exact join)."""
+    m_bits = len(bits) * 8
+    pos = _bloom_positions(_multi_key_hash(batch, on), m_bits)
+    keep = np.ones(batch.num_rows, bool)
+    for i in range(_BLOOM_K):
+        p = pos[i]
+        keep &= (bits[(p >> np.uint64(3)).astype(np.int64)]
+                 >> (p & np.uint64(7)).astype(np.uint8)) & 1 != 0
+    return keep
+
+
+# join types for which dropping the OTHER side's definitely-unmatched rows
+# cannot change the result, per bloom-build side
+_BLOOM_SAFE = {
+    "left": {"inner", "left outer", "left semi", "right semi", "left anti"},
+    "right": {"inner", "right outer", "left semi", "right semi", "right anti"},
+}
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -143,6 +207,8 @@ def hash_join(
     n_buckets: int | None = None,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    bloom: str | None = None,
+    bloom_bits: int = 1 << 23,
 ) -> ray.data.Dataset:
     """Join two large Datasets on equal-named key columns.
 
@@ -155,10 +221,29 @@ def hash_join(
     Pass ``left_schema``/``right_schema`` when known: ``Dataset.schema()`` on
     a not-yet-executed pipeline triggers a one-block probe execution per
     side — measurable fixed cost on short interactive queries.
+
+    ``bloom="left"|"right"`` prefilters the OTHER side through a Bloom
+    filter of this side's keys before the shuffle — when one side is
+    selective (a filtered dim, a key subset), most of the big side's rows
+    are dropped map-side instead of travelling the exchange. The filter is
+    built in one streamed pass (O(bloom_bits) driver state), shipped once
+    via ``ray.put``, and NEVER changes the result (false positives are
+    resolved by the exact per-bucket join) — it is therefore only accepted
+    for join types where the other side's unmatched rows cannot reach the
+    output (e.g. not ``full outer``; not filtering the preserved side of an
+    outer/anti join).
     """
     on = [on] if isinstance(on, str) else list(on)
     if how not in _JOIN_TYPES:
         raise ValueError(f"how={how!r}; expected one of {_JOIN_TYPES}")
+    if bloom is not None:
+        if bloom not in ("left", "right"):
+            raise ValueError(f"bloom={bloom!r}; expected 'left', 'right' or None")
+        if how not in _BLOOM_SAFE[bloom]:
+            raise ValueError(
+                f"bloom={bloom!r} would drop rows that a {how!r} join must "
+                f"preserve; allowed for {sorted(_BLOOM_SAFE[bloom])}"
+            )
     if n_buckets is None:
         n_buckets = _n_join_buckets()
     if left_schema is None:
@@ -168,6 +253,20 @@ def hash_join(
     schema = _unified_schema(left_schema, right_schema, on)
     left_names = [f.name for f in left_schema]
     right_names = [f.name for f in right_schema]
+
+    if bloom is not None:
+        bits_ref = ray.put(build_bloom(left if bloom == "left" else right,
+                                       on, m_bits=bloom_bits))
+
+        def prefilter(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            return b.filter(pa.array(_bloom_keep(b, on, ray.get(bits_ref))))
+
+        if bloom == "left":
+            right = right.map_batches(prefilter, batch_format="pyarrow")
+        else:
+            left = left.map_batches(prefilter, batch_format="pyarrow")
 
     tagged = left.map_batches(
         lambda b, s=schema: _pad_to(b, s, on, 0, n_buckets),

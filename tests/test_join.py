@@ -157,3 +157,78 @@ def test_hash_join_null_keys_sql_semantics(ray_session):
     matched = outer[outer["rv"].notna()]
     assert matched["lv"].tolist() == [10]
     assert set(outer["lv"]) == {10, 20, 30, 40}
+
+
+@pytest.mark.parametrize(
+    "how,pd_how,bloom",
+    [
+        ("inner", "inner", "right"),
+        ("inner", "inner", "left"),
+        ("left outer", "left", "left"),
+        ("right outer", "right", "right"),
+    ],
+)
+def test_bloom_prefilter_never_changes_results(ray_session, how, pd_how, bloom):
+    import ray
+
+    left, right = _sides(seed=29)
+    got = hash_join(
+        ray.data.from_pandas(left).repartition(6),
+        ray.data.from_pandas(right).repartition(3),
+        on="k",
+        how=how,
+        bloom=bloom,
+    ).to_pandas()
+    want = left.merge(right, on="k", how=pd_how)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_bloom_prefilter_semi_anti_exact(ray_session):
+    import ray
+
+    left, right = _sides(seed=31)
+    lds = ray.data.from_pandas(left).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(4)
+    in_right = set(right["k"])
+
+    semi = hash_join(lds, rds, on="k", how="left semi", bloom="right").to_pandas()
+    want_semi = left[left["k"].isin(in_right)]
+    pd.testing.assert_frame_equal(_canon(semi), _canon(want_semi))
+
+    anti = hash_join(lds, rds, on="k", how="left anti", bloom="left").to_pandas()
+    want_anti = left[~left["k"].isin(in_right)]
+    pd.testing.assert_frame_equal(_canon(anti), _canon(want_anti))
+
+
+def test_bloom_unsafe_combinations_rejected(ray_session):
+    import ray
+
+    left, right = _sides(seed=5)
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+    for how, bloom in [
+        ("full outer", "left"),   # both sides' unmatched rows reach the output
+        ("left outer", "right"),  # filters LEFT — the preserved side
+        ("left anti", "right"),   # would drop the very rows anti must keep
+    ]:
+        with pytest.raises(ValueError, match="bloom"):
+            hash_join(lds, rds, on="k", how=how, bloom=bloom)
+    with pytest.raises(ValueError, match="bloom"):
+        hash_join(lds, rds, on="k", how="inner", bloom="both")
+
+
+def test_bloom_actually_drops_disjoint_keys(ray_session):
+    """Definitely-absent keys must be dropped map-side: the keep-mask over a
+    disjoint key range is (almost) all False, and present keys always pass."""
+    import ray
+
+    from clickhouse_data_pipeline_ray.stages.join import _bloom_keep, build_bloom
+
+    small = pd.DataFrame({"k": np.arange(1_000), "v": np.zeros(1_000)})
+    bits = build_bloom(ray.data.from_pandas(small).repartition(4), ["k"])
+    present = pa.table({"k": pa.array(np.arange(1_000)), "v": pa.array(np.zeros(1_000))})
+    absent = pa.table(
+        {"k": pa.array(np.arange(50_000, 58_000)), "v": pa.array(np.zeros(8_000))}
+    )
+    assert _bloom_keep(present, ["k"], bits).all()  # no false negatives, ever
+    fp_rate = _bloom_keep(absent, ["k"], bits).mean()
+    assert fp_rate < 0.05  # ~1% expected at this sizing
