@@ -211,6 +211,16 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--limit", type=int, default=20)
 
     sp = sub.add_parser(
+        "get",
+        help="point lookup by key — opens only the routed partitions "
+             "(driver-side latency path, no Ray job)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--keys", required=True, help="comma-separated key values")
+    sp.add_argument("--epoch", type=int, default=None,
+                    help="time-travel to a retained historical epoch")
+
+    sp = sub.add_parser(
         "diff",
         help="CDC-out: the change stream (op c|u|d) between two retained "
              "epochs — unchanged partitions pruned at the manifest",
@@ -462,6 +472,17 @@ def _run(argv: list[str] | None = None) -> int:
                 print(json.dumps(kpi_report(args.table, epoch=args.epoch), default=str))
         finally:
             ray.shutdown()
+        return 0
+
+    if args.cmd == "get":
+        from .pipelines.lookup import lookup_keys
+
+        t = lookup_keys(
+            args.table, [k for k in args.keys.split(",") if k], epoch=args.epoch
+        )
+        print(json.dumps({"rows": t.num_rows, "columns": t.column_names}))
+        if t.num_rows:
+            print(t.to_pandas().to_string(index=False))
         return 0
 
     if args.cmd == "diff":
