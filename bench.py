@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "cdc_fact_monthly_kpi",
     "lww_latest_event_per_user",
     "kpi_daily_events",
+    "kpi_rollup_daily",
     "kpi_source_stats",
     "ctr_daily",
     "orders_by_nation",
@@ -179,6 +180,7 @@ BENCH_QUERIES = [
     "order_lineitem_revenue",
     "orders_no_lineitem",
     "sessionize_events",
+    "running_user_value",
     "window_hourly_events",
     "window_sliding_events",
     "prev_event_gap",
@@ -190,6 +192,8 @@ BENCH_QUERIES = [
     "corpus_clean",
     "click_attribution",
     "cdc_registry_sync",
+    "cdc_epoch_diff",
+    "cdc_mv_daily_performance",
     "dedup_exact_documents",
     "segment_dedup_documents",
     "term_doc_frequency",
@@ -204,6 +208,7 @@ BENCH_QUERIES = [
     "simhash_documents",
     "ngram_jaccard_documents",
     "lang_id_documents",
+    "decontaminate_documents",
 ]
 
 

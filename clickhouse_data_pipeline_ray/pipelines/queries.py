@@ -1014,6 +1014,47 @@ def q_prev_event_gap(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_kpi_rollup_daily(sf_dir: str) -> pa.Table:
+    """Multi-level rollup (ClickHouse ``GROUP BY ... WITH ROLLUP`` /
+    SQL ROLLUP): (date, type) → (date) → grand total. ONE streamed pass
+    computes only the FINEST level's partials (the combiner discipline);
+    the coarser levels are derived by re-summing the driver-small finest
+    table — never a second scan. Rolled-up key columns are NULL, matching
+    the SQL convention."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_date": _date_str(b.column("ts")),
+                "event_type": b.column("event_type"),
+                "sum_value_milli": _fixed_point(b.column("value"), 1000.0),
+            }
+        )
+
+    fine = _partial_groupby(
+        ds, prep, keys=["event_date", "event_type"],
+        sums=["sum_value_milli"], count_col="n_events",
+    )
+    by_date = fine.groupby("event_date", as_index=False)[
+        ["n_events", "sum_value_milli"]
+    ].sum()
+    by_date["event_type"] = None
+    total = pd.DataFrame(
+        {
+            "event_date": [None],
+            "event_type": [None],
+            "n_events": [fine["n_events"].sum()],
+            "sum_value_milli": [fine["sum_value_milli"].sum()],
+        }
+    )
+    cols = ["event_date", "event_type", "n_events", "sum_value_milli"]
+    out = pd.concat([fine[cols], by_date[cols], total[cols]], ignore_index=True)
+    for c in ("n_events", "sum_value_milli"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_running_user_value(sf_dir: str) -> ray.data.Dataset:
     """Running/cumulative window aggregate: per event, the user's cumulative
     value sum so far (SUM() OVER (PARTITION BY user ORDER BY ts) ROWS
@@ -1765,6 +1806,7 @@ QUERIES = {
     "kpi_source_stats": q_kpi_source_stats,
     "kpi_daily_events": q_kpi_daily_events,
     "kpi_type_daily": q_kpi_type_daily,
+    "kpi_rollup_daily": q_kpi_rollup_daily,
     "ctr_daily": q_ctr_daily,
     "orders_by_nation": q_orders_by_nation,
     "revenue_by_brand": q_revenue_by_brand,
@@ -1992,6 +2034,13 @@ ORACLE_SQL = {
                count(*) AS n_events,
                CAST(sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli
         FROM events GROUP BY 1, 2
+    """,
+    "kpi_rollup_daily": """
+        SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli
+        FROM events
+        GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), event_type)
     """,
     "ctr_daily": """
         SELECT strftime(ts, '%Y-%m-%d') AS event_date,
