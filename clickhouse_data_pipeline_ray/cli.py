@@ -211,6 +211,16 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--limit", type=int, default=20)
 
     sp = sub.add_parser(
+        "export-sorted",
+        help="write a committed table as a globally sorted, range-partitioned "
+             "parquet layout with a zone-map index (pruned range reads later)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--col", required=True, help="numeric sort column")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--num-files", type=int, default=None)
+
+    sp = sub.add_parser(
         "get",
         help="point lookup by key — opens only the routed partitions "
              "(driver-side latency path, no Ray job)",
@@ -470,6 +480,24 @@ def _run(argv: list[str] | None = None) -> int:
                 from .pipelines.kpi import kpi_report
 
                 print(json.dumps(kpi_report(args.table, epoch=args.epoch), default=str))
+        finally:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "export-sorted":
+        from .pipelines.apply import read_snapshot
+        from .pipelines.export import export_sorted
+
+        ray = _init_ray(args.num_cpus)
+        try:
+            index = export_sorted(
+                read_snapshot(args.table), args.col, args.output,
+                num_files=args.num_files,
+            )
+            print(json.dumps({
+                "output": args.output, "sort_col": args.col,
+                "files": len(index["files"]), "rows": index["total_rows"],
+            }))
         finally:
             ray.shutdown()
         return 0
