@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "cdc_registry_sync",
     "cdc_epoch_diff",
     "cdc_mv_daily_performance",
+    "cdc_mv_source_ctr",
     "dedup_exact_documents",
     "segment_dedup_documents",
     "term_doc_frequency",

@@ -74,6 +74,7 @@ def register_mv(
     sums: list[dict],
     count_col: str = "n_events",
     date_from: str | None = None,
+    enrich: dict | None = None,
 ) -> dict:
     """Register an incremental MV on an append table (idempotent: an
     identical re-registration returns the existing spec; a conflicting one
@@ -83,6 +84,15 @@ def register_mv(
     "name": <output col>}]. ``date_from``: optional timestamp column from
     which a derived ``event_date`` (%Y-%m-%d) group key is computed — the
     toYYYYMMDD convention of the reference's daily views.
+
+    ``enrich``: optional dim join for group keys — the mv_campaign_ctr shape
+    (kpi_views.sql:16-27: fact counts grouped by columns JOINed from a dim
+    table): {"table": <upsert table dir>, "on": <fact key col>,
+    "add": [<dim cols usable as group keys>]}. Each tick reads the dim's
+    CURRENT snapshot keys+cols once (dims are broadcast-small, exactly the
+    reference's dim assumption) and maps fact keys vectorized
+    (``index_in``/``take``); facts whose key misses the dim get NULL group
+    values (the LEFT JOIN convention).
     """
     man = load_manifest(table_dir)
     if man.mode != "append":
@@ -93,6 +103,16 @@ def register_mv(
         )
     schema_names = set(man.schema.names)
     derived = {"event_date"} if date_from else set()
+    if enrich:
+        emam = load_manifest(enrich["table"])
+        if emam.mode != "upsert":
+            raise ValueError("enrich table must be an upsert (dim) table")
+        for c in enrich["add"]:
+            if c not in emam.schema.names:
+                raise ValueError(f"enrich column {c!r} not in dim schema")
+        if enrich["on"] not in schema_names:
+            raise ValueError(f"enrich join key {enrich['on']!r} not in fact schema")
+        derived |= set(enrich["add"])
     for k in group_keys:
         if k not in schema_names and k not in derived:
             raise ValueError(f"group key {k!r} not in table schema")
@@ -111,6 +131,7 @@ def register_mv(
         ],
         "count_col": count_col,
         "date_from": date_from,
+        "enrich": enrich,
         "watermark_lsn": 0,
         "state_file": None,
         "updated_at": 0.0,
@@ -122,7 +143,7 @@ def register_mv(
             existing = json.load(f)
         same = all(
             existing.get(k) == spec[k]
-            for k in ("group_keys", "sums", "count_col", "date_from")
+            for k in ("group_keys", "sums", "count_col", "date_from", "enrich")
         )
         if not same:
             raise ValueError(
@@ -161,22 +182,32 @@ def read_mv(table_dir: str, name: str) -> pa.Table:
     return pa.table({f.name: pa.array([], f.type) for f in fields})
 
 
-def _tick_partial(spec: dict, lo: int, hi: int):
-    """Per-batch combiner: fixed-point measures + derived date key, then an
-    Arrow group_by — only (keys, sums) rows leave the batch."""
+def _tick_partial(spec: dict, lo: int, hi: int, enrich_map: tuple | None = None):
+    """Per-batch combiner: fixed-point measures + derived date key + dim
+    enrichment, then an Arrow group_by — only (keys, sums) rows leave the
+    batch. ``enrich_map`` = (dim key array, {col: dim value array}) captured
+    once per tick (broadcast-small dim assumption)."""
     keys = spec["group_keys"]
     sums = spec["sums"]
     count_col = spec["count_col"]
     date_from = spec["date_from"]
+    enrich = spec.get("enrich")
 
     def partial(b: pa.Table) -> pa.Table:
         lsn = b.column("lsn")
         b = b.filter(
             pc.and_(pc.greater(lsn, pa.scalar(lo)), pc.less_equal(lsn, pa.scalar(hi)))
         )
+        enriched = {}
+        if enrich and enrich_map is not None:
+            dim_keys, dim_cols = enrich_map
+            pos = pc.index_in(b.column(enrich["on"]), dim_keys)
+            enriched = {c: pc.take(v, pos) for c, v in dim_cols.items()}
         cols = {}
         for k in keys:
-            if k == "event_date" and date_from:
+            if k in enriched:
+                cols[k] = enriched[k]
+            elif k == "event_date" and date_from:
                 cols[k] = pc.strftime(
                     b.column(date_from).cast(pa.timestamp("s")), format="%Y-%m-%d"
                 )
@@ -221,16 +252,32 @@ def _refresh_mv_locked(table_dir: str, wal_dir: str, name: str) -> dict | None:
             "truncated past the MV watermark; rebuild the view"
         )
 
+    enrich_map = None
+    if spec.get("enrich"):
+        from .apply import snapshot_table
+
+        e = spec["enrich"]
+        # the dim's CURRENT committed state — one driver-side read per tick
+        # (dims are broadcast-small; the reference's MVs lean on the same)
+        dim_key = load_manifest(e["table"]).key_col
+        dim = snapshot_table(e["table"]).select([dim_key, *e["add"]])
+        enrich_map = (
+            dim.column(dim_key).combine_chunks(),
+            {c: dim.column(c).combine_chunks() for c in e["add"]},
+        )
+
     keys = spec["group_keys"]
     agg_cols = [s["name"] for s in spec["sums"]] + [spec["count_col"]]
     parts = (
         _read_segments(segs)
-        .map_batches(_tick_partial(spec, lo, hi), batch_format="pyarrow")
+        .map_batches(_tick_partial(spec, lo, hi, enrich_map), batch_format="pyarrow")
         .to_pandas()
     )
     prev = read_mv(table_dir, name).to_pandas()
     merged = pd.concat([prev, parts], ignore_index=True)
-    out = merged.groupby(keys, as_index=False)[agg_cols].sum()
+    # dropna=False: an enriched group key is NULL when the dim misses the
+    # fact's key (LEFT JOIN convention) — those groups are real state
+    out = merged.groupby(keys, as_index=False, dropna=False)[agg_cols].sum()
     for c in agg_cols:
         out[c] = out[c].astype("int64")
     out = out.sort_values(keys).reset_index(drop=True)

@@ -358,6 +358,47 @@ def cdc_mv_daily_performance(sf_dir: str) -> pa.Table:
     return out.select(["event_date", "event_type", "n_events", "sum_value_milli"])
 
 
+def cdc_mv_source_ctr(sf_dir: str) -> pa.Table:
+    """Dim-ENRICHED incremental MV (the mv_campaign_ctr shape,
+    kpi_views.sql:16-27: fact counts grouped by columns JOINed from a dim):
+    replay the docs dim fully, then replay the fact WAL epoch-by-epoch with
+    an interleaved MV whose group key ``source`` is joined from the dim's
+    live snapshot at each tick (vectorized index_in/take, broadcast-small
+    dim). Facts referencing deleted/missing docs land in the 'unknown'
+    group (LEFT JOIN convention)."""
+    import shutil
+
+    from .mv import read_mv, refresh_mv, register_mv
+
+    docs_wal = _cdc_wal(sf_dir, evolve=False)
+    fact_wal = _fact_wal(sf_dir)
+    dim_dir = tempfile.mkdtemp(prefix="cdp_mvdim_")
+    fact_dir = tempfile.mkdtemp(prefix="cdp_mvfact_")
+    try:
+        create_table(dim_dir, num_partitions=16)
+        replay(dim_dir, docs_wal, ApplyConfig())
+        create_table(
+            fact_dir, schema=FACT_SNAPSHOT_SCHEMA, mode="append",
+            key_col="event_id",
+        )
+        register_mv(
+            fact_dir, "source_ctr",
+            group_keys=["source", "event_type"], sums=[],
+            enrich={"table": dim_dir, "on": "doc_id", "add": ["source"]},
+        )
+        cfg = ApplyConfig(max_segments=3)
+        while apply_once(fact_dir, fact_wal, cfg) is not None:
+            refresh_mv(fact_dir, fact_wal, "source_ctr")
+        out = read_mv(fact_dir, "source_ctr").to_pandas()
+    finally:
+        shutil.rmtree(dim_dir, ignore_errors=True)
+        shutil.rmtree(fact_dir, ignore_errors=True)
+    out["source"] = out["source"].fillna("unknown")
+    return pa.Table.from_pandas(
+        out[["source", "event_type", "n_events"]], preserve_index=False
+    )
+
+
 def cdc_registry_sync(sf_dir: str) -> pa.Table:
     """Multi-table lifecycle end-to-end (the reference's four-table
     dependency-ordered sync, etl/core/pipeline.py:341-347): register a lake
@@ -1799,6 +1840,7 @@ QUERIES = {
     "cdc_fact_monthly_kpi": cdc_fact_monthly_kpi,
     "cdc_epoch_diff": cdc_epoch_diff,
     "cdc_mv_daily_performance": cdc_mv_daily_performance,
+    "cdc_mv_source_ctr": cdc_mv_source_ctr,
     "cdc_registry_sync": cdc_registry_sync,
     "incremental_scan_events": q_incremental_scan_events,
     "normalize_documents": q_normalize_documents,
@@ -1970,6 +2012,15 @@ def build_oracle_sql(sf_dir: str) -> dict[str, str]:
                CAST(sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
                    AS sum_value_milli
         FROM read_parquet('{fact_wal}/seg-*.parquet')
+        GROUP BY 1, 2
+    """
+    out["cdc_mv_source_ctr"] = f"""
+        WITH snap AS ({_cdc_snapshot_sql(wal, evolved=False)})
+        SELECT COALESCE(s.source, 'unknown') AS source,
+               f.event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM read_parquet('{fact_wal}/seg-*.parquet') f
+        LEFT JOIN snap s ON f.doc_id = s.doc_id
         GROUP BY 1, 2
     """
     out["cdc_registry_sync"] = f"""

@@ -142,3 +142,84 @@ def test_truncated_wal_gap_detected(ray_session, tmp_path):
     truncate_wal(wal, 2_000)  # table is durable; the lagging MV is not
     with pytest.raises(ValueError, match="truncated past the MV watermark"):
         refresh_mv(table, wal, "daily")
+
+
+def test_enriched_mv_null_group_preserved(ray_session, tmp_path):
+    """Dim-enriched group keys: facts whose key misses the dim must land in
+    a NULL group (LEFT JOIN convention), not silently vanish in the pandas
+    combine; enrichment validation rejects non-dim tables and bad columns."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_data_pipeline_ray.pipelines.apply import import_base
+    from clickhouse_data_pipeline_ray.schemas import FACT_CHANGE_SCHEMA
+    from clickhouse_data_pipeline_ray.sources.wal import segment_path
+
+    # dim: 3 docs with known sources (bulk import, lsn=0)
+    dim = str(tmp_path / "dim")
+    create_table(dim, num_partitions=4)
+    corpus = str(tmp_path / "corpus.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": ["d-1", "d-2", "d-3"],
+                "tokens": pa.array([[1]] * 3, pa.list_(pa.int32())),
+                "n_tok": pa.array([1, 1, 1], pa.int32()),
+                "source": ["web", "web", "books"],
+            }
+        ),
+        corpus,
+    )
+    import_base(dim, corpus)
+    # facts: 4 events, one referencing a doc the dim does not have
+    wal = str(tmp_path / "fwal")
+    import os
+
+    os.makedirs(wal)
+    n = 4
+    t = pa.table(
+        {
+            "lsn": pa.array(np.arange(1, n + 1)),
+            "op": pa.array(["c"] * n),
+            "event_id": pa.array([f"ev-{i}" for i in range(n)]),
+            "doc_id": pa.array(["d-1", "d-2", "d-3", "d-MISSING"]),
+            "event_ts": pa.array([1_700_000_000_000_000] * n, pa.timestamp("us")),
+            "event_type": pa.array(["view", "click", "view", "view"]),
+            "value": pa.array([1.0] * n, pa.float64()),
+        },
+        schema=FACT_CHANGE_SCHEMA,
+    )
+    pq.write_table(t, segment_path(wal, 1, n))
+
+    facts = str(tmp_path / "facts")
+    create_table(
+        facts, schema=FACT_SNAPSHOT_SCHEMA, mode="append",
+        key_col="event_id", num_partitions=2,
+    )
+    from clickhouse_data_pipeline_ray.pipelines.mv import (
+        read_mv as rmv,
+        refresh_mv as rfr,
+        register_mv as reg,
+    )
+
+    with pytest.raises(ValueError, match="upsert"):
+        reg(facts, "bad", group_keys=["source"], sums=[],
+            enrich={"table": facts, "on": "doc_id", "add": ["source"]})
+    with pytest.raises(ValueError, match="not in dim schema"):
+        reg(facts, "bad", group_keys=["nope"], sums=[],
+            enrich={"table": dim, "on": "doc_id", "add": ["nope"]})
+
+    reg(facts, "ctr", group_keys=["source", "event_type"], sums=[],
+        enrich={"table": dim, "on": "doc_id", "add": ["source"]})
+    replay(facts, wal, ApplyConfig(), final_compact=False)
+    rfr(facts, wal, "ctr")
+    df = rmv(facts, "ctr").to_pandas()
+    got = {
+        (s if isinstance(s, str) else None, e): n
+        for s, e, n in zip(df["source"], df["event_type"], df["n_events"])
+    }
+    assert got == {
+        ("web", "view"): 1, ("web", "click"): 1,
+        ("books", "view"): 1, (None, "view"): 1,
+    }
