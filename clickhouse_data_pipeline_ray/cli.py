@@ -604,27 +604,39 @@ def _run(argv: list[str] | None = None) -> int:
     if args.cmd == "status":
         from .state.manifest import load_manifest, retained_epochs
 
+        from .pipelines.mv import list_mvs, load_mv
+
         man = load_manifest(args.table)
         dirty = sum(
             1 for p in man.partitions.values() if not p.get("exact_rows", True)
         )
-        print(
-            json.dumps(
-                {
-                    "epoch": man.epoch,
-                    "num_partitions": man.num_partitions,
-                    "watermark": man.watermark,
-                    # exact after compaction; a lower bound while delta chains
-                    # are pending (run `compact` for an exact count)
-                    "rows": man.total_rows(),
-                    "rows_exact": dirty == 0,
-                    "partitions_with_pending_deltas": dirty,
-                    "retained_epochs": retained_epochs(args.table),
-                    "schema": str(man.schema).replace("\n", ", "),
-                    "last": man.history[-1] if man.history else None,
+        doc = {
+            "epoch": man.epoch,
+            "num_partitions": man.num_partitions,
+            "watermark": man.watermark,
+            # exact after compaction; a lower bound while delta chains
+            # are pending (run `compact` for an exact count)
+            "rows": man.total_rows(),
+            "rows_exact": dirty == 0,
+            "partitions_with_pending_deltas": dirty,
+            "retained_epochs": retained_epochs(args.table),
+            "schema": str(man.schema).replace("\n", ", "),
+            "last": man.history[-1] if man.history else None,
+        }
+        if man.event_time_col:
+            doc["event_time_col"] = man.event_time_col
+            doc["event_time_watermark_us"] = man.event_time_watermark_us
+        mvs = list_mvs(args.table)
+        if mvs:
+            doc["mvs"] = {
+                n: {
+                    "watermark_lsn": load_mv(args.table, n)["watermark_lsn"],
+                    "lag_events": man.watermark
+                    - load_mv(args.table, n)["watermark_lsn"],
                 }
-            )
-        )
+                for n in mvs
+            }
+        print(json.dumps(doc))
         return 0
     return 1
 
