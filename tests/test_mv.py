@@ -223,3 +223,30 @@ def test_enriched_mv_null_group_preserved(ray_session, tmp_path):
         ("web", "view"): 1, ("web", "click"): 1,
         ("books", "view"): 1, (None, "view"): 1,
     }
+
+
+def test_small_tick_fast_path_equals_distributed(ray_session, tmp_path, monkeypatch):
+    """The driver-side small-tick fold and the distributed path must commit
+    identical state (one shared combiner; the threshold only picks the
+    execution venue)."""
+    import clickhouse_data_pipeline_ray.pipelines.mv as M
+
+    table, wal = _make(tmp_path, n_events=2_000)
+    register_mv(
+        table, "daily", group_keys=["event_date", "event_type"],
+        sums=MV_SUMS, date_from="event_ts",
+    )
+    replay(table, wal, ApplyConfig(), final_compact=False)
+    monkeypatch.setattr(M, "SMALL_TICK_EVENTS", 0)  # force distributed
+    refresh_mv(table, wal, "daily")
+    dist = _mv_df(table).values.tolist()
+
+    table2, wal2 = _make(tmp_path / "b", n_events=2_000)
+    register_mv(
+        table2, "daily", group_keys=["event_date", "event_type"],
+        sums=MV_SUMS, date_from="event_ts",
+    )
+    replay(table2, wal2, ApplyConfig(), final_compact=False)
+    monkeypatch.setattr(M, "SMALL_TICK_EVENTS", 500_000)  # fast path
+    refresh_mv(table2, wal2, "daily")
+    assert _mv_df(table2).values.tolist() == dist == _oracle(wal, 2_000).values.tolist()
