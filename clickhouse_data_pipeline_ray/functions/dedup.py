@@ -998,7 +998,15 @@ def ngram_jaccard_pairs(
         cands = _filter_to_values(exploded, "bucket", set(counts))
     else:
         # user blocking: still compute the gram sets vectorized, group by the
-        # caller's column
+        # caller's column. Block-member counts come from a cheap key-only pass
+        # (never recomputing grams) so _over_cap_stats reflects real caps on
+        # this path too — drops are driver-visible, never only worker stdout.
+        blocks_only = ds.map_batches(
+            lambda b: pa.table({"bucket": b.column(block_col).cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        counts = _multi_member_counts(blocks_only, "bucket", driver_value_limit)
+
         def add_grams(batch: pa.Table) -> pa.Table:
             flat, off = _batch_shingle_hashes(batch.column(text_col).to_pylist(), n)
             gu, guoff = _segment_unique(flat, off)

@@ -105,13 +105,21 @@ def export_sorted(
         tmp = os.path.join(out_dir, f"{rel}.tmp.{os.getpid()}")
         pq.write_table(t, tmp, compression="zstd")
         os.replace(tmp, os.path.join(out_dir, rel))
-        c = t.column(col)
+        # zone over NON-NaN values only: pc.min/max return NaN when the
+        # bucket holds any NaN (NaNs searchsorted into the last bucket), and
+        # a NaN zone fails every overlap test — bounded reads would silently
+        # skip the file's valid rows (and json would emit a nonstandard NaN
+        # token). An all-NaN bucket gets a null zone = always-overlapping.
+        vals = t.column(col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        finite = vals[~np.isnan(vals)]
+        zmin = float(finite.min()) if len(finite) else None
+        zmax = float(finite.max()) if len(finite) else None
         return pa.table(
             {
                 "bucket": pa.array([rb], pa.int32()),
                 "file": pa.array([rel], pa.string()),
-                "min": pa.array([pc.min(c).as_py()], pa.float64()),
-                "max": pa.array([pc.max(c).as_py()], pa.float64()),
+                "min": pa.array([zmin], pa.float64()),
+                "max": pa.array([zmax], pa.float64()),
                 "rows": pa.array([t.num_rows], pa.int64()),
             }
         )
@@ -144,10 +152,12 @@ def read_sorted_range(
     with open(os.path.join(out_dir, ZONEMAP)) as f:
         index = json.load(f)
     col = index["sort_col"]
+    # a null zone (all-NaN bucket) always overlaps — never silently skipped
     paths = [
         os.path.join(out_dir, z["file"])
         for z in index["files"]
-        if (hi is None or z["min"] <= hi) and (lo is None or z["max"] >= lo)
+        if (hi is None or z["min"] is None or z["min"] <= hi)
+        and (lo is None or z["max"] is None or z["max"] >= lo)
     ]
     if not paths:
         # keep one file and let the pushed-down filter empty it: Ray drops

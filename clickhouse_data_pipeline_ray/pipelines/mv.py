@@ -175,12 +175,35 @@ def list_mvs(table_dir: str) -> list[str]:
     )
 
 
+def _group_key_types(table_dir: str, spec: dict) -> dict[str, pa.DataType]:
+    """Arrow type per group key: base columns from the table schema, enrich
+    columns from the dim's schema, the derived event_date as string — so the
+    pre-first-tick empty state is CORRECTLY typed (an all-string empty frame
+    would coerce a numeric key to object dtype in the first tick's concat)."""
+    man = load_manifest(table_dir)
+    enrich_types: dict[str, pa.DataType] = {}
+    if spec.get("enrich"):
+        e = spec["enrich"]
+        dim_schema = load_manifest(e["table"]).schema
+        enrich_types = {c: dim_schema.field(c).type for c in e["add"]}
+    out: dict[str, pa.DataType] = {}
+    for k in spec["group_keys"]:
+        if k in enrich_types:
+            out[k] = enrich_types[k]
+        elif k == "event_date" and spec.get("date_from"):
+            out[k] = pa.string()
+        else:
+            out[k] = man.schema.field(k).type
+    return out
+
+
 def read_mv(table_dir: str, name: str) -> pa.Table:
     """Current committed MV state (empty-but-typed before the first tick)."""
     spec = load_mv(table_dir, name)
     if spec["state_file"]:
         return pq.read_table(os.path.join(_mv_dir(table_dir, name), spec["state_file"]))
-    fields = [pa.field(k, pa.string()) for k in spec["group_keys"]]
+    key_types = _group_key_types(table_dir, spec)
+    fields = [pa.field(k, key_types[k]) for k in spec["group_keys"]]
     fields.append(pa.field(spec["count_col"], pa.int64()))
     fields += [pa.field(s["name"], pa.int64()) for s in spec["sums"]]
     return pa.table({f.name: pa.array([], f.type) for f in fields})

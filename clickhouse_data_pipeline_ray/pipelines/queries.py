@@ -454,6 +454,10 @@ def cdc_registry_sync(sf_dir: str) -> pa.Table:
                     "source": b.column("source"),
                     "n": pa.nulls(b.num_rows, pa.int64()),
                     "v": pa.nulls(b.num_rows, pa.int64()),
+                    # explicit side tag (the hash_join __side convention):
+                    # inferring the side from source.notna() would silently
+                    # reclassify a NULL-source dim row as a fact partial
+                    "side": pa.nulls(b.num_rows, pa.int8()).fill_null(0),
                 }
             )
             return t.append_column("ub", _bucketed(t))
@@ -473,14 +477,15 @@ def cdc_registry_sync(sf_dir: str) -> pa.Table:
                     "source": pa.nulls(agg.num_rows, pa.string()),
                     "n": agg.column("n_sum"),
                     "v": agg.column("v_sum"),
+                    "side": pa.nulls(agg.num_rows, pa.int8()).fill_null(1),
                 }
             )
             return out.append_column("ub", _bucketed(out))
 
         def join_block(g: pd.DataFrame) -> pd.DataFrame:
-            d = g[g["source"].notna()][["doc_id", "source"]]
+            d = g[g["side"] == 0][["doc_id", "source"]]
             f = (
-                g[g["source"].isna()]
+                g[g["side"] == 1]
                 .groupby("doc_id", as_index=False)[["n", "v"]]
                 .sum()
             )

@@ -290,6 +290,28 @@ def test_cap_drop_stats_reach_driver(ray_session):
     assert ("d-000", "d-001") in set(zip(pairs["doc_a"], pairs["doc_b"]))
 
 
+def test_block_col_cap_stats_reach_driver(ray_session):
+    """The user-blocking (block_col) path must surface bucket-cap drops in
+    result.attrs too — previously its counts stayed {} so attrs reported 0
+    while workers silently capped."""
+    from clickhouse_data_pipeline_ray.functions.dedup import ngram_jaccard_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [{"doc_id": i, "blk": 7, "text": text} for i in range(10)]
+    ds = ray.data.from_items(rows)
+    pairs = ngram_jaccard_pairs(
+        ds, threshold=0.5, n=2, block_col="blk", max_bucket=4
+    )
+    assert pairs.attrs["capped_buckets"] == 1
+    assert pairs.attrs["over_cap_docs"] == 6  # 10 members, 4 verified
+    # uncapped: all 45 identical pairs found, attrs report zero drops
+    full = ngram_jaccard_pairs(
+        ds, threshold=0.5, n=2, block_col="blk", max_bucket=64
+    )
+    assert len(full) == 45
+    assert full.attrs["capped_buckets"] == 0 and full.attrs["over_cap_docs"] == 0
+
+
 def test_segment_dedup_planted(ray_session):
     """First occurrence of a shared 10-word segment survives; later copies
     are dropped; a doc whose every segment was seen earlier vanishes."""

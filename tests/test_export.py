@@ -78,6 +78,33 @@ def test_range_read_prunes_files(exported):
     assert "value" in empty.schema().names
 
 
+def test_nan_sort_values_do_not_poison_zones(ray_session, tmp_path):
+    """NaNs searchsorted into the last bucket must not produce a NaN zone
+    (which fails every overlap test and silently skips the file's valid rows
+    on bounded reads): zones are min/max over non-NaN values, a null zone is
+    always-overlapping, and the zone map JSON stays standard."""
+    import json
+
+    import ray
+
+    vals = np.arange(1000, dtype=np.float64)
+    vals[::50] = np.nan  # NaNs sprinkled in (land in the last range bucket)
+    df = pd.DataFrame({"i": np.arange(len(vals)), "v": vals})
+    out = str(tmp_path / "nan")
+    index = export_sorted(ray.data.from_pandas(df).repartition(4), "v", out, num_files=4)
+    # standard JSON (no bare NaN token) and no NaN zone bounds
+    with open(os.path.join(out, ZONEMAP)) as f:
+        reloaded = json.load(f)  # would raise on nonstandard output
+    for z in reloaded["files"]:
+        assert z["min"] is None or not np.isnan(z["min"])
+        assert z["max"] is None or not np.isnan(z["max"])
+    # a bounded read covering the top range returns the valid rows that share
+    # a file with the NaNs
+    got = read_sorted_range(out, 990.0, None).to_pandas()
+    want = df[(df["v"] >= 990.0)]
+    assert sorted(got["i"]) == sorted(want["i"])
+
+
 def test_balanced_files_under_skew(ray_session, tmp_path):
     """Zipf-skewed sort keys must still yield ~equi-weight files (t-digest
     equi-quantile boundaries), not one hot file."""

@@ -225,6 +225,34 @@ def test_enriched_mv_null_group_preserved(ray_session, tmp_path):
     }
 
 
+def test_empty_mv_state_typed_from_schema(ray_session, tmp_path):
+    """Pre-first-tick state must carry the REAL group-key types (from the
+    table / dim schemas), not all-string: an MV keyed on a numeric column
+    would otherwise coerce the key to object dtype in the first tick's
+    concat."""
+    import pyarrow as pa
+
+    table, wal = _make(tmp_path, n_events=600)
+    # numeric group key (value is float64 in the fact schema)
+    register_mv(table, "byval", group_keys=["value"], sums=MV_SUMS)
+    empty = read_mv(table, "byval")
+    assert empty.num_rows == 0
+    assert empty.schema.field("value").type == pa.float64()
+    # derived event_date stays string; base event_type keeps its table type
+    register_mv(
+        table, "daily", group_keys=["event_date", "event_type"],
+        sums=MV_SUMS, date_from="event_ts",
+    )
+    e2 = read_mv(table, "daily")
+    assert e2.schema.field("event_date").type == pa.string()
+    assert e2.schema.field("event_type").type == pa.string()
+    # first tick over the numeric key keeps a numeric dtype end-to-end
+    replay(table, wal, ApplyConfig(), final_compact=False)
+    refresh_mv(table, wal, "byval")
+    df = read_mv(table, "byval").to_pandas()
+    assert df["value"].dtype.kind == "f"
+
+
 def test_small_tick_fast_path_equals_distributed(ray_session, tmp_path, monkeypatch):
     """The driver-side small-tick fold and the distributed path must commit
     identical state (one shared combiner; the threshold only picks the
