@@ -185,7 +185,8 @@ BENCH_QUERIES = [
     "window_sliding_events",
     "prev_event_gap",
     "doc_length_percentiles",
-    "value_quantiles_sketch",
+    "export_sorted_range",
+    "sketch_profile",
     "top_docs_per_source",
     "sample_documents",
     "pack_sequences",
@@ -200,8 +201,6 @@ BENCH_QUERIES = [
     "term_doc_frequency",
     "redact_documents",
     "repetition_stats_documents",
-    "approx_distinct_users",
-    "heavy_hitter_users",
     "token_counts_documents",
     "quality_score_documents",
     "ann_topk_embeddings",
@@ -210,6 +209,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_documents",
     "lang_id_documents",
     "decontaminate_documents",
+    "multimodal_decode",
 ]
 
 

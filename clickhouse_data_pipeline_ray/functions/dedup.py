@@ -916,7 +916,7 @@ def _ngram_bucket_pairs(
     keys_all = g[key_col].to_numpy()
     run_start = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]])
     run_end = np.r_[run_start[1:], len(bh)]
-    out_a, out_b, out_j = [], [], []
+    out_a, out_b, out_j, out_i, out_u = [], [], [], [], []
     seen: set = set()
     for st, en in zip(run_start, run_end):
         if en - st < 2:
@@ -941,12 +941,37 @@ def _ngram_bucket_pairs(
                 inter = np.intersect1d(grams[i], grams[j], assume_unique=True).size
                 if inter == 0:
                     continue
-                jac = inter / (len(grams[i]) + len(grams[j]) - inter)
+                union = len(grams[i]) + len(grams[j]) - inter
+                jac = inter / union
                 if jac >= threshold:
                     out_a.append(keys[i])
                     out_b.append(keys[j])
                     out_j.append(round(jac, 6))
-    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+                    out_i.append(inter)
+                    out_u.append(union)
+    # n_inter / n_union are the EXACT integer set sizes behind the jaccard —
+    # integer-comparable against a SQL oracle with no float-rounding hazard
+    return pd.DataFrame(
+        {
+            "doc_a": out_a,
+            "doc_b": out_b,
+            "jaccard": out_j,
+            "n_inter": np.asarray(out_i, dtype=np.int64),
+            "n_union": np.asarray(out_u, dtype=np.int64),
+        }
+    )
+
+
+def _empty_ngram() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_a": [],
+            "doc_b": [],
+            "jaccard": [],
+            "n_inter": pd.Series([], dtype="int64"),
+            "n_union": pd.Series([], dtype="int64"),
+        }
+    )
 
 
 def ngram_jaccard_pairs(
@@ -991,10 +1016,7 @@ def ngram_jaccard_pairs(
         ).materialize()
         counts = _multi_member_counts(exploded, "bucket", driver_value_limit)
         if not counts:
-            return _over_cap_stats(
-                counts, max_bucket, "ngram_jaccard",
-                pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}),
-            )
+            return _over_cap_stats(counts, max_bucket, "ngram_jaccard", _empty_ngram())
         cands = _filter_to_values(exploded, "bucket", set(counts))
     else:
         # user blocking: still compute the gram sets vectorized, group by the
@@ -1042,16 +1064,17 @@ def ngram_jaccard_pairs(
         .to_pandas()
     )
     if pdf.empty:
-        return _over_cap_stats(
-            counts, max_bucket, "ngram_jaccard",
-            pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}),
-        )
+        return _over_cap_stats(counts, max_bucket, "ngram_jaccard", _empty_ngram())
+    # a pair re-verified in different superbuckets yields identical rows
+    # (same gram sets) — max() is a pure dedup here
     pdf = (
-        pdf.groupby(["doc_a", "doc_b"], as_index=False)["jaccard"]
+        pdf.groupby(["doc_a", "doc_b"], as_index=False)[["jaccard", "n_inter", "n_union"]]
         .max()
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
+    for c in ("n_inter", "n_union"):
+        pdf[c] = pdf[c].astype("int64")
     return _over_cap_stats(counts, max_bucket, "ngram_jaccard", pdf)
 
 

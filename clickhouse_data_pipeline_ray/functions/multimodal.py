@@ -5,21 +5,30 @@ decode / feature-extract / resize / frame-sample are actor-pool
 ``map_batches`` stages (model/codec state loaded once per actor, small batch
 sizes because payload bytes dominate block size).
 
-The decode libraries (PIL/ffmpeg/torchaudio) are NOT available in this
-container, so the codec step is STUBBED: ``decoder="fake"`` produces
-deterministic, hash-seeded outputs with the real output schema, and
-``decoder="real"`` raises ``NotImplementedError`` at the clearly marked
-point. ``decoder="auto"`` (self-upgrading) probes the codec library at actor
-init — once per actor, never per batch — and selects "real" when the library
-is importable, "fake" otherwise, with the output schema identical either
-way. Everything Ray-side — schema, batch sizing, actor signature, output
-layout — is real and tested (tests/test_similarity_multimodal.py).
+Three decoder tiers, auto-selected once per actor (never per batch):
+
+- ``"real"``: third-party codec library (PIL / soundfile / ffmpeg) — not
+  present in this container; raises ``NotImplementedError`` at the clearly
+  marked point when forced without the library.
+- ``"numpy"``: pure-numpy parsers for one UNCOMPRESSED public container per
+  modality — BMP (24-bit BI_RGB) for images, WAV (RIFF PCM16) for audio,
+  Y4M (YUV4MPEG2) for video. These are real decoders of real byte layouts
+  (encode/decode round-trip tested), needing no third-party dependency, so
+  the multimodal path is genuinely functional in-container.
+- ``"fake"``: deterministic hash-seeded outputs with the real output schema
+  (kept for opaque payloads that are not parseable media).
+
+``decoder="auto"`` resolves real → numpy (the numpy tier is always
+available). Everything Ray-side — schema, batch sizing, actor signature,
+output layout — is identical across tiers and tested
+(tests/test_similarity_multimodal.py).
 """
 
 from __future__ import annotations
 
 import importlib.util
 import shutil as _shutil
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -41,12 +50,133 @@ def _codec_available(kind: str) -> bool:
 
 
 def _resolve_decoder(requested: str, kind: str) -> str:
-    """'auto' → 'real' iff the codec library is present, else 'fake'."""
-    if requested not in ("fake", "real", "auto"):
+    """'auto' → 'real' iff the codec library is present, else 'numpy' (the
+    pure-numpy tier is always available)."""
+    if requested not in ("fake", "real", "numpy", "auto"):
         raise ValueError(requested)
     if requested == "auto":
-        return "real" if _codec_available(kind) else "fake"
+        return "real" if _codec_available(kind) else "numpy"
     return requested
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy codecs: public uncompressed container formats, no third-party
+# dependency. One format per modality — BMP / WAV / Y4M byte layouts.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit uncompressed BMP (BI_RGB, bottom-up rows,
+    BGR byte order, rows padded to 4 bytes — the standard layout)."""
+    h, w, c = arr.shape
+    assert c == 3
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    pixels = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP → (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=h * row_bytes, offset=offset)
+    rows = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """1-D int16 mono samples → RIFF/WAVE PCM16."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono → (int16 samples, sample_rate). Walks the chunk
+    list generically (a conforming writer may insert LIST/fact chunks)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sr, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or bits != 16 or channels != 1:
+                raise ValueError("unsupported WAV variant (need PCM16 mono)")
+        elif cid == b"data":
+            samples = np.frombuffer(body, "<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sr is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return samples, int(sr)
+
+
+def encode_y4m(y_planes: np.ndarray) -> bytes:
+    """(N, H, W) uint8 luma frames → YUV4MPEG2 (C444, flat U=V=128 chroma)."""
+    n, h, w = y_planes.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+    chroma = np.full(h * w, 128, np.uint8).tobytes()
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(y_planes[i].tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """YUV4MPEG2 C444 → (N, H, W) uint8 luma planes."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode()
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a Y4M payload")
+    params = dict((t[0], t[1:]) for t in header.split()[1:])
+    w, h = int(params["W"]), int(params["H"])
+    frame_bytes = 3 * w * h  # C444: full-size U and V planes
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame header")
+        body = payload[fl + 1 : fl + 1 + frame_bytes]
+        frames.append(np.frombuffer(body[: w * h], np.uint8).reshape(h, w))
+        pos = fl + 1 + frame_bytes
+    return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)
+
+def _grid_pool(gray: np.ndarray, dim: int) -> np.ndarray:
+    """Mean-pool a 2-D array into ``dim`` cells (8×8 for dim=64) — the
+    deterministic feature used by the numpy decode tier."""
+    side = int(np.sqrt(dim))
+    h, w = gray.shape
+    ys = np.linspace(0, h, side + 1).astype(int)
+    xs = np.linspace(0, w, side + 1).astype(int)
+    out = np.empty(side * side, np.float64)
+    k = 0
+    for i in range(side):
+        for j in range(side):
+            cell = gray[ys[i]: max(ys[i + 1], ys[i] + 1), xs[j]: max(xs[j + 1], xs[j] + 1)]
+            out[k] = cell.mean()
+            k += 1
+    return out
+
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -99,6 +229,12 @@ class ImageDecode:
             feat = thumb[: step * IMAGE_FEATURE_DIM : step].astype(np.float32)
             feat = np.pad(feat, (0, IMAGE_FEATURE_DIM - len(feat)))
             return h, w, 3, feat
+        if self.decoder == "numpy":
+            arr = decode_bmp(payload)  # real decode of a real byte layout
+            h, w = arr.shape[:2]
+            gray = arr.mean(axis=2, dtype=np.float64)
+            feat = _grid_pool(gray, IMAGE_FEATURE_DIM).astype(np.float32)
+            return h, w, 3, feat
         rng = np.random.default_rng(_payload_seed(payload))
         h, w = (int(rng.integers(64, 1024)) for _ in range(2))
         feat = rng.standard_normal(IMAGE_FEATURE_DIM).astype(np.float32)
@@ -137,17 +273,32 @@ class VideoFrameSample:
         self.n = frames_per_video
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, fidx, feats = [], [], []
+        ids, fidx, lumas, feats = [], [], [], []
         for media_id, payload in zip(
             batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
         ):
             if self.decoder == "real":
                 # STUB: no video codec (ffmpeg) in this environment.
                 raise NotImplementedError("real frame sampling requires ffmpeg")
+            if self.decoder == "numpy":
+                planes = decode_y4m(payload)  # real decode (Y4M container)
+                # sample every max(1, n_frames // self.n)-th frame up to n
+                step = max(1, len(planes) // self.n) if self.n else 1
+                take = planes[::step][: self.n] if self.n else planes
+                for i, plane in enumerate(take):
+                    ids.append(media_id)
+                    fidx.append(i * step)
+                    lumas.append(int(round(float(plane.mean()))))
+                    feats.append(
+                        _grid_pool(plane.astype(np.float64), IMAGE_FEATURE_DIM)
+                        .astype(np.float32).tolist()
+                    )
+                continue
             rng = np.random.default_rng(_payload_seed(payload))
             for i in range(self.n):
                 ids.append(media_id)
                 fidx.append(i)
+                lumas.append(int(rng.integers(0, 256)))
                 feats.append(
                     rng.standard_normal(IMAGE_FEATURE_DIM).astype(np.float32).tolist()
                 )
@@ -156,6 +307,7 @@ class VideoFrameSample:
                 # key type follows the input column (string doc ids or ints)
                 "media_id": pa.array(ids, batch.column("media_id").type),
                 "frame_index": pa.array(fidx, pa.int32()),
+                "mean_luma": pa.array(lumas, pa.int64()),
                 "feature": pa.array(feats, pa.list_(pa.float32())),
             }
         )
@@ -182,6 +334,19 @@ class AudioFeatures:
             if self.decoder == "real":
                 # STUB: no audio codec (torchaudio/librosa) in this container.
                 raise NotImplementedError("real audio decode requires torchaudio")
+            if self.decoder == "numpy":
+                samples, sr = decode_wav(payload)  # real decode (RIFF PCM16)
+                durs.append(int(len(samples) * 1000 // sr))
+                srs.append(sr)
+                # fixed-window energy feature: mean |amplitude| per bucket
+                buckets = np.array_split(
+                    np.abs(samples.astype(np.float64)), AUDIO_FEATURE_DIM
+                )
+                feats.append(
+                    np.array([b.mean() if len(b) else 0.0 for b in buckets],
+                             np.float32).tolist()
+                )
+                continue
             rng = np.random.default_rng(_payload_seed(payload))
             durs.append(int(rng.integers(200, 30_000)))
             srs.append(self.sr)

@@ -239,28 +239,66 @@ def test_ivf_rebuild_is_idempotent(ray_session, tmp_path):
     assert not r2.duplicated(subset=["query_id", "neighbor_id"]).any()
 
 
-def test_codec_auto_probe_selects_fake_here():
-    """decoder='auto' must resolve to the fake codec in this container (no
-    PIL/ffmpeg/torchaudio) while keeping the output schema identical."""
+def test_codec_auto_probe_selects_numpy_here():
+    """decoder='auto' must resolve to the pure-numpy tier in this container
+    (no PIL/ffmpeg/torchaudio — real-library tier unavailable, numpy tier
+    always available) while keeping the output schema identical."""
+    import pyarrow as pa
+
     from clickhouse_data_pipeline_ray.functions.multimodal import (
         AudioFeatures,
         ImageDecode,
         VideoFrameSample,
         _codec_available,
+        encode_bmp,
     )
 
     assert not _codec_available("image")
-    assert ImageDecode(decoder="auto").decoder == "fake"
-    assert AudioFeatures(decoder="auto").decoder == "fake"
-    assert VideoFrameSample(decoder="auto").decoder == "fake"
-    import pyarrow as pa
+    assert ImageDecode(decoder="auto").decoder == "numpy"
+    assert AudioFeatures(decoder="auto").decoder == "numpy"
+    assert VideoFrameSample(decoder="auto").decoder == "numpy"
 
+    arr = np.arange(9 * 12 * 3, dtype=np.uint8).reshape(9, 12, 3)
     batch = pa.table(
         {
             "media_id": ["m1"],
-            "mime": ["image/fake"],
-            "payload": [b"payload-bytes"],
+            "mime": ["image/bmp"],
+            "payload": pa.array([encode_bmp(arr)], pa.binary()),
         }
     )
     out = ImageDecode(decoder="auto")(batch)
     assert out.column_names == ["media_id", "height", "width", "channels", "feature"]
+    assert out.column("height")[0].as_py() == 9
+    assert out.column("width")[0].as_py() == 12
+
+
+def test_numpy_codecs_roundtrip_and_decode():
+    """The pure-numpy BMP/WAV/Y4M codecs decode real planted payloads
+    (public byte layouts, encode→decode round-trip exact)."""
+    from clickhouse_data_pipeline_ray.functions import multimodal as M
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    assert np.array_equal(M.decode_bmp(M.encode_bmp(arr)), arr)
+    s = rng.integers(-30000, 30000, 777).astype(np.int16)
+    s2, sr = M.decode_wav(M.encode_wav(s, 16000))
+    assert sr == 16000 and np.array_equal(s, s2)
+    y = rng.integers(0, 256, (3, 8, 16), dtype=np.uint8)
+    assert np.array_equal(M.decode_y4m(M.encode_y4m(y)), y)
+
+    import pyarrow as pa
+
+    # audio: exact pixel/sample-derived metadata
+    wav = M.encode_wav(np.zeros(16 * 75, np.int16), 16000)
+    t = pa.table({"media_id": [1], "payload": pa.array([wav], pa.binary())})
+    out = M.AudioFeatures(decoder="numpy")(t)
+    assert out.column("duration_ms")[0].as_py() == 75
+    assert out.column("sample_rate")[0].as_py() == 16000
+    # video: every frame surfaced with its exact constant-plane luma
+    planes = np.stack(
+        [np.full((8, 16), (7 * 5 + 13 * i) % 256, np.uint8) for i in range(3)]
+    )
+    t = pa.table({"media_id": [5], "payload": pa.array([M.encode_y4m(planes)], pa.binary())})
+    out = M.VideoFrameSample(decoder="numpy", frames_per_video=4)(t)
+    assert out.column("frame_index").to_pylist() == [0, 1, 2]
+    assert out.column("mean_luma").to_pylist() == [(7 * 5 + 13 * i) % 256 for i in range(3)]
