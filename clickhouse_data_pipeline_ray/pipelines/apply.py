@@ -128,9 +128,14 @@ def _epoch_change_schema(man: Manifest, segs: list[Segment]) -> pa.Schema:
     return snap.insert(1, pa.field("op", pa.string())), snap
 
 
-def _read_segments(segs: list[Segment]) -> ray.data.Dataset:
+def _read_segments(
+    segs: list[Segment], columns: list[str] | None = None
+) -> ray.data.Dataset:
     """Read segments grouped by file schema (a WAL spanning a schema change
     has heterogeneous files; per-group reads + union keep each read clean).
+    ``columns`` prunes the parquet read to the caller's needed columns (the
+    MV tick path passes its group/sum/lsn set); jsonl segments have no
+    column projection and read fully.
 
     Block count is pinned to ~cluster CPUs, independent of segment count:
     Ray's default read splitting (read_op_min_num_blocks=200) shatters a
@@ -153,7 +158,11 @@ def _read_segments(segs: list[Segment]) -> ray.data.Dataset:
         if fmt == "jsonl":
             datasets.append(ray.data.read_json(paths, override_num_blocks=blocks))
         else:
-            datasets.append(ray.data.read_parquet(paths, override_num_blocks=blocks))
+            datasets.append(
+                ray.data.read_parquet(
+                    paths, override_num_blocks=blocks, columns=columns
+                )
+            )
     ds = datasets[0]
     for other in datasets[1:]:
         ds = ds.union(other)

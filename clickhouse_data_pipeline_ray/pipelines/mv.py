@@ -209,6 +209,51 @@ def read_mv(table_dir: str, name: str) -> pa.Table:
     return pa.table({f.name: pa.array([], f.type) for f in fields})
 
 
+def _tick_columns(spec: dict) -> list[str]:
+    """The ONLY columns a refresh tick needs from the WAL: lsn, the
+    non-derived group keys, the date/enrich source columns, and the summed
+    measures. Threaded into both the driver fast-path reads and the
+    distributed read so a tick never decodes unrelated payload columns."""
+    enrich = spec.get("enrich") or {}
+    derived = set(enrich.get("add") or [])
+    need = {"lsn"}
+    for k in spec["group_keys"]:
+        if k in derived or (k == "event_date" and spec.get("date_from")):
+            continue
+        need.add(k)
+    need.update(s["col"] for s in spec["sums"])
+    if spec.get("date_from"):
+        need.add(spec["date_from"])
+    if enrich:
+        need.add(enrich["on"])
+    return sorted(need)
+
+
+def _read_dim_columns(table_dir: str, cols: list[str]) -> pa.Table:
+    """Merged dim snapshot restricted to ``cols`` — column-pruned parquet
+    reads (the wide ``tokens`` payload is never decoded) + the shared
+    per-partition LWW merge kernel. Replaces the full ``snapshot_table``
+    read (a tests/small-tables API) on the enrichment path."""
+    from ..stages.merge import merge_file_tables
+
+    man = load_manifest(table_dir)
+    narrow = pa.schema([man.schema.field(c) for c in [*cols, "lsn"]])
+    want = set(narrow.names) | {"op"}
+    parts = []
+    for pid in sorted(man.partitions, key=int):
+        files = man.partitions[pid].get("files") or []
+        tables = []
+        for f in files:
+            path = os.path.join(table_dir, f)
+            present = [c for c in pq.ParquetFile(path).schema_arrow.names if c in want]
+            tables.append(pq.read_table(path, columns=present))
+        if tables:
+            parts.append(merge_file_tables(tables, narrow))
+    if not parts:
+        return narrow.empty_table()
+    return pa.concat_tables(parts, promote_options="none")
+
+
 def _tick_partial(spec: dict, lo: int, hi: int, enrich_map: tuple | None = None):
     """Per-batch combiner: fixed-point measures + derived date key + dim
     enrichment, then an Arrow group_by — only (keys, sums) rows leave the
@@ -281,13 +326,12 @@ def _refresh_mv_locked(table_dir: str, wal_dir: str, name: str) -> dict | None:
 
     enrich_map = None
     if spec.get("enrich"):
-        from .apply import snapshot_table
-
         e = spec["enrich"]
-        # the dim's CURRENT committed state — one driver-side read per tick
-        # (dims are broadcast-small; the reference's MVs lean on the same)
+        # the dim's CURRENT committed state, key + enrich columns ONLY — a
+        # column-pruned merged read per tick (dims are broadcast-small; the
+        # reference's MVs lean on the same), never the full snapshot
         dim_key = load_manifest(e["table"]).key_col
-        dim = snapshot_table(e["table"]).select([dim_key, *e["add"]])
+        dim = _read_dim_columns(e["table"], [dim_key, *e["add"]])
         enrich_map = (
             dim.column(dim_key).combine_chunks(),
             {c: dim.column(c).combine_chunks() for c in e["add"]},
@@ -296,6 +340,7 @@ def _refresh_mv_locked(table_dir: str, wal_dir: str, name: str) -> dict | None:
     keys = spec["group_keys"]
     agg_cols = [s["name"] for s in spec["sums"]] + [spec["count_col"]]
     partial_fn = _tick_partial(spec, lo, hi, enrich_map)
+    tick_cols = _tick_columns(spec)
     tick_events = sum(s.last_lsn - s.first_lsn + 1 for s in segs)
     if tick_events <= SMALL_TICK_EVENTS and all(s.format == "parquet" for s in segs):
         # latency fast path: a Ray Dataset execution costs ~1 s of fixed
@@ -304,13 +349,13 @@ def _refresh_mv_locked(table_dir: str, wal_dir: str, name: str) -> dict | None:
         # the driver and running the SAME combiner is strictly faster.
         # Identical results by construction (one shared partial fn); the
         # distributed path takes over when a lagging MV catches up over a
-        # large WAL span.
+        # large WAL span. Both paths read only the tick's needed columns.
         parts = pa.concat_tables(
-            [partial_fn(pq.read_table(s.path)) for s in segs]
+            [partial_fn(pq.read_table(s.path, columns=tick_cols)) for s in segs]
         ).to_pandas()
     else:
         parts = (
-            _read_segments(segs)
+            _read_segments(segs, columns=tick_cols)
             .map_batches(partial_fn, batch_format="pyarrow")
             .to_pandas()
         )

@@ -1337,14 +1337,23 @@ def q_quality_score_documents(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# Partial-row budget for the driver-side vocab combine; above it the final
+# combine auto-switches to the distributed groupby path (the same
+# measured-cardinality pattern as functions/dedup._multi_member_counts).
+TERM_DRIVER_LIMIT = 1_000_000
+
+
 def q_term_doc_frequency(sf_dir: str) -> pa.Table:
     """Inverted-index statistics (the IDF table a retrieval/tf-idf pipeline
     builds): per term, total occurrences and document frequency. Per batch:
     one split/flatten + bincount for occurrences, one lexsort over
     (row, word-hash) for per-doc distincts — partials are (term, n_occ,
-    n_docs) rows, summable because a document never spans batches. Vocab here
-    is driver-small; at web scale swap the driver combine for
-    ``groupby("term").sum()`` (partials stay per-batch-bounded either way)."""
+    n_docs) rows, summable because a document never spans batches. The final
+    combine auto-switches on MEASURED partial cardinality: a driver-small
+    vocab sums in pandas; past ``TERM_DRIVER_LIMIT`` partial rows the
+    partials stay in the cluster and reduce via ``groupby("term").sum()``
+    (one shuffle over partial rows, never raw text) — identical results by
+    construction (pinned by the forced-distributed oracle test)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -1373,8 +1382,18 @@ def q_term_doc_frequency(sf_dir: str) -> pa.Table:
             }
         )
 
-    parts = ds.map_batches(prep, batch_format="pyarrow").to_pandas()
-    out = parts.groupby("term", as_index=False)[["n_occurrences", "n_docs"]].sum()
+    partials = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    if partials.count() <= TERM_DRIVER_LIMIT:
+        parts = partials.to_pandas()
+        out = parts.groupby("term", as_index=False)[["n_occurrences", "n_docs"]].sum()
+    else:
+        agg = partials.groupby("term").aggregate(
+            Sum("n_occurrences", alias_name="n_occurrences"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        out = agg.to_pandas()
+        for c in ("n_occurrences", "n_docs"):
+            out[c] = out[c].astype("int64")
     out = out.sort_values("term").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -253,6 +253,110 @@ def test_empty_mv_state_typed_from_schema(ray_session, tmp_path):
     assert df["value"].dtype.kind == "f"
 
 
+def test_tick_reads_are_column_pruned(ray_session, tmp_path, monkeypatch):
+    """Refresh ticks must read ONLY (lsn, group keys, date_from, sum cols,
+    enrich-on) from the WAL — spied via pq.read_table's columns argument."""
+    import clickhouse_data_pipeline_ray.pipelines.mv as mv_mod
+
+    table, wal = _make(tmp_path, n_events=800)
+    register_mv(
+        table, "daily", group_keys=["event_date", "event_type"],
+        sums=MV_SUMS, date_from="event_ts",
+    )
+    replay(table, wal, ApplyConfig(), final_compact=False)
+
+    seen = []
+    real = mv_mod.pq.read_table
+
+    def spy(path, columns=None, **kw):
+        seen.append(columns)
+        return real(path, columns=columns, **kw)
+
+    monkeypatch.setattr(mv_mod.pq, "read_table", spy)
+    refresh_mv(table, wal, "daily")
+    tick_reads = [c for c in seen if c is not None]
+    assert tick_reads, "fast-path tick read never went through read_table"
+    for cols in tick_reads:
+        assert set(cols) == {"lsn", "event_ts", "event_type", "value"}
+    # result still exact vs the oracle
+    import pandas as pd
+
+    got = _mv_df(table).sort_values(["event_date", "event_type"]).reset_index(drop=True)
+    want = _oracle(wal, 10**9)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_enrich_dim_read_never_decodes_tokens(ray_session, tmp_path, monkeypatch):
+    """The enrichment dim read must go through the column-pruned merged
+    reader (key + enrich columns + lsn/op only) — the wide tokens payload
+    is never requested."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    import clickhouse_data_pipeline_ray.pipelines.mv as mv_mod
+    from clickhouse_data_pipeline_ray.pipelines.apply import import_base
+    from clickhouse_data_pipeline_ray.schemas import FACT_CHANGE_SCHEMA
+    from clickhouse_data_pipeline_ray.sources.wal import segment_path
+
+    dim = str(tmp_path / "dim")
+    create_table(dim, num_partitions=2)
+    corpus = str(tmp_path / "corpus.parquet")
+    pq_mod.write_table(
+        pa.table(
+            {
+                "doc_id": ["d-1", "d-2"],
+                "tokens": pa.array([[1, 2]] * 2, pa.list_(pa.int32())),
+                "n_tok": pa.array([2, 2], pa.int32()),
+                "source": ["web", "books"],
+            }
+        ),
+        corpus,
+    )
+    import_base(dim, corpus)
+    wal = str(tmp_path / "fwal")
+    import os
+
+    os.makedirs(wal)
+    t = pa.table(
+        {
+            "lsn": pa.array([1, 2]),
+            "op": pa.array(["c", "c"]),
+            "event_id": pa.array(["e1", "e2"]),
+            "doc_id": pa.array(["d-1", "d-2"]),
+            "event_ts": pa.array([1_700_000_000_000_000] * 2, pa.timestamp("us")),
+            "event_type": pa.array(["view", "click"]),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        },
+        schema=FACT_CHANGE_SCHEMA,
+    )
+    pq_mod.write_table(t, segment_path(wal, 1, 2))
+    facts = str(tmp_path / "facts")
+    create_table(
+        facts, schema=FACT_SNAPSHOT_SCHEMA, mode="append",
+        key_col="event_id", num_partitions=2,
+    )
+    register_mv(facts, "bysrc", group_keys=["source"], sums=[],
+                enrich={"table": dim, "on": "doc_id", "add": ["source"]})
+    replay(facts, wal, ApplyConfig(), final_compact=False)
+
+    seen = []
+    real = mv_mod.pq.read_table
+
+    def spy(path, columns=None, **kw):
+        seen.append((str(path), columns))
+        return real(path, columns=columns, **kw)
+
+    monkeypatch.setattr(mv_mod.pq, "read_table", spy)
+    refresh_mv(facts, wal, "bysrc")
+    dim_reads = [c for p, c in seen if "dim" in p]
+    assert dim_reads, "dim read did not go through the pruned reader"
+    for cols in dim_reads:
+        assert cols is not None and "tokens" not in cols
+    got = read_mv(facts, "bysrc").to_pandas()
+    assert dict(zip(got["source"], got["n_events"])) == {"web": 1, "books": 1}
+
+
 def test_small_tick_fast_path_equals_distributed(ray_session, tmp_path, monkeypatch):
     """The driver-side small-tick fold and the distributed path must commit
     identical state (one shared combiner; the threshold only picks the

@@ -90,6 +90,17 @@ def test_entry_smoke(ray_session):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_term_vocab_distributed_path_identical(ray_session, con, monkeypatch):
+    """Forcing term_doc_frequency's high-cardinality combine (limit=0) must
+    take the distributed groupby path and still match the SQL oracle."""
+    from clickhouse_data_pipeline_ray.pipelines import queries as Q
+
+    monkeypatch.setattr(Q, "TERM_DRIVER_LIMIT", 0)
+    got = _canon(_to_pandas(Q.QUERIES["term_doc_frequency"](SF_DIR)))
+    want = _canon(con.execute(Q.build_oracle_sql(SF_DIR)["term_doc_frequency"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_bucket_count_invariance(ray_session, con, monkeypatch):
     """Hash-bucketed reduce stages must give identical results at any bucket
     count (pure hash partitioning): run lww/sessionize/lag at n_buckets=3 and
