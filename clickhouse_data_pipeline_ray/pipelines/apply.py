@@ -92,6 +92,13 @@ class ApplyConfig:
     # "scan": exact per-epoch counting pass (materializes the change set);
     # "off": never salt.
     hot_detect: str = "prev"
+    # Epochs at or below this many raw events run normalize+merge DRIVER-SIDE
+    # with the SAME kernels and commit protocol (identical results by
+    # construction; pinned by tests): a Ray Dataset execution costs ~1 s of
+    # fixed scheduling/warmup, which dominates micro-batch epochs — the
+    # steady-state CDC tail case. Large epochs take the distributed path.
+    # 0 disables the fast path.
+    small_epoch_events: int = 20_000
 
 
 def create_table(
@@ -210,6 +217,34 @@ def _detect_hot_pids(
     return sorted(int(p) for p in hot.index), changes
 
 
+def _apply_small_epoch(
+    segs: list[Segment], normalize, merge_kwargs: dict
+) -> list[dict]:
+    """Driver-side micro-epoch: read each parquet segment, run the shared
+    normalize fn, split by pid (one stable argsort + run boundaries), and
+    apply each group through ONE MergeApply instance — the same kernel the
+    actor pool runs, producing byte-identical tmp files for the shared
+    commit path. Returns the same stats rows ``take_all`` would."""
+    import numpy as np
+
+    tables = [normalize(pq.read_table(s.path)) for s in segs]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return []
+    changes = pa.concat_tables(tables, promote_options="none")
+    pids = changes.column("pid").to_numpy(zero_copy_only=False)
+    order = np.argsort(pids, kind="stable")
+    grouped = changes.take(pa.array(order))
+    spids = pids[order]
+    starts = np.flatnonzero(np.r_[True, spids[1:] != spids[:-1]])
+    ends = np.r_[starts[1:], len(spids)]
+    merger = MergeApply(**merge_kwargs)
+    stats: list[dict] = []
+    for st, en in zip(starts, ends):
+        stats.extend(merger(grouped.slice(st, en - st)).to_pylist())
+    return stats
+
+
 def apply_once(table_dir: str, wal_dir: str, cfg: ApplyConfig | None = None) -> dict | None:
     """Apply one epoch of pending WAL segments. Returns stats, or None when
     caught up. Ray must already be initialized by the caller. Holds the
@@ -240,48 +275,65 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
         key_col=man.key_col,
         mode=man.mode,
     )
-    changes = _read_segments(segs).map_batches(
-        normalize,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=cfg.batch_size,
-    )
     # Raw change events in this epoch (pre-compaction), from parquet metadata.
     n_events = sum(segment_num_rows(s) for s in segs)
-
-    # Skew salting only applies to the upsert/LWW path (append groups do a
-    # plain concat — there is no per-key compaction to fan out).
+    merge_kwargs = {
+        "table_dir": table_dir,
+        "epoch": epoch,
+        "partitions": man.partitions,
+        "snapshot_schema_b64": schema_to_b64(snap_schema),
+        "write_mode": cfg.write_mode,
+        "compact_threshold": cfg.compact_threshold,
+        "mode": man.mode,
+        "default_watermark": watermark,
+        "event_time_col": man.event_time_col,
+        "event_time_watermark_us": man.event_time_watermark_us,
+        "allowed_lateness_us": int(cfg.allowed_lateness_s * 1_000_000),
+    }
     hot_pids = []
-    if not is_append:
-        hot_pids, changes = _detect_hot_pids(man, changes, cfg)
-    if hot_pids:
-        # Two-level salted merge: L1 compacts (pid, salt) sub-groups in
-        # parallel (each doc_id lives in exactly one sub-group, so L1 output
-        # is fully LWW-compacted per key); L2 is the per-pid base merge.
-        changes = changes.groupby(["pid", "salt"]).map_groups(
-            compact_group, batch_format="pyarrow"
-        )
-
-    stats_ds = changes.groupby("pid").map_groups(
-        MergeApply,
-        fn_constructor_kwargs={
-            "table_dir": table_dir,
-            "epoch": epoch,
-            "partitions": man.partitions,
-            "snapshot_schema_b64": schema_to_b64(snap_schema),
-            "write_mode": cfg.write_mode,
-            "compact_threshold": cfg.compact_threshold,
-            "mode": man.mode,
-            "default_watermark": watermark,
-            "event_time_col": man.event_time_col,
-            "event_time_watermark_us": man.event_time_watermark_us,
-            "allowed_lateness_us": int(cfg.allowed_lateness_s * 1_000_000),
-        },
-        batch_format="pyarrow",
-        concurrency=cfg.merge_concurrency,
-        num_cpus=1,
+    small = (
+        n_events <= cfg.small_epoch_events
+        and all(s.format == "parquet" for s in segs)
+        # "scan" is an explicit request for the exact counting + salted merge
+        # plan — honor it even for micro-batches
+        and cfg.hot_detect != "scan"
     )
-    stats = stats_ds.take_all()  # O(P) rows only
+    if small:
+        # Micro-epoch latency fast path (the MV small-tick trick applied to
+        # the apply loop itself): run the SAME normalize fn and MergeApply
+        # kernel driver-side, skipping a Dataset execution's ~1 s fixed cost.
+        # Identical results and the same tmp-write files by construction —
+        # the commit code below is shared; salting is skipped (LWW is
+        # associative, and a micro-batch has no skew worth fanning out).
+        stats = _apply_small_epoch(segs, normalize, merge_kwargs)
+    else:
+        changes = _read_segments(segs).map_batches(
+            normalize,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+        )
+        # Skew salting only applies to the upsert/LWW path (append groups do
+        # a plain concat — there is no per-key compaction to fan out).
+        if not is_append:
+            hot_pids, changes = _detect_hot_pids(man, changes, cfg)
+        if hot_pids:
+            # Two-level salted merge: L1 compacts (pid, salt) sub-groups in
+            # parallel (each doc_id lives in exactly one sub-group, so L1
+            # output is fully LWW-compacted per key); L2 is the per-pid base
+            # merge.
+            changes = changes.groupby(["pid", "salt"]).map_groups(
+                compact_group, batch_format="pyarrow"
+            )
+
+        stats_ds = changes.groupby("pid").map_groups(
+            MergeApply,
+            fn_constructor_kwargs=merge_kwargs,
+            batch_format="pyarrow",
+            concurrency=cfg.merge_concurrency,
+            num_cpus=1,
+        )
+        stats = stats_ds.take_all()  # O(P) rows only
 
     # ---- commit point: rename all tmp parts, then atomic manifest swap ----
     import json as _json

@@ -30,7 +30,10 @@ PARAMS = GenParams(
     total_events=4_000, base_events=1_000, events_per_segment=1_000, seed=23,
     tok_min=4, tok_max=32,
 )
-CFG = ApplyConfig(max_segments=2, salt_factor=1)
+# small_epoch_events=0: keep this suite pinned to the DISTRIBUTED apply path
+# (the micro-epoch driver fast path has its own identity/idempotency test in
+# test_replay_oracle.py and would otherwise absorb these tiny WALs)
+CFG = ApplyConfig(max_segments=2, salt_factor=1, small_epoch_events=0)
 
 
 @pytest.fixture(scope="module")

@@ -70,3 +70,27 @@ def test_snapshot_rows_carry_winning_lsn(ray_session, wal, tmp_path):
     snap = snapshot_table(table_dir)
     oracle = replay_oracle(wal)
     assert snap.column("lsn").to_pylist() == oracle.column("lsn").to_pylist()
+
+
+def test_small_epoch_fast_path_equals_distributed(ray_session, wal, tmp_path):
+    """The micro-epoch driver fast path and the distributed path must commit
+    IDENTICAL table state (shared normalize + MergeApply kernels, shared
+    commit protocol), and the fast path must stay idempotent and resumable
+    (re-apply when caught up is a no-op)."""
+    t_fast, t_dist = str(tmp_path / "fast"), str(tmp_path / "dist")
+    create_table(t_fast, num_partitions=8)
+    create_table(t_dist, num_partitions=8)
+    # 1k-event segments, 1 per epoch: well under the fast-path threshold
+    fast = replay(t_fast, wal, ApplyConfig(max_segments=1), final_compact=False)
+    dist = replay(
+        t_dist, wal,
+        ApplyConfig(max_segments=1, small_epoch_events=0),
+        final_compact=False,
+    )
+    assert len(fast) == len(dist) == 5
+    assert [s["events_applied"] for s in fast] == [s["events_applied"] for s in dist]
+    a, b = snapshot_table(t_fast), snapshot_table(t_dist)
+    assert a.equals(b)
+    assert_snapshots_equal(a, replay_oracle(wal))
+    # idempotent convergence on the fast path
+    assert apply_once(t_fast, wal, ApplyConfig()) is None

@@ -63,7 +63,10 @@ def test_prev_epoch_hot_prediction(ray_session, wal, tmp_path):
     create_table(table_dir, num_partitions=4)
     stats = replay(
         table_dir, wal,
-        ApplyConfig(max_segments=2, salt_factor=4, hot_ratio=1.05, hot_detect="prev"),
+        # small_epoch_events=0: this test is specifically about the
+        # distributed salted plan, which the micro-epoch fast path skips
+        ApplyConfig(max_segments=2, salt_factor=4, hot_ratio=1.05,
+                    hot_detect="prev", small_epoch_events=0),
     )
     applies = [s for s in stats if not s.get("compaction")]
     assert len(applies) >= 2
