@@ -166,8 +166,16 @@ def cdc_replay(sf_dir: str, evolve: bool = False) -> pa.Table:
     """Full CDC replay: generate (cached) a deterministic WAL sized to the
     scale factor, replay it through the complete engine path (read →
     normalize → hash shuffle → LWW merge actors → exactly-once commit),
-    return the final snapshot."""
+    return the final snapshot.
+
+    Also drives the POINT-LOOKUP read path (pipelines/lookup.py — the
+    ORDER-BY-primary-index analog: hash-routed partitions + row-group
+    pruning + LWW on the filtered slice) end-to-end: a sample of surviving
+    keys is looked up against the committed table and asserted equal to
+    their snapshot rows, so this driver row proves the lookup surface too."""
     import shutil
+
+    from .lookup import lookup_keys
 
     _params, tag = _cdc_params(sf_dir, evolve)
     wal_dir = _cdc_wal(sf_dir, evolve)
@@ -175,7 +183,14 @@ def cdc_replay(sf_dir: str, evolve: bool = False) -> pa.Table:
     try:
         create_table(table_dir, num_partitions=16)
         replay(table_dir, wal_dir, ApplyConfig(max_segments=4))
-        return snapshot_table(table_dir).drop_columns(["tokens"])  # scalars suffice
+        snap = snapshot_table(table_dir)
+        if snap.num_rows:
+            step = max(1, snap.num_rows // 7)
+            probe = snap.take(pa.array(range(0, snap.num_rows, step)))
+            got = lookup_keys(table_dir, probe.column("doc_id").to_pylist())
+            if not got.equals(probe):
+                raise AssertionError("point lookup diverged from snapshot rows")
+        return snap.drop_columns(["tokens"])  # scalars suffice
     finally:
         shutil.rmtree(table_dir, ignore_errors=True)  # scratch; don't accumulate
 
