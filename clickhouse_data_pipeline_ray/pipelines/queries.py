@@ -1920,7 +1920,31 @@ def _ngram_n_blocks(n_docs: int) -> int:
 
 
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-dup with PLANTED exact duplicates so the result is
+    exactly SQL-checkable: every vec_id % 25 == 0 vector gets a copy at
+    vec_id + 1_000_000 (the same deterministic rule the DuckDB oracle
+    replays). Identical vectors share their hyperplane-LSH signature, so the
+    planted pairs are found by construction (θ=0 ⇒ same bucket, exact cosine
+    verify = 1.0 ≥ 0.8); the synthetic embeddings' max NATURAL cosine is
+    ~0.51 at sf ≤ 0.01, so the brute-force oracle's pair set is exactly the
+    planted set and the comparison is exact, not recall-bounded. The
+    near-but-not-identical regime stays pinned by the analytic recall bound
+    in tests/test_dedup.py."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        dup = batch.filter(
+            _pc.equal(_pc.subtract(batch.column("vec_id"),
+                                   _pc.multiply(_pc.divide(batch.column("vec_id"), 25), 25)), 0)
+        )
+        dup = dup.set_column(
+            0, "vec_id", _pc.add(dup.column("vec_id"), 1_000_000)
+        )
+        return pa.concat_tables([batch, dup])
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
     # vector dim from one tiny parquet batch — no extra Dataset execution
     import pyarrow.parquet as _pq
 
@@ -1930,7 +1954,7 @@ def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
         )
     )
     dim = len(first.column("embedding")[0])
-    return F_dedup.embedding_neardup_pairs(ds, dim=dim, threshold=0.8)
+    return F_dedup.embedding_neardup_pairs(aug, dim=dim, threshold=0.8)
 
 
 def q_lang_id_documents(sf_dir: str) -> ray.data.Dataset:
@@ -2333,6 +2357,25 @@ def build_oracle_sql(sf_dir: str) -> dict[str, str]:
 
 
 ORACLE_SQL = {
+    # Brute-force all-pairs cosine over the same planted-duplicate
+    # augmentation q_embedding_neardup applies (vec_id % 25 == 0 copied to
+    # vec_id + 1_000_000). Exact because planted pairs have cosine exactly
+    # 1.0 (identical vectors ⇒ identical LSH signature ⇒ guaranteed found)
+    # and the max natural cosine in this synthetic data is ~0.51 — far below
+    # the 0.8 threshold, so no boundary-float or recall ambiguity exists.
+    "embedding_neardup": """
+        WITH aug AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id, embedding
+          FROM embeddings WHERE vec_id % 25 = 0
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                          AS DOUBLE), 6) AS cosine
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+    """,
     "lang_id_documents": _LANG_SQL,
     "decontaminate_documents": """
         WITH bench AS (
