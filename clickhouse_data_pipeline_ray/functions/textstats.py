@@ -240,12 +240,21 @@ class Decontaminate:
     The snippet list is SMALL relative to the corpus (benchmarks are KBs,
     corpora are TBs) — it ships once per actor via ``fn_constructor_kwargs``
     (Ray serializes the constructor args into the actor, never per batch).
-    Matching is one vectorized ``pc.match_substring`` pass per snippet over
-    the whole batch; ``n_hits`` counts how many distinct snippets occur
-    (SQL-parity with a `JOIN ON contains(text, snip) GROUP BY doc` count).
-    At web scale the alternation becomes an Aho-Corasick automaton built in
-    ``__init__`` — same broadcast shape, one pass over the text instead of
-    one per snippet.
+    ``n_hits`` counts how many distinct snippets occur (SQL-parity with a
+    `JOIN ON contains(text, snip) GROUP BY doc` count).
+
+    Two regimes, identical results:
+    - few snippets (≤ ``prefilter_min``): one vectorized
+      ``pc.match_substring`` pass per snippet over the whole batch.
+    - many snippets: a PREFILTER of chunked RE2 alternations (one vectorized
+      regex pass per ~``alt_chunk`` snippets — RE2 compiles the alternation
+      into one automaton, the Aho-Corasick analog available in-container)
+      narrows the batch to rows containing ANY snippet; the exact
+      per-snippet counting loop then runs only on that survivor slice.
+      Contamination is rare by nature, so the cost is
+      O(corpus × snippets/alt_chunk + contaminated_rows × snippets) instead
+      of O(corpus × snippets). Patterns compile once per ACTOR in
+      ``__init__``, never per batch.
     """
 
     def __init__(
@@ -253,12 +262,39 @@ class Decontaminate:
         snippets: list[str],
         text_col: str = "text",
         key_col: str = "doc_id",
+        prefilter_min: int = 16,
+        alt_chunk: int = 256,
     ):
+        import re as _re
+
         self.snippets = list(snippets)
         self.text_col, self.key_col = text_col, key_col
+        self.alt_patterns: list[str] = []
+        if len(self.snippets) > prefilter_min:
+            for i in range(0, len(self.snippets), alt_chunk):
+                chunk = self.snippets[i : i + alt_chunk]
+                self.alt_patterns.append(
+                    "|".join(_re.escape(s) for s in chunk)
+                )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column(self.text_col)
+        if self.alt_patterns:
+            any_hit = np.zeros(batch.num_rows, dtype=bool)
+            for pat in self.alt_patterns:
+                m = pc.fill_null(
+                    pc.match_substring_regex(text, pattern=pat), False
+                )
+                any_hit |= m.to_numpy(zero_copy_only=False)
+            if not any_hit.any():
+                return pa.table(
+                    {
+                        self.key_col: batch.column(self.key_col).slice(0, 0),
+                        "n_hits": pa.array([], type=pa.int64()),
+                    }
+                )
+            batch = batch.filter(pa.array(any_hit))
+            text = batch.column(self.text_col)
         n_hits = np.zeros(batch.num_rows, dtype=np.int64)
         for snip in self.snippets:
             hit = pc.fill_null(pc.match_substring(text, pattern=snip), False)

@@ -71,3 +71,41 @@ def test_repetition_stats_empty_batch():
     out = RepetitionStats()(_tbl([]))
     assert out.num_rows == 0
     assert "dup_word_ratio" in out.column_names
+
+
+def test_decontaminate_prefilter_identical_to_naive():
+    """The chunked-alternation prefilter path (many snippets) must return
+    exactly what the naive per-snippet path returns, including for snippets
+    containing regex metacharacters (they are escaped into the alternation),
+    and for batches with zero survivors."""
+    from clickhouse_data_pipeline_ray.functions.textstats import Decontaminate
+
+    texts = [
+        "plain document about ray data pipelines",
+        "contains the needle-alpha snippet right here",
+        "has both needle-alpha and the weird a.b(c)+d marker",
+        "nothing to see",
+        None,
+        "ends with needle-zzz-299",
+    ]
+    batch = _tbl(texts)
+    # 300 snippets: 297 absent fillers + 3 planted (one with metacharacters)
+    snippets = [f"needle-zzz-{i}" for i in range(299)] + [
+        "needle-alpha",
+        "a.b(c)+d",
+    ]
+    naive = Decontaminate(snippets, prefilter_min=10**9)
+    fast = Decontaminate(snippets)  # 300 > 16 -> prefilter active
+    assert len(fast.alt_patterns) == 2  # 301 snippets chunked at 256
+    out_n, out_f = naive(batch), fast(batch)
+    assert out_f.equals(out_n)
+    assert out_f.column("doc_id").to_pylist() == [1, 2, 5]
+    # doc 5's "needle-zzz-299" also contains "needle-zzz-29" as a substring
+    assert out_f.column("n_hits").to_pylist() == [1, 2, 2]
+
+    # zero-survivor batch: prefilter early-returns an empty, correctly-typed table
+    clean = _tbl(["alpha", "beta"])
+    out_clean = fast(clean)
+    assert out_clean.num_rows == 0
+    assert out_clean.schema.field("n_hits").type == pa.int64()
+    assert out_clean.schema.field("doc_id").type == batch.schema.field("doc_id").type
