@@ -301,6 +301,63 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> dict:
+    """One headline replay with `ApplyConfig(stage_stats=True)`: prints Ray
+    Data's per-stage execution breakdown (ds.stats()) for the apply epoch —
+    the per-stage view the measurement protocol in BASELINE.md promises.
+    Human-readable (multi-line), not the one-line JSON contract."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from clickhouse_data_pipeline_ray.pipelines.apply import (
+        ApplyConfig,
+        create_table,
+        replay,
+    )
+    from clickhouse_data_pipeline_ray.sources.gen import GenParams, ensure_wal
+
+    tok_min = int(os.environ.get("BENCH_TOK_MIN", "256"))
+    tok_max = int(os.environ.get("BENCH_TOK_MAX", "2048"))
+    params = GenParams(
+        total_events=BENCH_EVENTS,
+        base_events=BENCH_EVENTS // 4,
+        events_per_segment=10_000,
+        seed=42,
+        tok_min=tok_min,
+        tok_max=tok_max,
+    )
+    wal_dir = ensure_wal(
+        CACHE_ROOT, params, f"bench-{BENCH_EVENTS}-{tok_min}-{tok_max}", parallel=True
+    )
+    cfg = ApplyConfig(
+        merge_concurrency=max(2, NUM_CPUS // 2), stage_stats=True
+    )
+    table_dir = tempfile.mkdtemp(prefix="cdp_bench_table_", dir=CACHE_ROOT)
+    try:
+        create_table(table_dir, num_partitions=64)
+        epochs = replay(table_dir, wal_dir, cfg, final_compact=False)
+        for e in epochs:
+            print(f"=== epoch {e['epoch']}: {e['wall_s']} s, "
+                  f"{e['events_per_s']} events/s ===")
+            print(e.get("stage_stats") or "(driver-side micro-epoch: no Dataset execution)")
+        return {"metric": "cdc_replay_stage_stats", "epochs": len(epochs)}
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+        ray.shutdown()
+
+
 def run_latency() -> dict:
     import ray
 
@@ -326,5 +383,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--latency" in sys.argv:
         print(json.dumps(run_latency()))
+    elif "--stats" in sys.argv:
+        print(json.dumps(run_stats()))
     else:
         print(json.dumps(run_once()))

@@ -99,6 +99,11 @@ class ApplyConfig:
     # steady-state CDC tail case. Large epochs take the distributed path.
     # 0 disables the fast path.
     small_epoch_events: int = 20_000
+    # Attach Ray Data's per-stage execution breakdown (ds.stats()) to the
+    # RETURNED epoch stats (never persisted to the manifest history — it's a
+    # multi-KB diagnostic string). Distributed epochs only; the driver-side
+    # micro-epoch path has no Dataset execution to report.
+    stage_stats: bool = False
 
 
 def create_table(
@@ -291,6 +296,7 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
         "allowed_lateness_us": int(cfg.allowed_lateness_s * 1_000_000),
     }
     hot_pids = []
+    ray_stage_stats = None
     small = (
         n_events <= cfg.small_epoch_events
         and all(s.format == "parquet" for s in segs)
@@ -334,6 +340,8 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
             num_cpus=1,
         )
         stats = stats_ds.take_all()  # O(P) rows only
+        if cfg.stage_stats:
+            ray_stage_stats = stats_ds.stats()
 
     # ---- commit point: rename all tmp parts, then atomic manifest swap ----
     import json as _json
@@ -401,6 +409,9 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
     commit_manifest(man)
     if cfg.gc:
         gc_stale_files(man)
+    if ray_stage_stats is not None:
+        # returned copy only — the manifest history stays O(small)
+        return {**epoch_stats, "stage_stats": ray_stage_stats}
     return epoch_stats
 
 
