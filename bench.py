@@ -113,7 +113,7 @@ def bench_cdc(ray) -> dict:
     }
 
 
-def bench_latency(ray) -> dict:
+def bench_latency(ray, events=None) -> dict:
     """Micro-batch tail latency: many SMALL segments applied one per epoch
     through the same replay machinery `apply --follow` uses — the analog of
     the reference's 1 s-poll streaming consumer (stream_etl/core/consumer.py:
@@ -130,7 +130,7 @@ def bench_latency(ray) -> dict:
     )
     from clickhouse_data_pipeline_ray.sources.gen import GenParams, ensure_wal
 
-    events = int(os.environ.get("BENCH_LATENCY_EVENTS", "50000"))
+    events = int(os.environ.get("BENCH_LATENCY_EVENTS", "50000")) if events is None else events
     seg = int(os.environ.get("BENCH_LATENCY_SEGMENT", "1000"))
     params = GenParams(
         total_events=events,
@@ -248,6 +248,12 @@ def run_once() -> dict:
         queries = {"cdc_replay": cdc["wall_s"]}
         if os.environ.get("BENCH_HEADLINE_ONLY") != "1":
             queries.update(bench_queries(ray))
+            # short micro-batch latency probe (12 × 1k-event single-segment
+            # epochs through the follow-tail path) so the per-round JSON also
+            # records streaming freshness, not just bulk throughput
+            lat = bench_latency(ray, events=12_000)
+            cdc["micro_epoch_p50_s"] = lat["epoch_p50_s"]
+            cdc["micro_epoch_p95_s"] = lat["epoch_p95_s"]
         return {
             "metric": "cdc_replay_wall_seconds (change-events/s applied to exactly-once parquet upsert)",
             "value": cdc["wall_s"],
