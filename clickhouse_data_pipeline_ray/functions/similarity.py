@@ -87,7 +87,7 @@ def _final_topk(k: int):
 
 
 def brute_force_topk(
-    ds: ray.data.Dataset,
+    ds: "ray.data.Dataset | pa.Table",
     queries: np.ndarray,
     query_ids: list,
     k: int = 5,
@@ -97,7 +97,30 @@ def brute_force_topk(
     exclude_self: bool = True,
 ) -> pd.DataFrame:
     """Global cosine top-k for each query vector. Deterministic: scores are
-    rounded to 6 decimals and ties break by neighbor_id ascending."""
+    rounded to 6 decimals and ties break by neighbor_id ascending.
+
+    Accepts a ``pa.Table`` for the LATENCY path (the point-lookup convention,
+    pipelines/lookup.py): top-k serving over a small or index-pruned vector
+    set runs the SAME ``BruteForceTopK`` kernel driver-side in one pass,
+    skipping a Ray Dataset execution's ~1 s fixed cost. Identical results by
+    construction — per-batch partial top-k followed by the global fold is
+    associative, so one whole-table "batch" folds to the same answer."""
+    if isinstance(ds, pa.Table):
+        part = BruteForceTopK(
+            queries=queries,
+            query_ids=query_ids,
+            k=k,
+            key_col=key_col,
+            vec_col=vec_col,
+            exclude_self=exclude_self,
+        )(ds)
+        return (
+            part.to_pandas()
+            .groupby("query_id", group_keys=False, sort=False)
+            .apply(_final_topk(k))
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
     partials = ds.map_batches(
         BruteForceTopK,
         fn_constructor_kwargs={
@@ -131,8 +154,12 @@ def kmeans_centroids(
     seed: int = 17,
 ) -> np.ndarray:
     """Mini k-means on a driver-side sample (centroids are tiny; the corpus
-    itself never leaves the cluster)."""
-    sample = ds.limit(sample_rows).to_pandas()
+    itself never leaves the cluster). A ``pa.Table`` input samples the same
+    leading rows driver-side — identical centroids for identical row order."""
+    if isinstance(ds, pa.Table):
+        sample = ds.slice(0, sample_rows).to_pandas()
+    else:
+        sample = ds.limit(sample_rows).to_pandas()
     x = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
@@ -223,10 +250,18 @@ def ivf_index_topk(
     k: int = 5,
     nprobe: int = 4,
     concurrency: int | tuple = 2,
+    small_bytes: int = 256 << 20,
 ) -> pd.DataFrame:
     """Search a persisted IVF index: read ONLY the probed buckets' parquet
     partitions (file-level pruning — unprobed buckets are never opened),
-    then the standard broadcast-query brute-force within them."""
+    then the standard broadcast-query brute-force within them.
+
+    Index search is a LATENCY surface: when the probed buckets total at most
+    ``small_bytes`` on disk (the pruning has already done its job), they are
+    read driver-side with pyarrow and searched with the same kernel in one
+    pass — a few file reads beat a cluster round-trip (the point-lookup
+    convention, pipelines/lookup.py). Larger probe sets take the distributed
+    scan."""
     import json
     import os
 
@@ -245,6 +280,17 @@ def ivf_index_topk(
     ]
     if not paths:
         return pd.DataFrame({"query_id": [], "rank": [], "neighbor_id": [], "score": []})
+    if sum(os.path.getsize(p) for p in paths) <= small_bytes:
+        import pyarrow.parquet as pq
+
+        tbl = pa.concat_tables(
+            pq.read_table(p, columns=[meta["key_col"], meta["vec_col"]])
+            for p in paths
+        )
+        return brute_force_topk(
+            tbl, queries, query_ids, k=k,
+            key_col=meta["key_col"], vec_col=meta["vec_col"],
+        )
     pruned = ray.data.read_parquet(paths)
     return brute_force_topk(
         pruned, queries, query_ids, k=k,
@@ -254,7 +300,7 @@ def ivf_index_topk(
 
 
 def ivf_topk(
-    ds: ray.data.Dataset,
+    ds: "ray.data.Dataset | pa.Table",
     queries: np.ndarray,
     query_ids: list,
     k: int = 5,
@@ -263,10 +309,39 @@ def ivf_topk(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     concurrency: int | tuple = 2,
+    centroids: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Approximate top-k: search only the nprobe nearest centroid buckets per
-    query (the 100 TB path — prunes the scan instead of sharding it)."""
-    cents = kmeans_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
+    query (the 100 TB path — prunes the scan instead of sharding it).
+    ``centroids`` skips the k-means sampling pass when the caller already
+    holds them (e.g. running several nprobe levels over one corpus).
+    A ``pa.Table`` input runs the same assign/filter/search kernels
+    driver-side (the latency path — see brute_force_topk)."""
+    if isinstance(ds, pa.Table):
+        import pyarrow.compute as pc
+
+        cents = (
+            centroids
+            if centroids is not None
+            else kmeans_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
+        )
+        assigned = IVFAssign(centroids=cents, vec_col=vec_col)(ds)
+        qn = _normalize(np.asarray(queries, dtype=np.float64))
+        probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+        wanted = sorted({int(b) for row in probe for b in row})
+        pruned = assigned.filter(
+            pc.is_in(
+                assigned.column("ivf_bucket"), value_set=pa.array(wanted, pa.int32())
+            )
+        )
+        return brute_force_topk(
+            pruned, queries, query_ids, k=k, key_col=key_col, vec_col=vec_col
+        )
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
+    )
     bucketed = ds.map_batches(
         IVFAssign,
         fn_constructor_kwargs={"centroids": cents, "vec_col": vec_col},

@@ -302,3 +302,40 @@ def test_numpy_codecs_roundtrip_and_decode():
     out = M.VideoFrameSample(decoder="numpy", frames_per_video=4)(t)
     assert out.column("frame_index").to_pylist() == [0, 1, 2]
     assert out.column("mean_luma").to_pylist() == [(7 * 5 + 13 * i) % 256 for i in range(3)]
+
+
+def test_table_latency_path_equals_dataset_path(ray_session, tmp_path):
+    """The pa.Table (driver-side latency) path of brute_force_topk / ivf_topk
+    / ivf_index_topk must return exactly what the distributed Dataset path
+    returns — same kernels, same rounding, same tie-breaks."""
+    import pyarrow as pa
+
+    from clickhouse_data_pipeline_ray.functions.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    ds, m = _emb_ds(n=300, dim=16, seed=31)
+    tbl = pa.Table.from_pylist(
+        [{"vec_id": i, "embedding": m[i].tolist()} for i in range(len(m))]
+    )
+    q = m[:5]
+    qids = list(range(5))
+
+    b_ds = brute_force_topk(ds, q, qids, k=4)
+    b_tbl = brute_force_topk(tbl, q, qids, k=4)
+    assert b_tbl.equals(b_ds)
+
+    cents = kmeans_centroids(tbl, n_centroids=8)
+    i_ds = ivf_topk(ds, q, qids, k=4, n_centroids=8, nprobe=3, centroids=cents)
+    i_tbl = ivf_topk(tbl, q, qids, k=4, n_centroids=8, nprobe=3, centroids=cents)
+    assert i_tbl.equals(i_ds)
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, n_centroids=8)
+    x_small = ivf_index_topk(idx, q, qids, k=4, nprobe=3)  # driver path
+    x_dist = ivf_index_topk(idx, q, qids, k=4, nprobe=3, small_bytes=0)
+    assert x_small.equals(x_dist)
