@@ -1869,8 +1869,51 @@ def _query_vectors(sf_dir: str, upto: int) -> pd.DataFrame:
 
 
 def q_minhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup pairs, SELF-VALIDATING: exact duplicate docs are
+    planted (doc_id % 100 == 0 copied to doc_id + 1_000_000 — identical text
+    ⇒ identical signatures in every band ⇒ same buckets), and the query
+    ASSERTS each planted pair is returned with est_jaccard 1.0 before
+    returning. Natural near-dup pairs' est_jaccard is signature-dependent
+    (not SQL-reproducible), so the driver row stays rows-only — but a run
+    that loses guaranteed pairs now fails loudly instead of passing a
+    weaker count check. Recall for the near-but-not-identical regime stays
+    pinned by the analytic LSH bound test (tests/test_dedup.py)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return F_dedup.minhash_lsh_pairs(ds, threshold=0.2, shingle_k=2)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        sel = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 100), 100)), 0
+        )
+        dup = batch.filter(sel)
+        dup = dup.set_column(
+            dup.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(dup.column("doc_id"), 1_000_000),
+        )
+        return pa.concat_tables([batch, dup])
+
+    pairs = F_dedup.minhash_lsh_pairs(
+        ds.map_batches(plant, batch_format="pyarrow"), threshold=0.2, shingle_k=2
+    )
+    import pyarrow.parquet as _pq
+
+    planted = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).column("doc_id").to_numpy(zero_copy_only=False)
+    planted = planted[planted % 100 == 0]
+    got = {
+        (a, b)
+        for a, b in zip(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy())
+    }
+    jac = dict(zip(zip(pairs["doc_a"], pairs["doc_b"]), pairs["est_jaccard"]))
+    for d in planted:
+        key = (d, d + 1_000_000)
+        if key not in got or jac[key] != 1.0:
+            raise AssertionError(
+                f"planted exact-dup pair {key} missing or est_jaccard != 1.0"
+            )
+    return pairs
 
 
 def _simhash_sig_parquet(sf_dir: str) -> str:
