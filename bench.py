@@ -29,6 +29,21 @@ BENCH_EVENTS = int(os.environ.get("BENCH_EVENTS", "1000000"))
 CACHE_ROOT = os.environ.get("BENCH_CACHE", "/tmp/cdp_ray_bench")
 
 
+def _parse_task_seconds(stats_str: str) -> float:
+    """Sum the per-operator 'Remote wall time: ... total' figures from a Ray
+    Data ds.stats() string — total task-seconds executed across the cluster
+    for that execution."""
+    import re
+
+    mult = {"us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "min": 60.0}
+    total = 0.0
+    for m in re.finditer(
+        r"Remote wall time: [^\n]*?([0-9.]+)(us|ms|s|min|m)\s+total", stats_str
+    ):
+        total += float(m.group(1)) * mult[m.group(2)]
+    return total
+
+
 def bench_cdc(ray) -> dict:
     """Headline: full CDC replay (gen cached WAL -> engine replay)."""
     import tempfile
@@ -74,8 +89,13 @@ def bench_cdc(ray) -> dict:
     # Best-of-N fresh replays (BENCH_REPEATS, default 2): this host's
     # effective capacity swings 2-3x between windows, so a single shot
     # measures the neighbors, not the engine.
+    # stage_stats: capture per-stage breakdowns so aggregate TASK seconds can
+    # be reported alongside wall-clock (the contention-insensitive scaling
+    # view — equal task-seconds at both parallelism levels means the job does
+    # the same work and any wall gap is scheduling/host, not the engine)
     cfg = ApplyConfig(max_segments=None, salt_factor=8, hot_ratio=4.0,
-                      merge_concurrency=max(2, NUM_CPUS // 2))
+                      merge_concurrency=max(2, NUM_CPUS // 2),
+                      stage_stats=True)
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     best = None
     import shutil
@@ -95,6 +115,9 @@ def bench_cdc(ray) -> dict:
     wall, epochs, table_dir = best
     apply_s = sum(e["wall_s"] for e in epochs if not e.get("compaction"))
     compact_s = sum(e["wall_s"] for e in epochs if e.get("compaction"))
+    agg_task_s = sum(
+        _parse_task_seconds(e.get("stage_stats") or "") for e in epochs
+    )
     man = load_manifest(table_dir)
     # the replayed table (≈ GBs) is scratch: repeated bench/scaling runs must
     # not accumulate table dirs until the disk fills (observed)
@@ -110,6 +133,7 @@ def bench_cdc(ray) -> dict:
         "epochs": len(epochs),
         "final_rows": man.total_rows(),
         "gen_s": round(gen_s, 3),
+        "agg_task_s": round(agg_task_s, 1),
     }
 
 
@@ -302,6 +326,16 @@ def run_scaling() -> dict:
         "mb_per_s_lo": lo["extra"].get("mb_per_s"),
         "mb_per_s_hi": hi["extra"].get("mb_per_s"),
         "scaling_efficiency": round(eff, 3),
+        # aggregate task-seconds per leg: equal values mean the 4x-parallel
+        # job does the same total work (wall gap = scheduling/host, not the
+        # engine); the ratio is the work-inflation view of scaling
+        "agg_task_s_lo": lo["extra"].get("agg_task_s"),
+        "agg_task_s_hi": hi["extra"].get("agg_task_s"),
+        "work_inflation_hi_vs_lo": (
+            round(hi["extra"]["agg_task_s"] / lo["extra"]["agg_task_s"], 3)
+            if lo["extra"].get("agg_task_s") and hi["extra"].get("agg_task_s")
+            else None
+        ),
         "events": lo["extra"]["events"],
         "policy": "best-of-2 per leg, fresh process each run",
     }
