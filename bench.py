@@ -341,6 +341,108 @@ def run_scaling() -> dict:
     }
 
 
+def run_soak() -> dict:
+    """Lifecycle soak — the full maintenance surface in one command:
+    bounded delta-mode apply epochs → WAL truncation at the watermark →
+    mid-life repartition P→2P → remaining epochs under the new layout →
+    final compaction → exact DuckDB arg_max oracle over the ORIGINAL WAL.
+    Proves the epochs/truncate/repartition/compact surfaces compose without
+    breaking exactly-once or LWW correctness."""
+    import shutil
+    import tempfile
+
+    import duckdb
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from clickhouse_data_pipeline_ray.pipelines.apply import (
+        ApplyConfig,
+        apply_once,
+        compact_table,
+        create_table,
+        read_snapshot,
+        repartition_table,
+    )
+    from clickhouse_data_pipeline_ray.pipelines.kpi import totals
+    from clickhouse_data_pipeline_ray.sources.gen import GenParams, ensure_wal
+    from clickhouse_data_pipeline_ray.sources.wal import truncate_wal
+    from clickhouse_data_pipeline_ray.state.manifest import load_manifest
+
+    events = int(os.environ.get("BENCH_SOAK_EVENTS", "400000"))
+    params = GenParams(
+        total_events=events,
+        base_events=events // 4,
+        events_per_segment=10_000,
+        seed=42,
+        tok_min=256,
+        tok_max=2048,
+    )
+    cached = ensure_wal(CACHE_ROOT, params, f"soak-{events}", parallel=True)
+    # the soak TRUNCATES its WAL — work on a copy so the cache stays intact
+    wal_dir = tempfile.mkdtemp(prefix="cdp_soak_wal_", dir=CACHE_ROOT)
+    # oracle over the original cached WAL (computed before any truncation)
+    want = duckdb.sql(
+        f"""WITH ev AS (SELECT * FROM read_parquet('{cached}/seg-*.parquet')),
+        r AS (SELECT doc_id, arg_max(n_tok, lsn) AS n_tok,
+                     arg_max(op, lsn) AS op FROM ev GROUP BY doc_id)
+        SELECT count(*), CAST(sum(n_tok) AS BIGINT) FROM r WHERE op != 'd'"""
+    ).fetchone()
+    for name in os.listdir(cached):
+        if name.endswith(".parquet"):
+            shutil.copy(os.path.join(cached, name), wal_dir)
+    table_dir = tempfile.mkdtemp(prefix="cdp_soak_table_", dir=CACHE_ROOT)
+    t0 = time.perf_counter()
+    steps = []
+    try:
+        create_table(table_dir, num_partitions=64)
+        cfg = ApplyConfig(max_segments=10, compact_threshold=4,
+                          merge_concurrency=max(2, NUM_CPUS // 2))
+        n_epochs = 0
+        for _ in range(2):  # two bounded epochs before maintenance
+            if apply_once(table_dir, wal_dir, cfg) is not None:
+                n_epochs += 1
+        purged = truncate_wal(
+            wal_dir, watermark_lsn=load_manifest(table_dir).watermark
+        )
+        steps.append(("truncate", len(purged)))
+        repartition_table(table_dir, 128, cfg)
+        steps.append(("repartition", 128))
+        while apply_once(table_dir, wal_dir, cfg) is not None:
+            n_epochs += 1
+        c = compact_table(table_dir, concurrency=max(2, NUM_CPUS // 2))
+        steps.append(("compact", (c or {}).get("compacted", 0)))
+        wall = time.perf_counter() - t0
+        got = totals(read_snapshot(table_dir))
+        ok = (got["n_docs"], got["sum_tok"]) == (want[0], want[1])
+        if not ok:
+            raise AssertionError(
+                f"soak oracle mismatch: engine {got} vs duckdb {want}"
+            )
+        return {
+            "metric": "cdc_lifecycle_soak",
+            "events": events,
+            "epochs": n_epochs,
+            "steps": steps,
+            "wall_s": round(wall, 3),
+            "rows": got["n_docs"],
+            "oracle_match": ok,
+            "num_cpus": NUM_CPUS,
+        }
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+        shutil.rmtree(wal_dir, ignore_errors=True)
+        ray.shutdown()
+
+
 def run_stats() -> dict:
     """One headline replay with `ApplyConfig(stage_stats=True)`: prints Ray
     Data's per-stage execution breakdown (ds.stats()) for the apply epoch —
@@ -425,5 +527,7 @@ if __name__ == "__main__":
         print(json.dumps(run_latency()))
     elif "--stats" in sys.argv:
         print(json.dumps(run_stats()))
+    elif "--soak" in sys.argv:
+        print(json.dumps(run_soak()))
     else:
         print(json.dumps(run_once()))
