@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "token_counts_documents",
     "quality_score_documents",
     "ann_topk_embeddings",
+    "centroid_assign_embeddings",
+    "embedding_neardup",
     "minhash_dedup_documents",
     "simhash_documents",
     "ngram_jaccard_documents",

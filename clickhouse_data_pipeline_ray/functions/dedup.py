@@ -630,13 +630,15 @@ def minhash_lsh_pairs(
     return _over_cap_stats(counts, max_bucket, "minhash_lsh", pdf)
 
 
-def minhash_dedup(
-    ds: ray.data.Dataset, threshold: float = 0.6, **kwargs
-) -> pd.DataFrame:
-    """Cluster near-duplicates (connected components over verified pairs,
-    union-find on the driver — pair list is bounded) and return
-    (doc_id, cluster) with cluster = smallest member key."""
-    pairs = minhash_lsh_pairs(ds, threshold=threshold, **kwargs)
+def connected_components(ids_a, ids_b) -> dict:
+    """``{member_id: component_rep}`` over an edge list, rep = smallest
+    member id in the component. Union-find (path-halving + min-root union)
+    on the driver — the documented partitioning assumption: verified pair
+    lists are bounded by the LSH candidate budget (≪ corpus size), so
+    components never require a corpus-scale shuffle. The at-scale swap, if a
+    pair list ever outgrew the driver, is alternating min-label propagation
+    (repeat ``groupby(node).min(label)`` over the symmetric edge Dataset
+    until fixpoint) — same result, O(diameter) shuffles."""
     parent: dict = {}
 
     def find(x):
@@ -645,14 +647,25 @@ def minhash_dedup(
             x = parent[x]
         return x
 
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+    for a, b in zip(ids_a, ids_b):
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = sorted((ra, rb))
             parent[hi] = lo
-    members = sorted(parent)
+    return {m: find(m) for m in parent}
+
+
+def minhash_dedup(
+    ds: ray.data.Dataset, threshold: float = 0.6, **kwargs
+) -> pd.DataFrame:
+    """Cluster near-duplicates (connected components over verified pairs,
+    union-find on the driver — pair list is bounded) and return
+    (doc_id, cluster) with cluster = smallest member key."""
+    pairs = minhash_lsh_pairs(ds, threshold=threshold, **kwargs)
+    comp = connected_components(pairs["doc_a"], pairs["doc_b"])
+    members = sorted(comp)
     return pd.DataFrame(
-        {"doc_id": members, "cluster": [find(m) for m in members]}
+        {"doc_id": members, "cluster": [comp[m] for m in members]}
     )
 
 

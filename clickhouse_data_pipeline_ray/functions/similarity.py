@@ -362,3 +362,125 @@ def ivf_topk(
         pruned, queries, query_ids, k=k, key_col=key_col, vec_col=vec_col,
         concurrency=concurrency,
     )
+
+
+def label_centroids(
+    ds: ray.data.Dataset,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-label mean vectors (the Rocchio / nearest-class-centroid model,
+    and exactly one k-means M-step with labels as the assignment).
+
+    Combiner discipline: each batch emits one (label, sum_vec, n) partial per
+    label present — k × dim float64 per batch, never the vectors — and the
+    driver folds the partials (k is the label-space size, driver-small by
+    definition; at 10⁴+ labels the same partials feed a
+    ``groupby(label).sum`` instead, the term_doc_frequency auto-switch
+    shape). Returns (labels_sorted_asc, centroid_matrix)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _to_matrix(batch.column(vec_col))
+        order = np.argsort(labels, kind="stable")
+        sl, se = labels[order], emb[order]
+        starts = np.flatnonzero(np.diff(sl, prepend=sl[0] - 1)) if len(sl) else np.array([], np.int64)
+        sums = np.add.reduceat(se, starts, axis=0) if len(sl) else np.zeros((0, emb.shape[1]))
+        counts = np.diff(np.append(starts, len(sl)))
+        return pa.table(
+            {
+                "label": pa.array(sl[starts], pa.int64()),
+                "psum": pa.array(list(sums), pa.list_(pa.float64())),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    acc: dict = {}
+    for lbl, psum, n in zip(parts["label"], parts["psum"], parts["n"]):
+        s, c = acc.get(lbl, (0.0, 0))
+        acc[lbl] = (s + np.asarray(psum, dtype=np.float64), c + int(n))
+    labels = np.array(sorted(acc), dtype=np.int64)
+    cents = np.stack([acc[l][0] / acc[l][1] for l in labels])
+    return labels, cents
+
+
+class CentroidAssign:
+    """Actor-pool stage: nearest centroid by squared euclidean distance,
+    ties broken by lowest centroid label (centroid rows are sorted by label
+    asc, np.argmin takes the first minimum). The centroid matrix ships once
+    per actor via ``fn_constructor_kwargs`` — never per batch."""
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        centroid_labels: np.ndarray,
+        vec_col: str = "embedding",
+    ):
+        order = np.argsort(np.asarray(centroid_labels))
+        self.cents = np.asarray(centroids, dtype=np.float64)[order]
+        self.labels = np.asarray(centroid_labels, dtype=np.int64)[order]
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _to_matrix(batch.column(self.vec_col))
+        d2 = ((emb[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
+        assigned = self.labels[np.argmin(d2, axis=1)]
+        return batch.append_column(
+            "assigned_label", pa.array(assigned, pa.int64())
+        )
+
+
+def nearest_centroid_confusion(
+    ds: ray.data.Dataset,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    concurrency: int | tuple = 2,
+) -> pa.Table:
+    """Two-phase broadcast-model pipeline: (1) per-label centroids from
+    streamed partials, (2) assign every vector to its nearest centroid
+    (actor pool, model in ``__init__``), (3) per-(true, assigned) confusion
+    counts via per-batch bincount partials — ≤ k² integer rows per batch
+    reach the driver, never the vectors. This is the Rocchio-classifier /
+    k-means-E-step shape a curation pipeline uses for cluster-balanced
+    sampling and SemDeDup-style pruning."""
+    labels, cents = label_centroids(ds, label_col=label_col, vec_col=vec_col)
+    k = len(labels)
+    assigned = ds.map_batches(
+        CentroidAssign,
+        fn_constructor_kwargs={
+            "centroids": cents,
+            "centroid_labels": labels,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    def confusion_partial(batch: pa.Table) -> pa.Table:
+        true = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        asg = batch.column("assigned_label").to_numpy(zero_copy_only=False)
+        # labels is sorted asc, so searchsorted is the exact index map
+        ti = np.searchsorted(labels, true)
+        ai = np.searchsorted(labels, asg)
+        flat = np.bincount(ti * k + ai, minlength=k * k)
+        nz = np.flatnonzero(flat)
+        return pa.table(
+            {
+                "label": pa.array(labels[nz // k], pa.int64()),
+                "assigned_label": pa.array(labels[nz % k], pa.int64()),
+                "n_vecs": pa.array(flat[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = assigned.map_batches(
+        confusion_partial, batch_format="pyarrow"
+    ).to_pandas()
+    out = (
+        parts.groupby(["label", "assigned_label"], as_index=False)["n_vecs"]
+        .sum()
+        .sort_values(["label", "assigned_label"])
+        .reset_index(drop=True)
+    )
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

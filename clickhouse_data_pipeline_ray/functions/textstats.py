@@ -67,6 +67,68 @@ class QualityScore:
         return batch
 
 
+class CorpusFreqScore:
+    """Two-phase corpus-statistics scorer — the CCNet / perplexity-filter
+    SHAPE (build a model over the whole corpus, broadcast it, score every
+    doc against it) with an INTEGER-exact contract so the SQL oracle
+    compares byte-for-byte:
+
+    - phase 1 (caller): a `{term: corpus occurrence count}` model, capped to
+      the top ``max_vocab`` terms by (count desc, term asc) — a bounded
+      broadcast however big the corpus (out-of-vocab terms score 0, exactly
+      the OOV convention of a real LM filter).
+    - phase 2 (this stage): the model ships ONCE per actor via
+      ``fn_constructor_kwargs`` (sorted term array + counts for binary
+      search); each doc gets ``q_sum_wfreq`` = Σ model[term] over its token
+      occurrences and ``q_mean_wfreq_milli`` = floor(1000·sum/n_tokens) —
+      rare-word-heavy (OOV-ish) docs score LOW, the filterable signal.
+
+    Tokenizer is the same single-space split as term_doc_frequency, so the
+    SQL twin is `unnest(string_split(...)) LEFT JOIN vocab` + integer
+    division. All per-batch work is vectorized: one split/flatten, one
+    searchsorted against the sorted vocab, one reduceat per doc."""
+
+    def __init__(self, terms: list, counts: list, text_col: str = "text"):
+        self.terms = np.array(terms, dtype=object)
+        order = np.argsort(self.terms)
+        self.terms = self.terms[order]
+        self.counts = np.asarray(counts, dtype=np.int64)[order]
+        self.text_col = text_col
+
+    @staticmethod
+    def build_model(
+        terms: list, counts: list, max_vocab: int = 65536
+    ) -> tuple[list, list]:
+        """Top-``max_vocab`` by (count desc, term asc) — the deterministic
+        cap both engines apply (the SQL twin is ORDER BY c DESC, term LIMIT)."""
+        top = sorted(zip(terms, counts), key=lambda kv: (-kv[1], kv[0]))[:max_vocab]
+        return [t for t, _ in top], [c for _, c in top]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(
+            batch.column(self.text_col), pattern=" "
+        ).combine_chunks()
+        n = pc.list_value_length(lists).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        words = pc.list_flatten(lists).to_numpy(zero_copy_only=False).astype(object)
+        sums = np.zeros(len(n), dtype=np.int64)
+        if len(words) and len(self.terms):
+            idx = np.searchsorted(self.terms, words)
+            idx_c = np.minimum(idx, len(self.terms) - 1)
+            freqs = np.where(self.terms[idx_c] == words, self.counts[idx_c], 0)
+            starts = np.concatenate(([0], np.cumsum(n)))[:-1]
+            nz = n > 0
+            if nz.any():
+                sums[nz] = np.add.reduceat(freqs, starts[nz])[: int(nz.sum())]
+        mean_milli = np.where(n > 0, (1000 * sums) // np.maximum(n, 1), 0)
+        batch = batch.append_column("q_sum_wfreq", pa.array(sums, pa.int64()))
+        batch = batch.append_column(
+            "q_mean_wfreq_milli", pa.array(mean_milli, pa.int64())
+        )
+        return batch
+
+
 class Redact:
     """PII / blocklist scrubbing (the safety pass every training-data
     pipeline runs before tokenization): sequentially apply RE2 patterns,

@@ -749,31 +749,22 @@ def q_kpi_daily_events(sf_dir: str) -> pa.Table:
     )
 
 
-def q_kpi_type_daily(sf_dir: str) -> pa.Table:
-    """A3 shape: composite-key groupby (event_date, event_type)."""
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
-
-    def prep(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_date": _date_str(b.column("ts")),
-                "event_type": b.column("event_type"),
-                "value_milli": _fixed_point(b.column("value"), 1000.0),
-            }
-        )
-
-    pdf = _partial_groupby(
-        ds,
-        lambda b: prep(b).rename_columns(
-            ["event_date", "event_type", "sum_value_milli"]
-        ),
-        keys=["event_date", "event_type"],
-        sums=["sum_value_milli"],
-        count_col="n_events",
-    )
-    return pa.Table.from_pandas(
-        pdf[["event_date", "event_type", "n_events", "sum_value_milli"]],
-        preserve_index=False,
+def q_centroid_assign_embeddings(sf_dir: str) -> pa.Table:
+    """Nearest-class-centroid assignment (Rocchio / one k-means E+M step)
+    over the embeddings table — the cluster-balanced-sampling / SemDeDup
+    building block. Phase 1 computes per-label centroid means from streamed
+    (label, sum_vec, n) partials; phase 2 broadcasts the k×dim model once
+    per actor and assigns each vector to its squared-euclidean-nearest
+    centroid; the result is the integer confusion matrix (true label ×
+    assigned label), so the comparison with the SQL oracle is exact — float
+    drift between numpy and DuckDB centroid sums is orders of magnitude
+    below the cluster separation, and only argmin DECISIONS are compared.
+    (The A3 composite-key groupby shape this slot previously held is
+    subsumed by kpi_rollup_daily's finest level — identical keys, sums and
+    column names.)"""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return F_sim.nearest_centroid_confusion(
+        ds, label_col="label", vec_col="embedding"
     )
 
 
@@ -1397,13 +1388,41 @@ def q_token_counts_documents(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_quality_score_documents(sf_dir: str) -> ray.data.Dataset:
-    """Quality scoring (stopword/alpha ratios) — actor-pool stage."""
+    """Quality scoring: per-doc heuristics (stopword/alpha ratios) PLUS the
+    two-phase corpus-statistics score (functions/textstats.CorpusFreqScore —
+    the CCNet/perplexity-filter shape): phase 1 reuses the term-frequency
+    pipeline to build a top-65536 {term: corpus count} model, phase 2
+    broadcasts it once per actor and scores each doc by mean corpus
+    frequency of its tokens in fixed-point integers — rare-word (OOV-ish)
+    docs score low. Both stages are one streamed pipeline; the SQL twin
+    mirrors the vocab cap with ORDER BY c DESC, term LIMIT."""
+    tdf = q_term_doc_frequency(sf_dir)
+    terms, counts = F_text.CorpusFreqScore.build_model(
+        tdf.column("term").to_pylist(),
+        tdf.column("n_occurrences").to_pylist(),
+    )
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # fractional num_cpus: two actor-pool stages at 2 actors each must not
+    # reserve every core on a small session, or the upstream read starves
     scored = ds.map_batches(
-        F_text.QualityScore, batch_format="pyarrow", concurrency=2
+        F_text.QualityScore, batch_format="pyarrow", concurrency=2,
+        num_cpus=0.5,
+    ).map_batches(
+        F_text.CorpusFreqScore,
+        fn_constructor_kwargs={"terms": terms, "counts": counts},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=0.5,
     )
     return scored.select_columns(
-        ["doc_id", "q_n_words", "q_stop_ratio", "q_alpha_ratio"]
+        [
+            "doc_id",
+            "q_n_words",
+            "q_stop_ratio",
+            "q_alpha_ratio",
+            "q_sum_wfreq",
+            "q_mean_wfreq_milli",
+        ]
     )
 
 
@@ -2036,16 +2055,21 @@ def _ngram_n_blocks(n_docs: int) -> int:
 
 
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
-    """Embedding near-dup with PLANTED exact duplicates so the result is
-    exactly SQL-checkable: every vec_id % 25 == 0 vector gets a copy at
-    vec_id + 1_000_000 (the same deterministic rule the DuckDB oracle
-    replays). Identical vectors share their hyperplane-LSH signature, so the
-    planted pairs are found by construction (θ=0 ⇒ same bucket, exact cosine
-    verify = 1.0 ≥ 0.8); the synthetic embeddings' max NATURAL cosine is
-    ~0.51 at sf ≤ 0.01, so the brute-force oracle's pair set is exactly the
-    planted set and the comparison is exact, not recall-bounded. The
-    near-but-not-identical regime stays pinned by the analytic recall bound
-    in tests/test_dedup.py."""
+    """Embedding near-dup PAIRS + CLUSTERS with PLANTED exact duplicates so
+    the result is exactly SQL-checkable: every vec_id % 25 == 0 vector gets
+    TWO copies, at vec_id + 1_000_000 and vec_id + 2_000_000 (the same
+    deterministic rule the DuckDB oracle replays), forming 3-cliques so the
+    connected-components stage genuinely merges transitive pairs. Identical
+    vectors share their hyperplane-LSH signature, so the planted pairs are
+    found by construction (θ=0 ⇒ same bucket, exact cosine verify = 1.0 ≥
+    0.8); the synthetic embeddings' max NATURAL cosine is ~0.51 at
+    sf ≤ 0.01, so the brute-force oracle's pair set is exactly the planted
+    set and the comparison is exact, not recall-bounded. Each pair row also
+    carries its component's rep (min vec_id) and size from
+    functions/dedup.connected_components — the oracle recomputes both with a
+    recursive-CTE min-label reachability over its own brute-force pair set.
+    The near-but-not-identical regime stays pinned by the analytic recall
+    bound in tests/test_dedup.py."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def plant(batch: pa.Table) -> pa.Table:
@@ -2055,10 +2079,11 @@ def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
             _pc.equal(_pc.subtract(batch.column("vec_id"),
                                    _pc.multiply(_pc.divide(batch.column("vec_id"), 25), 25)), 0)
         )
-        dup = dup.set_column(
-            0, "vec_id", _pc.add(dup.column("vec_id"), 1_000_000)
-        )
-        return pa.concat_tables([batch, dup])
+        copies = [
+            dup.set_column(0, "vec_id", _pc.add(dup.column("vec_id"), off))
+            for off in (1_000_000, 2_000_000)
+        ]
+        return pa.concat_tables([batch, *copies])
 
     aug = ds.map_batches(plant, batch_format="pyarrow")
     # vector dim from one tiny parquet batch — no extra Dataset execution
@@ -2070,7 +2095,15 @@ def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
         )
     )
     dim = len(first.column("embedding")[0])
-    return F_dedup.embedding_neardup_pairs(aug, dim=dim, threshold=0.8)
+    pairs = F_dedup.embedding_neardup_pairs(aug, dim=dim, threshold=0.8)
+    comp = F_dedup.connected_components(pairs["id_a"], pairs["id_b"])
+    sizes: dict = {}
+    for rep in comp.values():
+        sizes[rep] = sizes.get(rep, 0) + 1
+    reps = pairs["id_a"].map(comp)
+    pairs["cluster_rep"] = reps.astype("int64")
+    pairs["cluster_size"] = reps.map(sizes).astype("int64")
+    return pairs
 
 
 def q_lang_id_documents(sf_dir: str) -> ray.data.Dataset:
@@ -2226,7 +2259,7 @@ QUERIES = {
     "lww_latest_event_per_user": q_lww_latest_event_per_user,
     "kpi_source_stats": q_kpi_source_stats,
     "kpi_daily_events": q_kpi_daily_events,
-    "kpi_type_daily": q_kpi_type_daily,
+    "centroid_assign_embeddings": q_centroid_assign_embeddings,
     "kpi_rollup_daily": q_kpi_rollup_daily,
     "ctr_daily": q_ctr_daily,
     "orders_by_nation": q_orders_by_nation,
@@ -2476,22 +2509,48 @@ def build_oracle_sql(sf_dir: str) -> dict[str, str]:
 ORACLE_SQL = {
     # Brute-force all-pairs cosine over the same planted-duplicate
     # augmentation q_embedding_neardup applies (vec_id % 25 == 0 copied to
-    # vec_id + 1_000_000). Exact because planted pairs have cosine exactly
-    # 1.0 (identical vectors ⇒ identical LSH signature ⇒ guaranteed found)
-    # and the max natural cosine in this synthetic data is ~0.51 — far below
-    # the 0.8 threshold, so no boundary-float or recall ambiguity exists.
+    # vec_id + 1_000_000 AND + 2_000_000 — 3-cliques). Exact because planted
+    # pairs have cosine exactly 1.0 (identical vectors ⇒ identical LSH
+    # signature ⇒ guaranteed found) and the max natural cosine in this
+    # synthetic data is ~0.51 — far below the 0.8 threshold, so no
+    # boundary-float or recall ambiguity exists. Cluster rep + size are
+    # recomputed independently via recursive-CTE min-label reachability over
+    # the oracle's own pair set (symmetric edges ⇒ min reachable id = the
+    # component rep that union-find produces).
     "embedding_neardup": """
-        WITH aug AS (
+        WITH RECURSIVE aug AS (
           SELECT vec_id, embedding FROM embeddings
           UNION ALL
           SELECT vec_id + 1000000 AS vec_id, embedding
           FROM embeddings WHERE vec_id % 25 = 0
-        )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(CAST(list_cosine_similarity(a.embedding, b.embedding)
-                          AS DOUBLE), 6) AS cosine
-        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+          UNION ALL
+          SELECT vec_id + 2000000 AS vec_id, embedding
+          FROM embeddings WHERE vec_id % 25 = 0
+        ),
+        prs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                            AS DOUBLE), 6) AS cosine
+          FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+        ),
+        sym AS (
+          SELECT id_a AS u, id_b AS v FROM prs
+          UNION SELECT id_b, id_a FROM prs
+        ),
+        cc(node, lbl) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+          UNION
+          SELECT s.v, cc.lbl FROM cc JOIN sym s ON s.u = cc.node
+        ),
+        comp AS (SELECT node, min(lbl) AS rep FROM cc GROUP BY node),
+        csize AS (SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size
+                  FROM comp GROUP BY rep)
+        SELECT p.id_a, p.id_b, p.cosine,
+               c.rep AS cluster_rep, s.cluster_size
+        FROM prs p
+        JOIN comp c ON c.node = p.id_a
+        JOIN csize s ON s.rep = c.rep
     """,
     "lang_id_documents": _LANG_SQL,
     "decontaminate_documents": """
@@ -2533,11 +2592,37 @@ ORACLE_SQL = {
                CAST(sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli
         FROM events GROUP BY 1
     """,
-    "kpi_type_daily": """
-        SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
-               count(*) AS n_events,
-               CAST(sum(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli
-        FROM events GROUP BY 1, 2
+    # Nearest-class-centroid confusion matrix: per-label per-dim centroid
+    # means via DuckDB's zip-parallel unnest, squared-euclidean distance to
+    # every centroid, argmin with the same (distance asc, label asc)
+    # tie-break the numpy side uses. Integer counts compare exactly — float
+    # drift between engines is ~1e-12 vs O(0.1) cluster separation.
+    "centroid_assign_embeddings": """
+        WITH e AS (
+          SELECT label, vec_id,
+                 CAST(unnest(embedding) AS DOUBLE) AS v,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label AS clabel, i, avg(v) AS c FROM e GROUP BY label, i
+        ),
+        dist AS (
+          SELECT e.vec_id, e.label, cent.clabel,
+                 sum((e.v - cent.c) * (e.v - cent.c)) AS d2
+          FROM e JOIN cent ON e.i = cent.i
+          GROUP BY e.vec_id, e.label, cent.clabel
+        ),
+        asg AS (
+          SELECT vec_id, label, clabel,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2 ASC, clabel ASC) AS rk
+          FROM dist
+        )
+        SELECT label, clabel AS assigned_label,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM asg WHERE rk = 1
+        GROUP BY label, clabel
     """,
     "kpi_rollup_daily": """
         SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
@@ -2737,14 +2822,33 @@ ORACLE_SQL = {
         FROM documents
     """,
     "quality_score_documents": f"""
-        SELECT doc_id,
-               len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS q_n_words,
-               round(CAST(({_STOP_SQL}) AS DOUBLE)
-                     / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1),
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        counts AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term
+        ),
+        vocab AS (
+          SELECT term, c FROM counts ORDER BY c DESC, term ASC LIMIT 65536
+        ),
+        perdoc AS (
+          SELECT tok.doc_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(coalesce(sum(v.c), 0) AS BIGINT) AS s
+          FROM tok LEFT JOIN vocab v USING (term)
+          GROUP BY tok.doc_id
+        )
+        SELECT d.doc_id,
+               len(regexp_extract_all(d.text, '[A-Za-z0-9]+')) AS q_n_words,
+               round(CAST(({_STOP_SQL.replace("text", "d.text")}) AS DOUBLE)
+                     / greatest(len(regexp_extract_all(d.text, '[A-Za-z0-9]+')), 1),
                      6) AS q_stop_ratio,
-               round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
-                     / greatest(LENGTH(text), 1), 6) AS q_alpha_ratio
-        FROM documents
+               round(CAST(len(regexp_extract_all(d.text, '[A-Za-z]')) AS DOUBLE)
+                     / greatest(LENGTH(d.text), 1), 6) AS q_alpha_ratio,
+               p.s AS q_sum_wfreq,
+               CAST((1000 * p.s) // greatest(p.n, 1) AS BIGINT)
+                   AS q_mean_wfreq_milli
+        FROM documents d JOIN perdoc p ON d.doc_id = p.doc_id
     """,
     "redact_documents": f"""
         SELECT doc_id, source,

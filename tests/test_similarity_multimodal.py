@@ -339,3 +339,49 @@ def test_table_latency_path_equals_dataset_path(ray_session, tmp_path):
     x_small = ivf_index_topk(idx, q, qids, k=4, nprobe=3)  # driver path
     x_dist = ivf_index_topk(idx, q, qids, k=4, nprobe=3, small_bytes=0)
     assert x_small.equals(x_dist)
+
+
+def test_connected_components_union_find():
+    from clickhouse_data_pipeline_ray.functions.dedup import connected_components
+
+    # chain 1-2-3, clique 10-11-12, isolated pair 20-21
+    comp = connected_components(
+        [2, 1, 10, 10, 11, 20], [3, 2, 11, 12, 12, 21]
+    )
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert connected_components([], []) == {}
+    # merge order independence: late edge joining two grown components
+    comp2 = connected_components([1, 3, 2], [2, 4, 3])
+    assert set(comp2.values()) == {1}
+
+
+def test_label_centroids_and_assign(ray_session):
+    from clickhouse_data_pipeline_ray.functions.similarity import (
+        CentroidAssign,
+        label_centroids,
+        nearest_centroid_confusion,
+    )
+    import pyarrow as pa
+
+    # two labels with exact means: label 0 around (0,0), label 1 around (4,4)
+    rows = [
+        {"label": 0, "embedding": [1.0, -1.0]},
+        {"label": 0, "embedding": [-1.0, 1.0]},
+        {"label": 1, "embedding": [3.0, 5.0]},
+        {"label": 1, "embedding": [5.0, 3.0]},
+    ]
+    ds = ray.data.from_items(rows)
+    labels, cents = label_centroids(ds)
+    assert labels.tolist() == [0, 1]
+    np.testing.assert_allclose(cents, [[0.0, 0.0], [4.0, 4.0]])
+
+    # tie-break: a point exactly equidistant from both centroids picks the
+    # LOWEST label (row order of centroids is label-ascending)
+    stage = CentroidAssign(centroids=cents, centroid_labels=labels)
+    batch = pa.table({"label": [0, 1, 1], "embedding": [[0.1, 0.0], [3.9, 4.0], [2.0, 2.0]]})
+    out = stage(batch)
+    assert out.column("assigned_label").to_pylist() == [0, 1, 0]
+
+    conf = nearest_centroid_confusion(ds).to_pandas()
+    # well-separated clusters -> diagonal confusion
+    assert conf.values.tolist() == [[0, 0, 2], [1, 1, 2]]

@@ -109,3 +109,40 @@ def test_decontaminate_prefilter_identical_to_naive():
     assert out_clean.num_rows == 0
     assert out_clean.schema.field("n_hits").type == pa.int64()
     assert out_clean.schema.field("doc_id").type == batch.schema.field("doc_id").type
+
+
+def test_corpus_freq_score_hand_computed():
+    """CorpusFreqScore: integer-exact mean corpus frequency per doc, with
+    out-of-vocab terms scoring 0 and the top-K cap breaking ties by
+    (count desc, term asc)."""
+    from clickhouse_data_pipeline_ray.functions.textstats import CorpusFreqScore
+
+    # corpus counts: the=3, cat=2, sat=1, dog=1
+    terms, counts = CorpusFreqScore.build_model(
+        ["the", "cat", "sat", "dog"], [3, 2, 1, 1]
+    )
+    s = CorpusFreqScore(terms, counts)
+    out = s(_tbl(["the cat sat", "dog the", "unknown words only", ""]))
+    # doc0: 3+2+1=6 over 3 tokens -> mean 2000
+    # doc1: 1+3=4 over 2 -> 2000
+    # doc2: all OOV -> 0 over 3 -> 0
+    # doc3: '' splits to [''] -> 1 OOV token -> 0
+    assert out.column("q_sum_wfreq").to_pylist() == [6, 4, 0, 0]
+    assert out.column("q_mean_wfreq_milli").to_pylist() == [2000, 2000, 0, 0]
+
+    # cap = 2 keeps (the,3) and (cat,2); tie at count 1 irrelevant here,
+    # but a tie at the cap boundary must break by term asc
+    t2, c2 = CorpusFreqScore.build_model(["b", "a", "c"], [5, 1, 1], max_vocab=2)
+    assert t2 == ["b", "a"] and c2 == [5, 1]  # 'a' < 'c' at the tied count
+    s2 = CorpusFreqScore(t2, c2)
+    out2 = s2(_tbl(["b a c"]))
+    # c is out of vocab: 5+1+0 = 6 over 3 -> 2000
+    assert out2.column("q_sum_wfreq").to_pylist() == [6]
+    assert out2.column("q_mean_wfreq_milli").to_pylist() == [2000]
+
+    # floor semantics: sum 5 over 2 tokens -> 2500; sum 1 over 3 -> 333
+    s3 = CorpusFreqScore(["x"], [1])
+    out3 = s3(_tbl(["x x x"]))
+    assert out3.column("q_mean_wfreq_milli").to_pylist() == [1000]
+    out4 = s3(_tbl(["x y z"]))
+    assert out4.column("q_mean_wfreq_milli").to_pylist() == [333]
