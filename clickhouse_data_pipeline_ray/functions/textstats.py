@@ -16,11 +16,30 @@ from pandas.util import hash_array
 
 WORD_RE = r"[A-Za-z0-9]+"
 
+# GPT-2-style pretokenizer, RE2-compatible (no lookahead): contraction
+# suffixes | space?-letters | space?-digits | space?-punct-run | whitespace.
+BPE_RE = r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace/word token counting (regex-based, zero-copy Arrow)."""
-    n_words = pc.count_substring_regex(batch.column(text_col), pattern=WORD_RE)
-    return batch.append_column("n_words", n_words.cast(pa.int64()))
+    """Token counting, two tokenizations per doc (regex-based, zero-copy
+    Arrow, RE2 on both the engine and the SQL-oracle side):
+
+    - ``n_words``: simple word tokens (``WORD_RE``) — the whitespace-ish
+      count every length filter uses.
+    - ``n_bpe_tokens``: a GPT-2-style pretokenizer count (``BPE_RE``:
+      contraction suffixes, space-prefixed letter runs, digit runs,
+      punctuation runs, whitespace runs) — the pre-merge token count a BPE
+      tokenizer would start from, i.e. the budget estimate a training-data
+      pipeline sizes batches with. RE2 has no lookahead, so the trailing
+      ``\\s+(?!\\S)`` of the original GPT-2 pattern is folded into ``\\s+``;
+      match COUNTS are unchanged (every whitespace run is one match either
+      way)."""
+    text = batch.column(text_col)
+    n_words = pc.count_substring_regex(text, pattern=WORD_RE)
+    n_bpe = pc.count_substring_regex(text, pattern=BPE_RE)
+    batch = batch.append_column("n_words", n_words.cast(pa.int64()))
+    return batch.append_column("n_bpe_tokens", n_bpe.cast(pa.int64()))
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

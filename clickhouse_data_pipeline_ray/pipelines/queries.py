@@ -1379,7 +1379,9 @@ def q_dedup_exact_documents(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_token_counts_documents(sf_dir: str) -> ray.data.Dataset:
-    """Token counting (regex word tokens; RE2 on both sides)."""
+    """Token counting, two tokenizations (RE2 on both sides): simple word
+    tokens plus the GPT-2-style pretokenizer count (the pre-merge BPE token
+    budget) — see functions/textstats.token_count_batch."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         lambda b: F_text.token_count_batch(b).drop_columns(["text"]),
@@ -2817,8 +2819,15 @@ ORACLE_SQL = {
         FROM c ASOF LEFT JOIN v
           ON c.user_id = v.user_id AND c.ts >= v.ts
     """,
+    # Both counts are RE2 patterns evaluated by RE2 on both sides (Arrow
+    # count_substring_regex / DuckDB regexp_extract_all), so integer parity
+    # is exact. The second is the GPT-2-style pretokenizer (functions/
+    # textstats.BPE_RE) — see token_count_batch for the lookahead note.
     "token_counts_documents": """
-        SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words
+        SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+               len(regexp_extract_all(text,
+                   '''(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+                   AS n_bpe_tokens
         FROM documents
     """,
     "quality_score_documents": f"""

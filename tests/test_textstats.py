@@ -146,3 +146,23 @@ def test_corpus_freq_score_hand_computed():
     assert out3.column("q_mean_wfreq_milli").to_pylist() == [1000]
     out4 = s3(_tbl(["x y z"]))
     assert out4.column("q_mean_wfreq_milli").to_pylist() == [333]
+
+
+def test_token_count_batch_bpe_hand_computed():
+    """n_bpe_tokens follows the GPT-2-style pretokenization: contraction
+    suffix, space-prefixed letter/digit runs, punct runs, whitespace runs."""
+    from clickhouse_data_pipeline_ray.functions.textstats import (
+        token_count_batch,
+    )
+
+    out = token_count_batch(
+        _tbl(["it's  a test-case, 42 émojis naïve", "", "   ", "don't"])
+    )
+    # hand-tokenized:
+    # "it's  a test-case, 42 émojis naïve" ->
+    #   [it]['s][ ][ a][ test][-][case][,][ 42][ émojis][ naïve] = 11
+    # "" -> 0; "   " -> one whitespace run = 1; "don't" -> [don]['t] = 2
+    assert out.column("n_bpe_tokens").to_pylist() == [11, 0, 1, 2]
+    # ASCII-only word runs: é/ï split "émojis"/"naïve" -> it,s,a,test,case,
+    # 42,mojis,na,ve = 9
+    assert out.column("n_words").to_pylist() == [9, 0, 0, 2]
