@@ -96,7 +96,10 @@ def bench_cdc(ray) -> dict:
     cfg = ApplyConfig(max_segments=None, salt_factor=8, hot_ratio=4.0,
                       merge_concurrency=max(2, NUM_CPUS // 2),
                       stage_stats=True)
-    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
+    # default 3: the first replay pays one-time worker warmup, and host
+    # capacity arrives in waves — two warm draws sample windows much better
+    # than one at ~30 s extra cost.
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
     best = None
     import shutil
 
@@ -339,7 +342,10 @@ def run_scaling() -> dict:
             else None
         ),
         "events": lo["extra"]["events"],
-        "policy": "best-of-2 per leg, fresh process each run",
+        "policy": (
+            "best-of-2 fresh processes per leg x best-of-"
+            f"{os.environ.get('BENCH_REPEATS', '3')} replays in-process"
+        ),
     }
 
 
