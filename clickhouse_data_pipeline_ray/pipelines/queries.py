@@ -2155,44 +2155,67 @@ def q_decontaminate_documents(sf_dir: str) -> ray.data.Dataset:
 # --------------------------------------------------------------------------
 
 
-def _media_dataset_real(sf_dir: str, kind: str) -> ray.data.Dataset:
-    """Documents table recast as a real binary media table: each doc gets an
-    actually-encoded payload (fixture synthesis — per-row encode is fine
-    here; the DECODE stage under test is the per-payload actor-pool stage)."""
+def _encode_media_chunk(ids: np.ndarray, kind: str) -> list[bytes]:
+    """Planted payloads for one chunk of doc_ids (the formulas above)."""
     from ..functions.multimodal import encode_bmp, encode_wav, encode_y4m
 
-    docs = _read(sf_dir, "documents", ["doc_id"])
+    payloads = []
+    for d in ids:
+        if kind == "image":
+            h, w = 8 + int(d) % 16, 8 + int(d) % 32
+            payloads.append(encode_bmp(np.full((h, w, 3), int(d) % 256, np.uint8)))
+        elif kind == "audio":
+            n = 16 * (50 + int(d) % 50)
+            payloads.append(encode_wav(np.full(n, int(d) % 1000, np.int16), 16_000))
+        else:
+            nf = 1 + int(d) % 4
+            planes = np.stack(
+                [np.full((8, 16), (int(d) * 7 + i * 13) % 256, np.uint8)
+                 for i in range(nf)]
+            )
+            payloads.append(encode_y4m(planes))
+    return payloads
+
+
+def _media_dataset_real(sf_dir: str, kind: str) -> ray.data.Dataset:
+    """Documents table recast as a real binary media table: each doc gets an
+    actually-encoded payload. Fixture synthesis (per-row encode) is cached to
+    a parquet file per (kind, sf) — tmp+rename idempotent, the simhash-
+    fixture convention — so the timed query measures the DECODE actor-pool
+    stage under test, not repeated fixture generation; deterministic
+    payloads make the cache sound across runs."""
+    import pyarrow.parquet as pq
+
     mime = {"image": "image/bmp", "audio": "audio/wav", "video": "video/y4m"}[kind]
-
-    def to_media(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        payloads = []
-        for d in ids:
-            if kind == "image":
-                h, w = 8 + int(d) % 16, 8 + int(d) % 32
-                arr = np.full((h, w, 3), int(d) % 256, np.uint8)
-                payloads.append(encode_bmp(arr))
-            elif kind == "audio":
-                n = 16 * (50 + int(d) % 50)
-                payloads.append(
-                    encode_wav(np.full(n, int(d) % 1000, np.int16), 16_000)
-                )
-            else:
-                nf = 1 + int(d) % 4
-                planes = np.stack(
-                    [np.full((8, 16), (int(d) * 7 + i * 13) % 256, np.uint8)
-                     for i in range(nf)]
-                )
-                payloads.append(encode_y4m(planes))
-        return pa.table(
-            {
-                "media_id": pa.array(ids, pa.int64()),
-                "mime": pa.nulls(len(ids), pa.string()).fill_null(mime),
-                "payload": pa.array(payloads, pa.binary()),
-            }
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sfX"
+    out_dir = os.path.join(tempfile.gettempdir(), "cdp_ray_media")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{kind}-{tag}.parquet")
+    if not os.path.exists(path):
+        src = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
         )
-
-    return docs.map_batches(to_media, batch_format="pyarrow")
+        ids_all = src.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        chunks = []
+        for i in range(0, len(ids_all), 4096):
+            ids = ids_all[i : i + 4096]
+            chunks.append(
+                pa.table(
+                    {
+                        "media_id": pa.array(ids, pa.int64()),
+                        "mime": pa.nulls(len(ids), pa.string()).fill_null(mime),
+                        "payload": pa.array(
+                            _encode_media_chunk(ids, kind), pa.binary()
+                        ),
+                    }
+                )
+            )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.concat_tables(chunks), tmp)
+        os.replace(tmp, path)
+    # a couple of blocks per modality is plenty: payload bytes dominate and
+    # the decode stage re-batches at batch_size=128 anyway
+    return ray.data.read_parquet(path, override_num_blocks=4)
 
 
 def q_multimodal_decode(sf_dir: str) -> ray.data.Dataset:
