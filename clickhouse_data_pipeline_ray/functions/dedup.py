@@ -633,12 +633,11 @@ def minhash_lsh_pairs(
 def connected_components(ids_a, ids_b) -> dict:
     """``{member_id: component_rep}`` over an edge list, rep = smallest
     member id in the component. Union-find (path-halving + min-root union)
-    on the driver — the documented partitioning assumption: verified pair
-    lists are bounded by the LSH candidate budget (≪ corpus size), so
-    components never require a corpus-scale shuffle. The at-scale swap, if a
-    pair list ever outgrew the driver, is alternating min-label propagation
-    (repeat ``groupby(node).min(label)`` over the symmetric edge Dataset
-    until fixpoint) — same result, O(diameter) shuffles."""
+    on the driver — the usual case: verified pair lists are bounded by the
+    LSH candidate budget (≪ corpus size). The at-scale swap is implemented
+    (:func:`connected_components_distributed`, alternating
+    large-star/small-star rounds) and :func:`connected_components_auto`
+    switches between the two by measured pair count."""
     parent: dict = {}
 
     def find(x):
@@ -655,14 +654,194 @@ def connected_components(ids_a, ids_b) -> dict:
     return {m: find(m) for m in parent}
 
 
+# Pair budget for the driver union-find; above it connected_components_auto
+# runs the distributed star rounds instead (same measured-switch convention
+# as DRIVER_VALUE_LIMIT).
+CC_DRIVER_PAIR_LIMIT = 2_000_000
+
+
+def _star_emit(tbl: pa.Table, large: bool) -> pa.Table:
+    """One Large-Star or Small-Star operation over one bucket's symmetric
+    adjacency rows (columns u, v, bucket) — fully vectorized: one lexsort,
+    per-node neighbor minima via ``minimum.reduceat``, masked emissions.
+
+    Kiveris et al., "Connected Components in MapReduce and Beyond" (SoCC'14):
+    with m = min over a node's neighborhood ∪ itself, Large-Star points every
+    strictly-larger neighbor at m; Small-Star points the ≤-neighbors and the
+    node itself at the minimum of that closed ≤-neighborhood. Alternating
+    rounds converge to per-component stars rooted at the component minimum.
+    """
+    u = tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(u) == 0:
+        return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    starts = np.flatnonzero(np.diff(u, prepend=u[0] - 1))
+    seg_of = np.cumsum(np.diff(u, prepend=u[0] - 1) != 0) - 1
+    u_seg = u[starts]
+    if large:
+        m = np.minimum(np.minimum.reduceat(v, starts), u_seg)
+        mask = v > u
+        out_u, out_v = v[mask], m[seg_of[mask]]
+    else:
+        big = np.iinfo(np.int64).max
+        v_le = np.where(v <= u, v, big)
+        m = np.minimum(np.minimum.reduceat(v_le, starts), u_seg)
+        mask = v <= u
+        out_u = np.concatenate([v[mask], u_seg])
+        out_v = np.concatenate([m[seg_of[mask]], m])
+        keep = out_u != out_v
+        out_u, out_v = out_u[keep], out_v[keep]
+    # within-bucket dedup keeps round-over-round growth bounded (cross-bucket
+    # duplicates are removed by the next round's regrouping)
+    key = np.stack([out_u, out_v], axis=1)
+    key = np.unique(key, axis=0) if len(key) else key.reshape(0, 2)
+    return pa.table(
+        {"u": pa.array(key[:, 0], pa.int64()), "v": pa.array(key[:, 1], pa.int64())}
+    )
+
+
+def _cc_bucket(col: np.ndarray, n_buckets: int) -> np.ndarray:
+    return ((col.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)).astype(
+        np.int64
+    ) % n_buckets
+
+
+def connected_components_distributed(
+    edges: ray.data.Dataset,
+    n_buckets: int | None = None,
+    max_rounds: int = 64,
+) -> pa.Table:
+    """Distributed connected components over an edge Dataset (columns
+    ``u``, ``v``): the at-scale path for pair lists that outgrow the driver.
+
+    Alternating Large-Star / Small-Star rounds (see :func:`_star_emit`);
+    each round symmetrizes the edge list map-side, hash-buckets nodes into
+    O(CPUs) groups (every node's whole neighborhood lands in one bucket),
+    and runs the vectorized star kernel per bucket — two bounded shuffles
+    per round over the CURRENT edge set (which only shrinks toward star
+    edges), never the corpus. Terminates at edge-set fixpoint (count +
+    order-invariant checksum). Returns (node, rep) sorted by node, rep =
+    smallest member id — exactly :func:`connected_components`'s contract,
+    pinned by an identity test over random graphs."""
+    if n_buckets is None:
+        n_buckets = max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        us = b.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        vs = b.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        all_u = np.concatenate([us, vs])
+        all_v = np.concatenate([vs, us])
+        return pa.table(
+            {
+                "u": pa.array(all_u, pa.int64()),
+                "v": pa.array(all_v, pa.int64()),
+                "bucket": pa.array(_cc_bucket(all_u, n_buckets), pa.int64()),
+            }
+        )
+
+    def signature(ds: ray.data.Dataset) -> tuple:
+        def part(b: pa.Table) -> pa.Table:
+            us = b.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+            vs = b.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+            mixed = (us * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                vs * np.uint64(0xC2B2AE3D27D4EB4F)
+            )
+            # wraparound SUM (not xor): order-invariant across blocks but
+            # duplicate edges don't cancel out of the checksum; folded to 62
+            # bits so partials and their sum stay inside int64
+            h = int(mixed.sum(dtype=np.uint64)) & ((1 << 62) - 1) if len(us) else 0
+            return pa.table(
+                {
+                    "n": pa.array([len(us)], pa.int64()),
+                    "h": pa.array([h], pa.int64()),
+                }
+            )
+
+        pdf = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        n = int(pdf["n"].sum()) if len(pdf) else 0
+        h = (
+            int(np.sum(pdf["h"].to_numpy(np.uint64), dtype=np.uint64) & np.uint64((1 << 62) - 1))
+            if len(pdf)
+            else 0
+        )
+        return n, h
+
+    cur = edges.materialize()
+    if cur.count() == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())}
+        )
+    prev_sig = None
+    for _ in range(max_rounds):
+        for large in (True, False):
+            cur = (
+                cur.map_batches(symmetrize, batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(
+                    lambda g, _lg=large: _star_emit(g, _lg),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+        sig = signature(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"star rounds did not converge in {max_rounds} rounds")
+    star = cur.to_pandas()
+    # converged star edges are (member, root); roots map to themselves
+    nodes = np.concatenate([star["u"].to_numpy(), np.unique(star["v"].to_numpy())])
+    reps = np.concatenate([star["v"].to_numpy(), np.unique(star["v"].to_numpy())])
+    order = np.argsort(nodes, kind="stable")
+    return pa.table(
+        {
+            "node": pa.array(nodes[order], pa.int64()),
+            "rep": pa.array(reps[order], pa.int64()),
+        }
+    )
+
+
+def connected_components_auto(
+    ids_a, ids_b, driver_pair_limit: int = CC_DRIVER_PAIR_LIMIT
+) -> dict:
+    """``connected_components`` with the measured auto-switch: union-find on
+    the driver while the pair list fits ``driver_pair_limit``, the
+    distributed star rounds above it (identical output by the identity
+    test; the component dict itself is bounded by the number of
+    non-singleton nodes either way)."""
+    if len(ids_a) <= driver_pair_limit:
+        return connected_components(ids_a, ids_b)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(np.asarray(ids_a, dtype=np.int64), pa.int64()),
+                "v": pa.array(np.asarray(ids_b, dtype=np.int64), pa.int64()),
+            }
+        )
+    )
+    tbl = connected_components_distributed(edges)
+    return dict(
+        zip(tbl.column("node").to_pylist(), tbl.column("rep").to_pylist())
+    )
+
+
 def minhash_dedup(
-    ds: ray.data.Dataset, threshold: float = 0.6, **kwargs
+    ds: ray.data.Dataset,
+    threshold: float = 0.6,
+    cc_driver_pair_limit: int = CC_DRIVER_PAIR_LIMIT,
+    **kwargs,
 ) -> pd.DataFrame:
-    """Cluster near-duplicates (connected components over verified pairs,
-    union-find on the driver — pair list is bounded) and return
-    (doc_id, cluster) with cluster = smallest member key."""
+    """Cluster near-duplicates (connected components over verified pairs —
+    driver union-find below the measured pair budget, distributed star
+    rounds above it) and return (doc_id, cluster) with cluster = smallest
+    member key."""
     pairs = minhash_lsh_pairs(ds, threshold=threshold, **kwargs)
-    comp = connected_components(pairs["doc_a"], pairs["doc_b"])
+    comp = connected_components_auto(
+        pairs["doc_a"], pairs["doc_b"], driver_pair_limit=cc_driver_pair_limit
+    )
     members = sorted(comp)
     return pd.DataFrame(
         {"doc_id": members, "cluster": [comp[m] for m in members]}

@@ -1,6 +1,7 @@
 """Similarity-search correctness vs a numpy oracle + multimodal plumbing."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 import ray.data
@@ -385,3 +386,49 @@ def test_label_centroids_and_assign(ray_session):
     conf = nearest_centroid_confusion(ds).to_pandas()
     # well-separated clusters -> diagonal confusion
     assert conf.values.tolist() == [[0, 0, 2], [1, 1, 2]]
+
+
+def test_connected_components_distributed_identity(ray_session):
+    """The star-round distributed CC equals driver union-find on random
+    graphs across densities (including multi-component, chains, cliques)."""
+    from clickhouse_data_pipeline_ray.functions.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    rng = np.random.default_rng(7)
+    for n_nodes, n_edges in [(12, 8), (50, 30), (200, 150), (300, 600)]:
+        a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        want = connected_components(a.tolist(), b.tolist())
+        edges = ray.data.from_arrow(
+            pa.table({"u": pa.array(a, pa.int64()), "v": pa.array(b, pa.int64())})
+        )
+        got_tbl = connected_components_distributed(edges, n_buckets=4)
+        got = dict(
+            zip(got_tbl.column("node").to_pylist(), got_tbl.column("rep").to_pylist())
+        )
+        assert got == want, (n_nodes, n_edges)
+
+    # empty edge list
+    empty = ray.data.from_arrow(
+        pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    assert connected_components_distributed(empty).num_rows == 0
+
+
+def test_connected_components_auto_switch(ray_session):
+    """Forcing driver_pair_limit=0 routes through the distributed path and
+    yields the identical component dict."""
+    from clickhouse_data_pipeline_ray.functions.dedup import (
+        connected_components,
+        connected_components_auto,
+    )
+
+    a = [2, 1, 10, 10, 11, 20, 500]
+    b = [3, 2, 11, 12, 12, 21, 1]
+    want = connected_components(a, b)
+    got = connected_components_auto(a, b, driver_pair_limit=0)
+    assert got == want
