@@ -432,3 +432,101 @@ def test_connected_components_auto_switch(ray_session):
     want = connected_components(a, b)
     got = connected_components_auto(a, b, driver_pair_limit=0)
     assert got == want
+def test_kmeans_lloyd_matches_numpy_reference(ray_session):
+    """Distributed Lloyd equals a pure-numpy reference running the identical
+    update rule from the identical init, and inertia never increases."""
+    from clickhouse_data_pipeline_ray.functions.similarity import (
+        _normalize,
+        kmeans_lloyd,
+    )
+
+    rng = np.random.default_rng(3)
+    # three separable cones + noise
+    base = _normalize(rng.standard_normal((3, 8)))
+    x = np.concatenate(
+        [_normalize(base[i] + 0.15 * rng.standard_normal((40, 8))) for i in range(3)]
+    )
+    init = x[[0, 40, 80]]
+
+    # numpy reference: same spherical rule (argmax cosine, mean, renormalize)
+    ref = init.copy()
+    ref_hist = []
+    for _ in range(6):
+        sims = x @ ref.T
+        assign = np.argmax(sims, axis=1)
+        ref_hist.append(float(np.sum(1.0 - sims[np.arange(len(x)), assign])))
+        for c in range(3):
+            m = x[assign == c]
+            if len(m):
+                ref[c] = m.mean(axis=0)
+        ref = _normalize(ref)
+
+    rows = [{"vec_id": i, "embedding": x[i].tolist()} for i in range(len(x))]
+    ds = ray.data.from_items(rows).repartition(4)
+    cents, hist = kmeans_lloyd(ds, init, iters=6, tol=0.0)
+    np.testing.assert_allclose(cents, ref, atol=1e-9)
+    np.testing.assert_allclose(hist, ref_hist, atol=1e-9)
+    assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:]))
+
+    # driver-side pa.Table path folds to the same answer
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(x)), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in x], pa.list_(pa.float64())),
+        }
+    )
+    cents_t, hist_t = kmeans_lloyd(tbl, init, iters=6, tol=0.0)
+    np.testing.assert_allclose(cents_t, cents, atol=1e-12)
+    np.testing.assert_allclose(hist_t, hist, atol=1e-12)
+
+
+def test_kmeans_lloyd_empty_cluster_and_early_stop():
+    from clickhouse_data_pipeline_ray.functions.similarity import kmeans_lloyd
+
+    # a far-off centroid that captures nothing must stay put
+    x = np.array([[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9]])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(4), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in x], pa.list_(pa.float64())),
+        }
+    )
+    init = np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]])
+    cents, hist = kmeans_lloyd(tbl, init, iters=10, tol=1e-9)
+    np.testing.assert_allclose(cents[2], [-1.0, 0.0], atol=1e-12)
+    # converged well before 10 iterations (early stop on centroid shift)
+    assert len(hist) < 10
+
+
+def test_build_ivf_index_refined_recall_not_worse(ray_session, tmp_path):
+    """refine_iters polishes the sample-trained centroids against the full
+    corpus; the refined index must keep exact full-probe search and at least
+    match the unrefined nprobe recall on this fixture."""
+    from clickhouse_data_pipeline_ray.functions.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    ds, m = _emb_ds(n=300, dim=16, seed=4)
+    q_idx = [0, 5, 9]
+    want = _numpy_topk(m, q_idx, 5)
+
+    def hits(index_dir):
+        got = ivf_index_topk(index_dir, m[q_idx], q_idx, k=5, nprobe=4)
+        return sum(
+            len(set(got[got["query_id"] == qi]["neighbor_id"]) & set(want[qi]))
+            for qi in q_idx
+        )
+
+    plain = str(tmp_path / "plain")
+    refined = str(tmp_path / "refined")
+    build_ivf_index(ds, plain, n_centroids=8)
+    build_ivf_index(ds, refined, n_centroids=8, refine_iters=3)
+    assert hits(refined) >= hits(plain) - 1  # refinement must not regress
+    # full probe stays exact regardless of centroid quality
+    got_full = ivf_index_topk(refined, m[q_idx], q_idx, k=5, nprobe=8)
+    for qi in q_idx:
+        g = got_full[got_full["query_id"] == qi].sort_values("rank")[
+            "neighbor_id"
+        ].tolist()
+        assert g == want[qi]
