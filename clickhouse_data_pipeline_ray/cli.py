@@ -221,6 +221,18 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--num-files", type=int, default=None)
 
     sp = sub.add_parser(
+        "export-zorder",
+        help="write a committed table as a z-order-clustered parquet layout "
+             "over several columns with per-dimension zone maps (box reads "
+             "prune on ANY bounded dimension)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--cols", required=True,
+                    help="comma-separated numeric z-order columns")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--num-files", type=int, default=None)
+
+    sp = sub.add_parser(
         "get",
         help="point lookup by key — opens only the routed partitions "
              "(driver-side latency path, no Ray job)",
@@ -496,6 +508,25 @@ def _run(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({
                 "output": args.output, "sort_col": args.col,
+                "files": len(index["files"]), "rows": index["total_rows"],
+            }))
+        finally:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "export-zorder":
+        from .pipelines.apply import read_snapshot
+        from .pipelines.export import export_zorder
+
+        ray = _init_ray(args.num_cpus)
+        try:
+            cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+            index = export_zorder(
+                read_snapshot(args.table), cols, args.output,
+                num_files=args.num_files,
+            )
+            print(json.dumps({
+                "output": args.output, "zorder_cols": cols,
                 "files": len(index["files"]), "rows": index["total_rows"],
             }))
         finally:

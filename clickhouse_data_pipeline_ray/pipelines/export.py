@@ -180,3 +180,197 @@ def _to_expression(filters: list[tuple]):
         e = f >= val if op == ">=" else f <= val
         expr = e if expr is None else expr & e
     return expr
+
+
+# ---------------------------------------------------------------------------
+# Z-ORDER clustered export: multi-dimensional pruning (the Delta Lake
+# OPTIMIZE ZORDER analog — Armbrust et al., "Delta Lake: High-Performance
+# ACID Table Storage over Cloud Object Stores", VLDB 2020, §4.2). A single
+# sort column prunes range reads on ONE dimension; interleaving the bits of
+# several equi-depth-binned dimensions clusters the layout so a box
+# predicate on ANY subset of them skips most files via per-dimension zones.
+# ---------------------------------------------------------------------------
+
+ZORDER_MAP = "_zordermap.json"
+
+
+def _digests(ds: ray.data.Dataset, cols: list, delta: float = 400.0) -> dict:
+    """One streamed pass → a merged t-digest per column (never two scans)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, means, weights = [], [], []
+        for c in cols:
+            v = b.column(c).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            d = TDigest.from_values(v[~np.isnan(v)], delta=delta)
+            names.append(c)
+            means.append(d.means.tobytes())
+            weights.append(d.weights.tobytes())
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "means": pa.array(means, pa.large_binary()),
+                "weights": pa.array(weights, pa.large_binary()),
+            }
+        )
+
+    acc: dict = {c: [] for c in cols}
+    for batch in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for c, m, w in zip(
+            batch.column("col").to_pylist(),
+            batch.column("means").to_pylist(),
+            batch.column("weights").to_pylist(),
+        ):
+            acc[c].append(
+                TDigest(np.frombuffer(m, np.float64), np.frombuffer(w, np.float64),
+                        delta=delta)
+            )
+    out = {}
+    for c in cols:
+        if not acc[c]:
+            raise ValueError(f"no non-null values in z-order column {c!r}")
+        out[c] = TDigest.merge_all(acc[c], delta=delta)
+    return out
+
+
+def _interleave(codes: list[np.ndarray], bits: int) -> np.ndarray:
+    """Bit-interleave d equal-width integer codes into one z-value (column-
+    major: bit b of dim i lands at position b*d + i)."""
+    d = len(codes)
+    z = np.zeros(len(codes[0]), dtype=np.uint64)
+    for b in range(bits):
+        for i, c in enumerate(codes):
+            z |= ((c.astype(np.uint64) >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                b * d + i
+            )
+    return z
+
+
+def export_zorder(
+    ds: ray.data.Dataset,
+    cols: list,
+    out_dir: str,
+    num_files: int | None = None,
+    bits: int = 8,
+) -> dict:
+    """Write ``ds`` as a z-order-clustered parquet layout over ``cols``.
+
+    One streamed pass builds a t-digest per dimension; each dimension is
+    equi-depth binned into 2^bits codes (quantile cuts — skew-proof, unlike
+    raw-value bit slicing), the codes are bit-interleaved into a z-value,
+    and files are cut on the z-value's leading bits (balanced when the
+    dimensions are not perfectly correlated — the documented assumption;
+    correctness never depends on it). Each file records per-dimension
+    min/max zones over its non-NaN values; :func:`read_zorder_box` opens
+    only files whose zones overlap EVERY bounded dimension. Rows inside a
+    file are z-sorted so parquet row-group stats prune further."""
+    if num_files is None:
+        num_files = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    file_bits = max(1, int(np.ceil(np.log2(num_files))))
+    n_bins = 1 << bits
+    digests = _digests(ds, cols)
+    qs = np.arange(1, n_bins) / n_bins
+    cuts = {
+        c: np.unique(np.array([digests[c].quantile(q) for q in qs])) for c in cols
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    shift = np.uint64(len(cols) * bits - file_bits)
+
+    def assign(b: pa.Table) -> pa.Table:
+        codes = []
+        for c in cols:
+            v = b.column(c).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            # NaN sorts into the last bin (searchsorted convention), same as
+            # export_sorted; zones ignore NaN so pruning stays correct
+            raw = np.searchsorted(cuts[c], v, side="right").astype(np.uint64)
+            # rescale ranks to the FULL code width: low-cardinality columns
+            # collapse quantile cuts (np.unique), leaving the high bits of a
+            # raw searchsorted code permanently zero — which would starve
+            # the interleave (and the file split) of that dimension's bits
+            codes.append(raw * np.uint64(n_bins) // np.uint64(len(cuts[c]) + 1))
+        z = _interleave(codes, bits)
+        b = b.append_column("__z", pa.array(z.astype(np.int64), pa.int64()))
+        return b.append_column(
+            "__rb", pa.array((z >> shift).astype(np.int32), pa.int32())
+        )
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        rb = int(g.column("__rb")[0].as_py())
+        t = g.take(pc.sort_indices(g, sort_keys=[("__z", "ascending")]))
+        t = t.drop_columns(["__z", "__rb"])
+        rel = f"zpart-{rb:05d}.parquet"
+        tmp = os.path.join(out_dir, f"{rel}.tmp.{os.getpid()}")
+        pq.write_table(t, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(out_dir, rel))
+        row: dict = {
+            "bucket": pa.array([rb], pa.int32()),
+            "file": pa.array([rel], pa.string()),
+            "rows": pa.array([t.num_rows], pa.int64()),
+        }
+        for c in cols:
+            vals = t.column(c).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            finite = vals[~np.isnan(vals)]
+            row[f"min_{c}"] = pa.array(
+                [float(finite.min()) if len(finite) else None], pa.float64()
+            )
+            row[f"max_{c}"] = pa.array(
+                [float(finite.max()) if len(finite) else None], pa.float64()
+            )
+        return pa.table(row)
+
+    zones = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("__rb")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    index = {
+        "zorder_cols": list(cols),
+        "bits": bits,
+        "files": zones.to_dict("records"),
+        "total_rows": int(zones["rows"].sum()),
+    }
+    tmp = os.path.join(out_dir, f"{ZORDER_MAP}.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(index, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, ZORDER_MAP))
+    return index
+
+
+def read_zorder_box(out_dir: str, box: dict) -> ray.data.Dataset:
+    """Box read over a z-order export: ``box`` maps column -> (lo, hi)
+    (either bound may be None). Only files whose per-dimension zones overlap
+    every bounded dimension are opened; the full box predicate is pushed
+    down as a parquet filter. Null zones (all-NaN file for that dimension)
+    always overlap — never silently skipped."""
+    with open(os.path.join(out_dir, ZORDER_MAP)) as f:
+        index = json.load(f)
+    unknown = set(box) - set(index["zorder_cols"])
+    if unknown:
+        raise ValueError(f"not z-order columns: {sorted(unknown)}")
+
+    def overlaps(z: dict) -> bool:
+        for c, (lo, hi) in box.items():
+            zmin, zmax = z.get(f"min_{c}"), z.get(f"max_{c}")
+            if hi is not None and zmin is not None and zmin > hi:
+                return False
+            if lo is not None and zmax is not None and zmax < lo:
+                return False
+        return True
+
+    paths = [
+        os.path.join(out_dir, z["file"]) for z in index["files"] if overlaps(z)
+    ]
+    if not paths:
+        paths = [os.path.join(out_dir, index["files"][0]["file"])]
+    filters = []
+    for c, (lo, hi) in box.items():
+        if lo is not None:
+            filters.append((c, ">=", lo))
+        if hi is not None:
+            filters.append((c, "<=", hi))
+    return ray.data.read_parquet(
+        paths, filter=_to_expression(filters) if filters else None
+    )

@@ -122,3 +122,116 @@ def test_balanced_files_under_skew(ray_session, tmp_path):
     # no single range holds the majority; low-cardinality head may merge a
     # few zones (np.unique on boundaries), so just bound the max share
     assert rows.max() / rows.sum() < 0.55
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered export
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def zordered(ray_session, tmp_path_factory):
+    import ray
+
+    out = str(tmp_path_factory.mktemp("zorder"))
+    ds = ray.data.read_parquet(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["event_id", "value", "user_id"],
+    )
+    from clickhouse_data_pipeline_ray.pipelines.export import export_zorder
+
+    index = export_zorder(ds, ["value", "user_id"], out, num_files=16)
+    return out, index
+
+
+def _events_df():
+    return pq.read_table(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["event_id", "value", "user_id"],
+    ).to_pandas()
+
+
+def test_zorder_complete_and_zoned(zordered):
+    out, index = zordered
+    dfs = [
+        pq.read_table(os.path.join(out, z["file"])).to_pandas()
+        for z in index["files"]
+    ]
+    concat = pd.concat(dfs, ignore_index=True)
+    want = _events_df()
+    assert len(concat) == len(want) == index["total_rows"]  # nothing lost
+    assert sorted(concat["event_id"]) == sorted(want["event_id"])
+    # per-dimension zones are honest: every file's rows lie inside its zones
+    for z in index["files"]:
+        part = pq.read_table(os.path.join(out, z["file"])).to_pandas()
+        for c in ("value", "user_id"):
+            assert part[c].min() >= z[f"min_{c}"] - 1e-9
+            assert part[c].max() <= z[f"max_{c}"] + 1e-9
+
+
+def test_zorder_box_read_equals_plain_filter(zordered):
+    from clickhouse_data_pipeline_ray.pipelines.export import read_zorder_box
+
+    out, _ = zordered
+    want = _events_df()
+    boxes = [
+        {"value": (20.0, 55.0), "user_id": (100.0, 140.0)},
+        {"value": (None, 30.0)},
+        {"user_id": (150.0, None)},
+        {"value": (1e9, None)},  # empty result
+    ]
+    for box in boxes:
+        got = read_zorder_box(out, box).to_pandas()
+        m = pd.Series(True, index=want.index)
+        for c, (lo, hi) in box.items():
+            if lo is not None:
+                m &= want[c] >= lo
+            if hi is not None:
+                m &= want[c] <= hi
+        assert len(got) == int(m.sum()), box
+        if len(got):  # Ray drops the schema of an all-filtered empty read
+            assert sorted(got["event_id"]) == sorted(want[m]["event_id"]), box
+
+
+def test_zorder_prunes_on_every_dimension(zordered):
+    """The point of z-order vs a single-column sort: a tight box on EITHER
+    dimension alone opens strictly fewer files than the whole layout."""
+    import json
+
+    from clickhouse_data_pipeline_ray.pipelines.export import ZORDER_MAP
+
+    out, index = zordered
+    with open(os.path.join(out, ZORDER_MAP)) as f:
+        files = json.load(f)["files"]
+    n_files = len(files)
+    assert n_files >= 8
+
+    want = _events_df()
+
+    def opened(box):
+        def ov(z):
+            for c, (lo, hi) in box.items():
+                if hi is not None and z[f"min_{c}"] is not None and z[f"min_{c}"] > hi:
+                    return False
+                if lo is not None and z[f"max_{c}"] is not None and z[f"max_{c}"] < lo:
+                    return False
+            return True
+
+        return sum(1 for z in files if ov(z))
+
+    v_lo, v_hi = want["value"].quantile(0.45), want["value"].quantile(0.55)
+    u_lo, u_hi = want["user_id"].quantile(0.45), want["user_id"].quantile(0.55)
+    assert opened({"value": (v_lo, v_hi)}) < n_files
+    assert opened({"user_id": (u_lo, u_hi)}) < n_files
+    # a 2-D box prunes at least as hard as either 1-D slice
+    both = opened({"value": (v_lo, v_hi), "user_id": (u_lo, u_hi)})
+    assert both <= opened({"value": (v_lo, v_hi)})
+    assert both <= opened({"user_id": (u_lo, u_hi)})
+
+
+def test_zorder_rejects_unknown_column(zordered):
+    from clickhouse_data_pipeline_ray.pipelines.export import read_zorder_box
+
+    out, _ = zordered
+    with pytest.raises(ValueError, match="not z-order columns"):
+        read_zorder_box(out, {"nope": (0, 1)})
