@@ -2098,7 +2098,7 @@ def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     )
     dim = len(first.column("embedding")[0])
     pairs = F_dedup.embedding_neardup_pairs(aug, dim=dim, threshold=0.8)
-    comp = F_dedup.connected_components(pairs["id_a"], pairs["id_b"])
+    comp = F_dedup.connected_components_auto(pairs["id_a"], pairs["id_b"])
     sizes: dict = {}
     for rep in comp.values():
         sizes[rep] = sizes.get(rep, 0) + 1
