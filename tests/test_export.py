@@ -235,3 +235,63 @@ def test_zorder_rejects_unknown_column(zordered):
     out, _ = zordered
     with pytest.raises(ValueError, match="not z-order columns"):
         read_zorder_box(out, {"nope": (0, 1)})
+
+
+def test_zorder_pruning_sound_for_arbitrary_boxes(zordered):
+    """Property: for ANY box, the rows surviving a brute-force filter of the
+    ORIGINAL data all live in files the zone map keeps — pruning can skip
+    work but never rows. Hypothesis drives the box corners; file reads stay
+    driver-side (no Ray execution per example)."""
+    import json
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_data_pipeline_ray.pipelines.export import ZORDER_MAP
+
+    out, _ = zordered
+    with open(os.path.join(out, ZORDER_MAP)) as f:
+        files = json.load(f)["files"]
+    want = _events_df()
+    parts = {
+        z["file"]: pq.read_table(os.path.join(out, z["file"])).to_pandas()
+        for z in files
+    }
+    v_min, v_max = want["value"].min(), want["value"].max()
+    u_min, u_max = want["user_id"].min(), want["user_id"].max()
+
+    bound = lambda lo, hi: st.one_of(st.none(), st.floats(lo, hi))  # noqa: E731
+
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        v_lo=bound(v_min - 1, v_max + 1),
+        v_hi=bound(v_min - 1, v_max + 1),
+        u_lo=bound(u_min - 1, u_max + 1),
+        u_hi=bound(u_min - 1, u_max + 1),
+    )
+    def check(v_lo, v_hi, u_lo, u_hi):
+        box = {"value": (v_lo, v_hi), "user_id": (u_lo, u_hi)}
+
+        def keep(z):
+            for c, (lo, hi) in box.items():
+                if hi is not None and z[f"min_{c}"] is not None and z[f"min_{c}"] > hi:
+                    return False
+                if lo is not None and z[f"max_{c}"] is not None and z[f"max_{c}"] < lo:
+                    return False
+            return True
+
+        kept = pd.concat(
+            [parts[z["file"]] for z in files if keep(z)],
+            ignore_index=True,
+        ) if any(keep(z) for z in files) else want.iloc[0:0]
+        m = pd.Series(True, index=want.index)
+        for c, (lo, hi) in box.items():
+            if lo is not None:
+                m &= want[c] >= lo
+            if hi is not None:
+                m &= want[c] <= hi
+        missing = set(want[m]["event_id"]) - set(kept["event_id"])
+        assert not missing, (box, sorted(missing)[:5])
+
+    check()
