@@ -521,6 +521,12 @@ class CentroidAssign:
         )
 
 
+# Partial-row budget for the driver-side confusion combine; above it the
+# final combine auto-switches to a distributed groupby over partial rows
+# (the _multi_member_counts / term_doc_frequency convention).
+_CONFUSION_DRIVER_ROW_LIMIT = 1_000_000
+
+
 def nearest_centroid_confusion(
     ds: ray.data.Dataset,
     label_col: str = "label",
@@ -563,14 +569,28 @@ def nearest_centroid_confusion(
             }
         )
 
-    parts = assigned.map_batches(
+    partials = assigned.map_batches(
         confusion_partial, batch_format="pyarrow"
-    ).to_pandas()
-    out = (
-        parts.groupby(["label", "assigned_label"], as_index=False)["n_vecs"]
-        .sum()
-        .sort_values(["label", "assigned_label"])
-        .reset_index(drop=True)
-    )
+    ).materialize()
+    # measured auto-switch (the _multi_member_counts convention): partial
+    # rows are ≤ k² per batch; if blocks × k² outgrows the driver budget,
+    # the combine stays in the cluster as a groupby over partial rows only
+    if partials.count() > _CONFUSION_DRIVER_ROW_LIMIT:
+        from ray.data.aggregate import Sum
+
+        parts = (
+            partials.groupby(["label", "assigned_label"])
+            .aggregate(Sum("n_vecs", alias_name="n_vecs"))
+            .to_pandas()
+        )
+        out = parts.sort_values(["label", "assigned_label"]).reset_index(drop=True)
+    else:
+        parts = partials.to_pandas()
+        out = (
+            parts.groupby(["label", "assigned_label"], as_index=False)["n_vecs"]
+            .sum()
+            .sort_values(["label", "assigned_label"])
+            .reset_index(drop=True)
+        )
     out["n_vecs"] = out["n_vecs"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)

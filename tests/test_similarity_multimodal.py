@@ -530,3 +530,23 @@ def test_build_ivf_index_refined_recall_not_worse(ray_session, tmp_path):
             "neighbor_id"
         ].tolist()
         assert g == want[qi]
+
+
+def test_confusion_distributed_combine_identical(ray_session):
+    """Forcing the partial-row budget to 0 routes the confusion combine
+    through the distributed groupby with identical output."""
+    import clickhouse_data_pipeline_ray.functions.similarity as S
+
+    rows = [
+        {"label": i % 3, "embedding": [float(i % 3), float((i * 7) % 5)]}
+        for i in range(60)
+    ]
+    ds = ray.data.from_items(rows).repartition(4)
+    want = S.nearest_centroid_confusion(ds).to_pandas()
+    old = S._CONFUSION_DRIVER_ROW_LIMIT
+    S._CONFUSION_DRIVER_ROW_LIMIT = 0
+    try:
+        got = S.nearest_centroid_confusion(ds).to_pandas()
+    finally:
+        S._CONFUSION_DRIVER_ROW_LIMIT = old
+    assert got.values.tolist() == want.values.tolist()
