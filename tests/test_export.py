@@ -295,3 +295,36 @@ def test_zorder_pruning_sound_for_arbitrary_boxes(zordered):
         assert not missing, (box, sorted(missing)[:5])
 
     check()
+
+
+def test_zorder_nan_values_do_not_poison_zones(ray_session, tmp_path):
+    """NaNs code into the last bin; per-dimension zones are min/max over
+    non-NaN values (an all-NaN file gets a null, always-overlapping zone),
+    and bounded box reads still return every valid row."""
+    import json
+
+    import ray
+
+    from clickhouse_data_pipeline_ray.pipelines.export import (
+        ZORDER_MAP,
+        export_zorder,
+        read_zorder_box,
+    )
+
+    rng = np.random.default_rng(5)
+    a = np.arange(2000, dtype=np.float64)
+    b = rng.permutation(2000).astype(np.float64)
+    a[::40] = np.nan
+    df = pd.DataFrame({"i": np.arange(2000), "a": a, "b": b})
+    out = str(tmp_path / "znan")
+    export_zorder(ray.data.from_pandas(df).repartition(4), ["a", "b"], out,
+                  num_files=8)
+    with open(os.path.join(out, ZORDER_MAP)) as f:
+        zones = json.load(f)["files"]
+    for z in zones:
+        for c in ("a", "b"):
+            assert z[f"min_{c}"] is None or not np.isnan(z[f"min_{c}"])
+            assert z[f"max_{c}"] is None or not np.isnan(z[f"max_{c}"])
+    got = read_zorder_box(out, {"a": (1900.0, None)}).to_pandas()
+    want = df[df["a"] >= 1900.0]
+    assert sorted(got["i"]) == sorted(want["i"])
