@@ -233,6 +233,19 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--num-files", type=int, default=None)
 
     sp = sub.add_parser(
+        "zbox",
+        help="box read over a z-order export: prints matching row count and "
+             "a sample; opens only files whose per-dimension zones overlap",
+    )
+    sp.add_argument("--dir", required=True, help="export-zorder output dir")
+    sp.add_argument(
+        "--where", required=True,
+        help="comma-separated col:lo:hi bounds (empty lo/hi = unbounded), "
+             "e.g. n_tok:100:200,lsn::10000",
+    )
+    sp.add_argument("--limit", type=int, default=5)
+
+    sp = sub.add_parser(
         "get",
         help="point lookup by key — opens only the routed partitions "
              "(driver-side latency path, no Ray job)",
@@ -529,6 +542,30 @@ def _run(argv: list[str] | None = None) -> int:
                 "output": args.output, "zorder_cols": cols,
                 "files": len(index["files"]), "rows": index["total_rows"],
             }))
+        finally:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "zbox":
+        from .pipelines.export import read_zorder_box
+
+        box = {}
+        for part in args.where.split(","):
+            col, lo, hi = part.split(":")
+            box[col] = (float(lo) if lo else None, float(hi) if hi else None)
+        ray = _init_ray(args.num_cpus)
+        try:
+            ds = read_zorder_box(args.dir, box)
+            n = ds.count()
+            sample = ds.limit(args.limit).to_pandas() if n else None
+            print(json.dumps({
+                "dir": args.dir,
+                "box": {c: list(b) for c, b in box.items()},
+                "rows": int(n),
+                "sample": (
+                    sample.to_dict("records") if sample is not None else []
+                ),
+            }, default=str))
         finally:
             ray.shutdown()
         return 0
