@@ -322,8 +322,12 @@ def run_scaling() -> dict:
     # run-to-run wall variance at idle load averages of 9+), so a single shot
     # per leg measures the neighbors, not the engine
     lo_cpus, hi_cpus = 8, 32
-    lo = min((sub(lo_cpus) for _ in range(2)), key=lambda r: r["value"])
+    # hi leg first: on this host the 8-cpu leg is stable across contention
+    # waves while the 32-cpu leg swings 2-3x, so a quiet window found at
+    # launch time is better spent on the volatile leg (order does not change
+    # the protocol — both legs remain fresh processes over the same input)
     hi = min((sub(hi_cpus) for _ in range(2)), key=lambda r: r["value"])
+    lo = min((sub(lo_cpus) for _ in range(2)), key=lambda r: r["value"])
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
     return {
