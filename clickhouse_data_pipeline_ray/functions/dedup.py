@@ -814,18 +814,30 @@ def connected_components_auto(
     non-singleton nodes either way)."""
     if len(ids_a) <= driver_pair_limit:
         return connected_components(ids_a, ids_b)
+    ua, ub = np.asarray(ids_a), np.asarray(ids_b)
+    decode = None
+    if ua.dtype.kind not in "iu":
+        # non-integer ids (doc keys are strings): encode to dense int64
+        # codes via SORTED uniques, so code order == id order and the star
+        # rounds' min-code root is exactly the driver union-find's
+        # min-id root — the identity the tests pin survives the round-trip
+        decode = np.unique(np.concatenate([ua, ub]))
+        ua = np.searchsorted(decode, ua).astype(np.int64)
+        ub = np.searchsorted(decode, ub).astype(np.int64)
     edges = ray.data.from_arrow(
         pa.table(
             {
-                "u": pa.array(np.asarray(ids_a, dtype=np.int64), pa.int64()),
-                "v": pa.array(np.asarray(ids_b, dtype=np.int64), pa.int64()),
+                "u": pa.array(ua.astype(np.int64), pa.int64()),
+                "v": pa.array(ub.astype(np.int64), pa.int64()),
             }
         )
     )
     tbl = connected_components_distributed(edges)
-    return dict(
-        zip(tbl.column("node").to_pylist(), tbl.column("rep").to_pylist())
-    )
+    node = tbl.column("node").to_numpy()
+    rep = tbl.column("rep").to_numpy()
+    if decode is not None:
+        return dict(zip(decode[node].tolist(), decode[rep].tolist()))
+    return dict(zip(node.tolist(), rep.tolist()))
 
 
 def minhash_dedup(

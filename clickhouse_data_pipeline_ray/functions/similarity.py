@@ -46,10 +46,24 @@ class BruteForceTopK:
     ):
         self.q = _normalize(np.asarray(queries, dtype=np.float64))
         self.query_ids = np.asarray(query_ids)
+        # arrow-typed once, so empty batches emit the same query_id type as
+        # nonempty ones (a null-typed empty column would break block concat)
+        self._qid_empty = pa.array(list(query_ids)).slice(0, 0)
         self.k, self.key_col, self.vec_col = k, key_col, vec_col
         self.exclude_self = exclude_self
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or len(self.query_ids) == 0:
+            # empty pruned set (e.g. every probed IVF bucket is an empty
+            # cluster): fold to an empty result instead of crashing on a
+            # zero-size reshape / argpartition over a (Q, 0) score matrix
+            return pa.table(
+                {
+                    "query_id": self._qid_empty,
+                    "neighbor_id": batch.column(self.key_col).combine_chunks().slice(0, 0),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         emb = _normalize(_to_matrix(batch.column(self.vec_col)))
         keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
         sims = self.q @ emb.T  # (Q, batch)
@@ -114,8 +128,14 @@ def brute_force_topk(
             vec_col=vec_col,
             exclude_self=exclude_self,
         )(ds)
+        pdf = part.to_pandas()
+        if pdf.empty:
+            # groupby().apply on an empty frame moves query_id into the
+            # index, making the later sort ambiguous — short-circuit typed
+            pdf = pdf.assign(rank=pd.Series([], dtype="int64"))
+            return pdf[["query_id", "rank", "neighbor_id", "score"]]
         return (
-            part.to_pandas()
+            pdf
             .groupby("query_id", group_keys=False, sort=False)
             .apply(_final_topk(k))
             .sort_values(["query_id", "rank"])
@@ -265,6 +285,8 @@ class IVFAssign:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("ivf_bucket", pa.array([], pa.int32()))
         emb = _normalize(_to_matrix(batch.column(self.vec_col)))
         assign = np.argmax(emb @ self.cents.T, axis=1)
         return batch.append_column("ivf_bucket", pa.array(assign.astype(np.int32)))
@@ -407,18 +429,22 @@ def ivf_topk(
     holds them (e.g. running several nprobe levels over one corpus).
     A ``pa.Table`` input runs the same assign/filter/search kernels
     driver-side (the latency path — see brute_force_topk)."""
-    if isinstance(ds, pa.Table):
-        import pyarrow.compute as pc
+    import pyarrow.compute as pc
 
-        cents = (
-            centroids
-            if centroids is not None
-            else kmeans_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
-        )
+    # shared between the latency (pa.Table) and distributed branches —
+    # kmeans_centroids itself dispatches on the input kind, so centroid
+    # resolution and the probe/wanted computation never drift between them
+    # (q_ann_topk's branch-equality assertions depend on that)
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
+    )
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(b) for row in probe for b in row})
+    if isinstance(ds, pa.Table):
         assigned = IVFAssign(centroids=cents, vec_col=vec_col)(ds)
-        qn = _normalize(np.asarray(queries, dtype=np.float64))
-        probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
-        wanted = sorted({int(b) for row in probe for b in row})
         pruned = assigned.filter(
             pc.is_in(
                 assigned.column("ivf_bucket"), value_set=pa.array(wanted, pa.int32())
@@ -427,11 +453,6 @@ def ivf_topk(
         return brute_force_topk(
             pruned, queries, query_ids, k=k, key_col=key_col, vec_col=vec_col
         )
-    cents = (
-        centroids
-        if centroids is not None
-        else kmeans_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
-    )
     bucketed = ds.map_batches(
         IVFAssign,
         fn_constructor_kwargs={"centroids": cents, "vec_col": vec_col},
@@ -439,11 +460,6 @@ def ivf_topk(
         concurrency=concurrency,
         num_cpus=0.5,
     )
-    qn = _normalize(np.asarray(queries, dtype=np.float64))
-    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
-    wanted = sorted({int(b) for row in probe for b in row})
-    import pyarrow.compute as pc
-
     pruned = bucketed.map_batches(
         lambda b: b.filter(pc.is_in(b.column("ivf_bucket"), value_set=pa.array(wanted, pa.int32()))),
         batch_format="pyarrow",
@@ -513,6 +529,10 @@ class CentroidAssign:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "assigned_label", pa.array([], pa.int64())
+            )
         emb = _to_matrix(batch.column(self.vec_col))
         d2 = ((emb[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
         assigned = self.labels[np.argmin(d2, axis=1)]

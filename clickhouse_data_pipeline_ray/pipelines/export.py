@@ -124,23 +124,34 @@ def export_sorted(
             }
         )
 
-    zones = (
+    zones = _collect_zones(
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby("__rb")
         .map_groups(write_bucket, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("bucket")
     )
     index = {
         "sort_col": col,
-        "files": zones.to_dict("records"),
-        "total_rows": int(zones["rows"].sum()),
+        "files": zones,
+        "total_rows": int(sum(z["rows"] for z in zones)),
     }
     tmp = os.path.join(out_dir, f"{ZONEMAP}.tmp.{os.getpid()}")
     with open(tmp, "w") as f:
-        json.dump(index, f, indent=1)
+        json.dump(index, f, indent=1, allow_nan=False)
     os.replace(tmp, os.path.join(out_dir, ZONEMAP))
     return index
+
+
+def _collect_zones(zones_ds: ray.data.Dataset) -> list[dict]:
+    """Zone rows as plain dicts, bucket-ordered. Goes through Arrow
+    ``to_pylist`` — NOT pandas records — so a null zone (all-NaN bucket)
+    stays ``None`` in the JSON index instead of degrading to a nonstandard
+    ``NaN`` token that strict parsers reject and the ``is None`` overlap
+    guards can't see after reload."""
+    tbl = pa.concat_tables(
+        list(zones_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("bucket", "ascending")]))
+    return tbl.to_pylist()
 
 
 def read_sorted_range(
@@ -265,9 +276,18 @@ def export_zorder(
     min/max zones over its non-NaN values; :func:`read_zorder_box` opens
     only files whose zones overlap EVERY bounded dimension. Rows inside a
     file are z-sorted so parquet row-group stats prune further."""
+    if not cols:
+        raise ValueError("export_zorder needs at least one column")
+    if bits < 1 or len(cols) * bits > 64:
+        raise ValueError(
+            f"len(cols)*bits must be in [1, 64] for uint64 z-values, got "
+            f"{len(cols)}*{bits}={len(cols) * bits}"
+        )
     if num_files is None:
         num_files = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
-    file_bits = max(1, int(np.ceil(np.log2(num_files))))
+    # more files than z-prefixes would underflow the shift; clamp so e.g.
+    # 1 col × 8 bits caps at 256 files instead of corrupting every z-value
+    file_bits = min(max(1, int(np.ceil(np.log2(num_files)))), len(cols) * bits)
     n_bins = 1 << bits
     digests = _digests(ds, cols)
     qs = np.arange(1, n_bins) / n_bins
@@ -319,22 +339,20 @@ def export_zorder(
             )
         return pa.table(row)
 
-    zones = (
+    zones = _collect_zones(
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby("__rb")
         .map_groups(write_bucket, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("bucket")
     )
     index = {
         "zorder_cols": list(cols),
         "bits": bits,
-        "files": zones.to_dict("records"),
-        "total_rows": int(zones["rows"].sum()),
+        "files": zones,
+        "total_rows": int(sum(z["rows"] for z in zones)),
     }
     tmp = os.path.join(out_dir, f"{ZORDER_MAP}.tmp.{os.getpid()}")
     with open(tmp, "w") as f:
-        json.dump(index, f, indent=1)
+        json.dump(index, f, indent=1, allow_nan=False)
     os.replace(tmp, os.path.join(out_dir, ZORDER_MAP))
     return index
 

@@ -184,8 +184,14 @@ def _group_key_types(table_dir: str, spec: dict) -> dict[str, pa.DataType]:
     enrich_types: dict[str, pa.DataType] = {}
     if spec.get("enrich"):
         e = spec["enrich"]
-        dim_schema = load_manifest(e["table"]).schema
-        enrich_types = {c: dim_schema.field(c).type for c in e["add"]}
+        try:
+            dim_schema = load_manifest(e["table"]).schema
+            enrich_types = {c: dim_schema.field(c).type for c in e["add"]}
+        except (FileNotFoundError, OSError):
+            # the dim may live elsewhere (absolute path, possibly cleaned
+            # scratch); a missing dim must not break inspecting the MV's own
+            # (empty) state — only a refresh tick genuinely needs the dim.
+            enrich_types = {c: pa.string() for c in e["add"]}
     out: dict[str, pa.DataType] = {}
     for k in spec["group_keys"]:
         if k in enrich_types:
@@ -231,13 +237,23 @@ def _tick_columns(spec: dict) -> list[str]:
 
 def _read_dim_columns(table_dir: str, cols: list[str]) -> pa.Table:
     """Merged dim snapshot restricted to ``cols`` — column-pruned parquet
-    reads (the wide ``tokens`` payload is never decoded) + the shared
-    per-partition LWW merge kernel. Replaces the full ``snapshot_table``
-    read (a tests/small-tables API) on the enrichment path."""
+    reads (the wide ``tokens`` payload is never decoded). Respects the dim
+    table's mode like ``read_partition`` does: upsert chains LWW-merge
+    (keyed on the physical ``doc_id`` key column, which the narrow schema
+    always carries), append chains plain-concat — an append dim must never
+    lose legal duplicate rows to an LWW pass. Replaces the full
+    ``snapshot_table`` read (a tests/small-tables API) on the enrichment
+    path."""
+    from ..schemas import cast_table
     from ..stages.merge import merge_file_tables
 
     man = load_manifest(table_dir)
-    narrow = pa.schema([man.schema.field(c) for c in [*cols, "lsn"]])
+    is_append = man.mode == "append"
+    need = list(cols)
+    if not is_append:
+        # the LWW kernel keys on the physical doc_id column; version is lsn
+        need += [c for c in ("doc_id", "lsn") if c not in need]
+    narrow = pa.schema([man.schema.field(c) for c in need])
     want = set(narrow.names) | {"op"}
     parts = []
     for pid in sorted(man.partitions, key=int):
@@ -247,7 +263,11 @@ def _read_dim_columns(table_dir: str, cols: list[str]) -> pa.Table:
             path = os.path.join(table_dir, f)
             present = [c for c in pq.ParquetFile(path).schema_arrow.names if c in want]
             tables.append(pq.read_table(path, columns=present))
-        if tables:
+        if not tables:
+            continue
+        if is_append:
+            parts.extend(cast_table(t, narrow) for t in tables if t.num_rows)
+        else:
             parts.append(merge_file_tables(tables, narrow))
     if not parts:
         return narrow.empty_table()

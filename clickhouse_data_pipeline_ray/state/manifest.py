@@ -131,6 +131,16 @@ def init_table(
     (partitions appear as their months do)."""
     if mode not in ("upsert", "append"):
         raise ValueError(f"unknown table mode {mode!r} (upsert|append)")
+    if mode == "upsert" and "doc_id" not in schema.names:
+        # the LWW merge kernels (lww_compact / merge_file_tables) key on the
+        # physical doc_id column; import_base renames foreign key columns to
+        # it. An upsert table without one would fail deep in the first merge
+        # — reject at DDL time instead.
+        raise ValueError(
+            "upsert tables need a 'doc_id' key column in the schema "
+            "(rename your key at import/normalize time); got "
+            f"{list(schema.names)}"
+        )
     existing = os.path.join(table_dir, MANIFEST_NAME)
     if os.path.exists(existing):
         return load_manifest(table_dir)

@@ -328,3 +328,57 @@ def test_zorder_nan_values_do_not_poison_zones(ray_session, tmp_path):
     got = read_zorder_box(out, {"a": (1900.0, None)}).to_pandas()
     want = df[df["a"] >= 1900.0]
     assert sorted(got["i"]) == sorted(want["i"])
+
+
+def test_zone_index_null_zones_survive_json(ray_session):
+    """_collect_zones goes through Arrow to_pylist — NOT pandas records —
+    so an all-NaN bucket's null zone stays ``None`` through the committed
+    JSON (strict, allow_nan=False) and the ``is None`` always-overlap
+    guards in the readers can actually fire after reload."""
+    import json
+
+    import pyarrow as pa
+    import ray
+
+    from clickhouse_data_pipeline_ray.pipelines.export import _collect_zones
+
+    tbl = pa.table(
+        {
+            "bucket": pa.array([1, 0], pa.int32()),
+            "file": pa.array(["b.parquet", "a.parquet"]),
+            "min": pa.array([None, 1.0], pa.float64()),
+            "max": pa.array([None, 2.0], pa.float64()),
+            "rows": pa.array([3, 5], pa.int64()),
+        }
+    )
+    zones = _collect_zones(ray.data.from_arrow(tbl))
+    assert [z["bucket"] for z in zones] == [0, 1]  # bucket-ordered
+    assert zones[1]["min"] is None and zones[1]["max"] is None
+    reloaded = json.loads(json.dumps({"files": zones}, allow_nan=False))
+    assert reloaded["files"][1]["min"] is None
+
+
+def test_zorder_validates_bit_widths(ray_session, tmp_path):
+    """>64 total code bits and bits<1 are rejected up front; a num_files
+    beyond the z-prefix space clamps (1 col x 8 bits caps at 256 files)
+    instead of underflowing the prefix shift and corrupting every z-value."""
+    import ray
+
+    from clickhouse_data_pipeline_ray.pipelines.export import (
+        export_zorder,
+        read_zorder_box,
+    )
+
+    df = pd.DataFrame({"a": np.arange(200.0), "b": np.arange(200.0)})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(ValueError, match="64"):
+        export_zorder(ds, [f"c{i}" for i in range(9)], str(tmp_path / "x"), bits=8)
+    with pytest.raises(ValueError):
+        export_zorder(ds, ["a"], str(tmp_path / "y"), bits=0)
+    out = str(tmp_path / "clamp")
+    index = export_zorder(ds.repartition(2), ["a"], out, num_files=512, bits=8)
+    assert index["total_rows"] == 200
+    assert len(index["files"]) <= 256
+    got = read_zorder_box(out, {"a": (10.0, 20.0)}).to_pandas()
+    want = df[(df["a"] >= 10.0) & (df["a"] <= 20.0)]
+    assert sorted(got["a"]) == sorted(want["a"])

@@ -382,3 +382,60 @@ def test_small_tick_fast_path_equals_distributed(ray_session, tmp_path, monkeypa
     monkeypatch.setattr(M, "SMALL_TICK_EVENTS", 500_000)  # fast path
     refresh_mv(table2, wal2, "daily")
     assert _mv_df(table2).values.tolist() == dist == _oracle(wal, 2_000).values.tolist()
+
+
+def test_read_dim_columns_respects_table_mode(ray_session, tmp_path):
+    """_read_dim_columns mirrors read_partition's mode dispatch: upsert
+    chains LWW-merge on the physical doc_id key, append chains plain-concat
+    (legal duplicate business keys survive — never an LWW pass)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_data_pipeline_ray.pipelines.mv import _read_dim_columns
+    from clickhouse_data_pipeline_ray.schemas import FACT_CHANGE_SCHEMA
+    from clickhouse_data_pipeline_ray.sources.wal import segment_path
+
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    n = 6
+    t = pa.table(
+        {
+            "lsn": pa.array(np.arange(1, n + 1)),
+            "op": pa.array(["c"] * n),
+            "event_id": pa.array([f"ev-{i}" for i in range(n)]),
+            # duplicate doc_ids are LEGAL fact rows in append mode
+            "doc_id": pa.array(["d-1", "d-1", "d-2", "d-2", "d-2", "d-3"]),
+            "event_ts": pa.array([1_700_000_000_000_000] * n, pa.timestamp("us")),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array([1.0] * n, pa.float64()),
+        },
+        schema=FACT_CHANGE_SCHEMA,
+    )
+    pq.write_table(t, segment_path(wal, 1, n))
+    facts = str(tmp_path / "facts")
+    create_table(
+        facts, schema=FACT_SNAPSHOT_SCHEMA, mode="append",
+        key_col="event_id", num_partitions=2,
+    )
+    replay(facts, wal, ApplyConfig(), final_compact=False)
+    got = _read_dim_columns(facts, ["doc_id", "event_type"])
+    assert got.num_rows == n  # every duplicate survived
+    assert sorted(got.column("doc_id").to_pylist()) == sorted(
+        t.column("doc_id").to_pylist()
+    )
+
+
+def test_upsert_table_requires_doc_id_key(ray_session, tmp_path):
+    """DDL-time rejection of an upsert schema without the physical doc_id
+    LWW key (the merge kernels' engine-wide convention)."""
+    import pyarrow as pa
+
+    with pytest.raises(ValueError, match="doc_id"):
+        create_table(
+            str(tmp_path / "bad"),
+            schema=pa.schema([("k", pa.string()), ("lsn", pa.int64())]),
+            mode="upsert",
+        )

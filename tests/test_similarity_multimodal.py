@@ -41,6 +41,32 @@ def test_brute_force_topk_matches_numpy(ray_session):
         assert g == want[qi], f"query {qi}: {g} != {want[qi]}"
 
 
+def test_topk_empty_vector_set_returns_empty(ray_session):
+    """A zero-row pruned set (every probed IVF bucket empty, or an empty
+    filtered batch on the distributed path) folds to an empty result —
+    never a zero-size reshape / argpartition crash."""
+    import pyarrow as pa
+
+    from clickhouse_data_pipeline_ray.functions.similarity import (
+        BruteForceTopK,
+        brute_force_topk,
+    )
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }
+    )
+    q = np.eye(2, 8)
+    out = BruteForceTopK(queries=q, query_ids=np.array([0, 1]))(empty)
+    assert out.num_rows == 0
+    assert out.column_names == ["query_id", "neighbor_id", "score"]
+    # latency (pa.Table) fold over the empty kernel output
+    got = brute_force_topk(empty, q, [0, 1], k=3)
+    assert len(got) == 0
+
+
 def test_ivf_topk_high_recall(ray_session):
     from clickhouse_data_pipeline_ray.functions.similarity import ivf_topk
 
@@ -432,6 +458,16 @@ def test_connected_components_auto_switch(ray_session):
     want = connected_components(a, b)
     got = connected_components_auto(a, b, driver_pair_limit=0)
     assert got == want
+
+    # string doc ids (the minhash_dedup key shape) must survive the
+    # distributed path: encoded via sorted uniques so the min-code root is
+    # the min-id root, decoded back to the original keys
+    sa = [f"d-{x:03d}" for x in a]
+    sb = [f"d-{x:03d}" for x in b]
+    want_s = connected_components(sa, sb)
+    got_s = connected_components_auto(sa, sb, driver_pair_limit=0)
+    assert got_s == want_s
+    assert all(isinstance(k, str) for k in got_s)
 def test_kmeans_lloyd_matches_numpy_reference(ray_session):
     """Distributed Lloyd equals a pure-numpy reference running the identical
     update rule from the identical init, and inertia never increases."""
