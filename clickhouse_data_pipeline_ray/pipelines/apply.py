@@ -50,7 +50,7 @@ from ..sources.wal import (
     segment_num_rows,
     segment_schema,
 )
-from ..stages.merge import MergeApply
+from ..stages.merge import MergeApply, promote_part
 from ..stages.normalize import compact_group, make_normalize_fn
 from ..state.manifest import (
     Manifest,
@@ -181,6 +181,17 @@ def _read_segments(
     return ds
 
 
+
+def _worker_partitions(partitions: dict[str, dict]) -> dict[str, dict]:
+    """The per-pid fields merge/compact workers actually read — lineage (up
+    to ~200 applied-segment names per pid, driver-only audit data) stays out
+    of the actor constructor args, whose pickling cost otherwise grows with
+    table age on the micro-batch hot path."""
+    return {
+        pid: {k: v for k, v in meta.items() if k != "lineage"}
+        for pid, meta in partitions.items()
+    }
+
 def _detect_hot_pids(
     man: Manifest, changes: ray.data.Dataset, cfg: ApplyConfig
 ) -> tuple[list[int], ray.data.Dataset]:
@@ -196,6 +207,12 @@ def _detect_hot_pids(
     price of materializing the change set (returned so the merge shares the
     single WAL scan)."""
     if cfg.salt_factor <= 1 or man.num_partitions <= 1 or cfg.hot_detect == "off":
+        return [], changes
+    if man.spec.get("kind") != "hash":
+        # assign_by_spec only creates the salt column for hash specs — a
+        # time-partitioned upsert table would crash the salted groupby on a
+        # missing column (and its skew is time-locality, not key-hash skew,
+        # which salting cannot fix anyway)
         return [], changes
     if cfg.hot_detect == "prev":
         counts = {int(p): n for p, n in man.last_applied.items() if n > 0}
@@ -285,7 +302,7 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
     merge_kwargs = {
         "table_dir": table_dir,
         "epoch": epoch,
-        "partitions": man.partitions,
+        "partitions": _worker_partitions(man.partitions),
         "snapshot_schema_b64": schema_to_b64(snap_schema),
         "write_mode": cfg.write_mode,
         "compact_threshold": cfg.compact_threshold,
@@ -352,8 +369,7 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
     for row in stats:
         pid = str(row["pid"])
         if row["new_file"]:
-            tmp = os.path.join(table_dir, row["new_file"] + ".tmp")
-            os.replace(tmp, os.path.join(table_dir, row["new_file"]))
+            promote_part(table_dir, row["new_file"])
         # Dynamic (time) partitions materialize in the manifest on first write
         part = man.partitions.setdefault(pid, empty_partition(watermark))
         part.update(
@@ -484,7 +500,7 @@ def _compact_table_locked(table_dir: str, concurrency: int | tuple) -> dict | No
             fn_constructor_kwargs={
                 "table_dir": table_dir,
                 "epoch": epoch,
-                "partitions": man.partitions,
+                "partitions": _worker_partitions(man.partitions),
                 "snapshot_schema_b64": man.schema_b64,
                 "mode": man.mode,
             },
@@ -497,10 +513,7 @@ def _compact_table_locked(table_dir: str, concurrency: int | tuple) -> dict | No
     )
     for row in stats:
         pid = str(row["pid"])
-        os.replace(
-            os.path.join(table_dir, row["new_file"] + ".tmp"),
-            os.path.join(table_dir, row["new_file"]),
-        )
+        promote_part(table_dir, row["new_file"])
         man.partitions[pid].update(
             {
                 "rows": int(row["rows"]),
@@ -614,10 +627,7 @@ def import_base(
         total = 0
         for row in stats:
             pid = str(row["pid"])
-            os.replace(
-                os.path.join(table_dir, row["new_file"] + ".tmp"),
-                os.path.join(table_dir, row["new_file"]),
-            )
+            promote_part(table_dir, row["new_file"])
             man.partitions[pid].update(
                 {
                     "rows": int(row["rows"]),
@@ -705,10 +715,7 @@ def _repartition_locked(
     )
     for row in stats:
         pid = str(row["pid"])
-        os.replace(
-            os.path.join(table_dir, row["new_file"] + ".tmp"),
-            os.path.join(table_dir, row["new_file"]),
-        )
+        promote_part(table_dir, row["new_file"])
         new_parts[pid].update(
             {
                 "rows": int(row["rows"]),

@@ -27,8 +27,13 @@ from dataclasses import dataclass
 # Parquet is the native WAL format; JSONL is accepted for interop with
 # JSON-emitting CDC sources (Debezium's wire format is JSON — the reference
 # consumes exactly that, /root/reference/stream_etl/core/consumer.py:48).
-SEG_RE = re.compile(r"^seg-(\d{12})-(\d{12})\.(parquet|jsonl)$")
-SHARD_RE = re.compile(r"^shard-(\d{12})$")
+# {:012d} zero-pads up to 10^12 and grows naturally past it, so the match
+# must accept >=12 digits — a fixed {12} would make segments past lsn 10^12
+# invisible to the listing (replay reports "caught up" while events silently
+# stop applying). Ordering never relies on name width: listings sort by the
+# PARSED integers.
+SEG_RE = re.compile(r"^seg-(\d{12,})-(\d{12,})\.(parquet|jsonl)$")
+SHARD_RE = re.compile(r"^shard-(\d{12,})$")
 
 
 @dataclass(frozen=True)
@@ -107,7 +112,9 @@ def pending_segments(
     """Segments containing any LSN > watermark, in LSN order (whole shard
     dirs below the watermark are pruned at the listing)."""
     segs = [s for s in list_segments(wal_dir, skip_upto=watermark) if s.last_lsn > watermark]
-    return segs[:max_segments] if max_segments else segs
+    # None = unlimited; 0 is a real cap (a dynamic backpressure budget can
+    # legitimately reach zero) — `if max_segments` would read 0 as unlimited
+    return segs if max_segments is None else segs[:max_segments]
 
 
 def truncate_wal(wal_dir: str, watermark_lsn: int) -> list[str]:

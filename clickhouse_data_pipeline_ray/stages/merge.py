@@ -37,17 +37,75 @@ _SRC_BASE = 0
 _SRC_CHANGE = 1
 
 
+def fsync_path(path: str) -> None:
+    """fsync a file's data (or a directory's entries) by path."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def write_part_tmp(
+    table_dir: str,
+    pid: int,
+    epoch: int,
+    kind: str,
+    table: pa.Table,
+    compression: str = "zstd",
+) -> tuple[str, int]:
+    """The worker half of the commit protocol, shared by every part writer
+    (MergeApply, CompactWorker, SnapshotWriter): write under a unique scratch
+    name, fsync the FILE, then atomically move it to its ``.tmp`` name; the
+    driver renames tmp→final at commit, fsyncs the part directories, and
+    only then swaps the manifest. The file fsync orders the parquet bytes
+    BEFORE the manifest that references them — without it a power loss could
+    persist the manifest (which IS fsynced) while the parts it points at are
+    still page-cache-only, leaving an unreadable table whose watermark has
+    advanced past the WAL. The unique scratch name means a retried task
+    never interleaves bytes with a concurrent writer's file.
+
+    Returns (relative final path, bytes)."""
+    part_dir = os.path.join(table_dir, "parts", f"pid={pid:05d}")
+    os.makedirs(part_dir, exist_ok=True)
+    rel = os.path.join("parts", f"pid={pid:05d}", f"{kind}-{epoch:06d}.parquet")
+    tmp_path = os.path.join(table_dir, rel + ".tmp")
+    scratch = f"{tmp_path}.{os.getpid()}"
+    pq.write_table(table, scratch, compression=compression)
+    fsync_path(scratch)
+    os.replace(scratch, tmp_path)
+    return rel, os.path.getsize(tmp_path)
+
+
+def promote_part(table_dir: str, rel: str) -> None:
+    """The driver half of the commit protocol: rename a worker-written
+    ``.tmp`` part to its final name and fsync the parent directory, so the
+    rename is durable BEFORE the manifest swap that references it."""
+    final = os.path.join(table_dir, rel)
+    os.replace(final + ".tmp", final)
+    fsync_path(os.path.dirname(final))
+
+
 def _last_wins_mask(keys: pa.Array) -> pa.Array:
     """Boolean mask selecting the last row of each equal-key run.
 
     ``keys`` must be sorted. Vectorized: row i wins iff keys[i] != keys[i+1].
-    """
+
+    Null-safe: ``not_equal`` is null (→ False after cast) whenever either
+    side is null, which would silently DROP the last real key's winner
+    adjacent to the null run and keep a null-key row. Nulls compare here as
+    one ordinary key group: exactly-one-null = different keys (True),
+    both-null = same key (False). The CDC path additionally rejects null
+    keys loudly at normalize time; this guard protects every other caller
+    (dedup's keep-min reduction, user tables)."""
     n = len(keys)
     if n == 0:
         return pa.array([], type=pa.bool_())
-    neq = pc.not_equal(keys.slice(0, n - 1), keys.slice(1, n - 1))
+    a, b = keys.slice(0, n - 1), keys.slice(1, n - 1)
+    neq = pc.fill_null(pc.not_equal(a, b), False)
+    one_null = pc.xor(pc.is_null(a), pc.is_null(b))
     mask = np.ones(n, dtype=bool)
-    mask[: n - 1] = neq.to_numpy(zero_copy_only=False)
+    mask[: n - 1] = pc.or_(neq, one_null).to_numpy(zero_copy_only=False)
     return pa.array(mask)
 
 
@@ -136,30 +194,20 @@ def merge_base_and_changes(
 
     ``base`` rows carry the LSN of their last writer (stored in the snapshot),
     so re-merging is a pure LWW reduction. ``changes`` must have an ``op``
-    column; the result conforms to ``snapshot_schema`` (schema evolution:
-    both sides are cast to it) and is sorted by key for deterministic output
-    files (exactly-once re-runs produce identical bytes).
+    column; the result conforms to ``snapshot_schema`` and is key-sorted for
+    deterministic output files (exactly-once re-runs produce identical bytes).
+
+    Thin wrapper over :func:`merge_file_tables` — there is ONE LWW merge
+    kernel in the engine, so the semantics the tests pin here are exactly the
+    semantics the shipped apply/compact path runs (a base snapshot carries no
+    ``op`` column → implicit all-alive at rank 0; the change table keeps
+    ``op`` at rank 1, the equal-LSN tie-break the kernel defines).
     """
-    changes = changes.drop_columns([c for c in ROUTING_COLS if c in changes.column_names])
-    op = changes.column("op")
-    changes = cast_table(changes, snapshot_schema)
-    changes = changes.append_column("op", op.cast(pa.string()))
-    changes = changes.append_column(
-        "_src", pa.nulls(changes.num_rows, pa.int32()).fill_null(_SRC_CHANGE)
+    changes = changes.drop_columns(
+        [c for c in ROUTING_COLS if c in changes.column_names]
     )
-
-    if base is not None and base.num_rows > 0:
-        base = cast_table(base, snapshot_schema)
-        n = base.num_rows
-        base = base.append_column("op", pa.nulls(n, pa.string()).fill_null("c"))
-        base = base.append_column("_src", pa.nulls(n, pa.int32()).fill_null(_SRC_BASE))
-        combined = pa.concat_tables([base, changes], promote_options="none")
-    else:
-        combined = changes
-
-    winners = lww_compact(combined, src_rank="_src")
-    alive = winners.filter(pc.not_equal(winners.column("op"), pa.scalar("d")))
-    return cast_table(alive, snapshot_schema)  # drops op/_src, fixes order
+    tables = [base] if base is not None else []
+    return merge_file_tables(tables + [changes], snapshot_schema)
 
 
 def _stats_row(
@@ -323,20 +371,10 @@ class MergeApply:
         ]
 
     def _write(self, table: pa.Table, pid: int, kind: str) -> tuple[str, int]:
-        """Write under tmp name; driver renames at commit. Returns
-        (relative final path, bytes). Unique scratch name then atomic replace,
-        so a retried task never interleaves bytes with a concurrent writer."""
-        part_dir = os.path.join(self.table_dir, "parts", f"pid={pid:05d}")
-        os.makedirs(part_dir, exist_ok=True)
-        rel = os.path.join("parts", f"pid={pid:05d}", f"{kind}-{self.epoch:06d}.parquet")
-        tmp_path = os.path.join(self.table_dir, rel + ".tmp")
-        scratch = f"{tmp_path}.{os.getpid()}"
         # zstd for long-lived snapshots, lz4 for short-lived deltas (cheaper
         # to write; they are rewritten away at the next compaction anyway).
         comp = "lz4" if kind == "delta" else "zstd"
-        pq.write_table(table, scratch, compression=comp)
-        os.replace(scratch, tmp_path)
-        return rel, os.path.getsize(tmp_path)
+        return write_part_tmp(self.table_dir, pid, self.epoch, kind, table, comp)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
@@ -479,19 +517,13 @@ class CompactWorker:
             # stored sorted; merge_file_tables emits winners in key order);
             # append chains concat in lsn order — both deterministic.
             merged = read_partition(self.table_dir, files, self.snapshot_schema, self.mode)
-            part_dir = os.path.join(self.table_dir, "parts", f"pid={pid:05d}")
-            os.makedirs(part_dir, exist_ok=True)
-            rel = os.path.join(
-                "parts", f"pid={pid:05d}", f"{kind}-{self.epoch:06d}.parquet"
+            rel, nbytes = write_part_tmp(
+                self.table_dir, pid, self.epoch, kind, merged
             )
-            tmp_path = os.path.join(self.table_dir, rel + ".tmp")
-            scratch = f"{tmp_path}.{os.getpid()}"
-            pq.write_table(merged, scratch, compression="zstd")
-            os.replace(scratch, tmp_path)
             meta = self.partitions[str(pid)]
             out.append(
                 _stats_row(
-                    pid, merged.num_rows, True, os.path.getsize(tmp_path),
+                    pid, merged.num_rows, True, nbytes,
                     0, 0, int(meta["watermark_lsn"]), rel, [rel], t0,
                 )
             )
@@ -539,19 +571,13 @@ class SnapshotWriter:
             n_dup = pc.sum(dup.cast(pa.int64())).as_py() or 0
             if n_dup:
                 dup_sample = pc.filter(keys.slice(0, n - 1), dup).slice(0, 5).to_pylist()
-        part_dir = os.path.join(self.table_dir, "parts", f"pid={pid:05d}")
-        os.makedirs(part_dir, exist_ok=True)
-        rel = os.path.join(
-            "parts", f"pid={pid:05d}", f"snapshot-{self.epoch:06d}.parquet"
+        rel, nbytes = write_part_tmp(
+            self.table_dir, pid, self.epoch, "snapshot", rows
         )
-        tmp_path = os.path.join(self.table_dir, rel + ".tmp")
-        scratch = f"{tmp_path}.{os.getpid()}"
-        pq.write_table(rows, scratch, compression="zstd")
-        os.replace(scratch, tmp_path)
         import json as _json
 
         stats = _stats_row(
-            pid, rows.num_rows, True, os.path.getsize(tmp_path),
+            pid, rows.num_rows, True, nbytes,
             rows.num_rows, 0, 0, rel, [rel], t0,
         )
         return stats.append_column(

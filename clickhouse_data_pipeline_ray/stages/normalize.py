@@ -81,6 +81,15 @@ def make_normalize_fn(
             empty = cast_table(batch, change_schema)
             return assign_by_spec(empty, partition_spec, salt_factor, key_col)
         batch = normalize_batch(batch, change_schema, valid_ops)
+        n_null_keys = batch.column(key_col).null_count
+        if n_null_keys:
+            # a change event without its key is malformed input (e.g. a JSONL
+            # segment missing the field entirely — cast_table null-fills it);
+            # fail the epoch loudly like invalid ops do, instead of letting a
+            # null key reach the LWW merge
+            raise ValueError(
+                f"{n_null_keys} change event(s) with null {key_col!r} key"
+            )
         batch = assign_by_spec(batch, partition_spec, salt_factor, key_col)
         if precompact and mode == "upsert":
             batch = lww_compact(batch, key=key_col)

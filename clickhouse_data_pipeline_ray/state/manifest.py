@@ -141,6 +141,17 @@ def init_table(
             "(rename your key at import/normalize time); got "
             f"{list(schema.names)}"
         )
+    if mode == "upsert" and key_col != "doc_id":
+        # half the pipeline (normalize pre-compaction, partition hashing)
+        # honors key_col while the merge kernels key on the physical doc_id;
+        # an upsert table keyed elsewhere would get batch-boundary-dependent
+        # LWW (nondeterministic row loss). The engine convention: upsert keys
+        # are ALWAYS physically named doc_id (import_base renames); key_col
+        # is a real choice only for append tables (e.g. event_id facts).
+        raise ValueError(
+            f"upsert tables must use key_col='doc_id' (got {key_col!r}); "
+            "rename the key column at import/normalize time instead"
+        )
     existing = os.path.join(table_dir, MANIFEST_NAME)
     if os.path.exists(existing):
         return load_manifest(table_dir)
@@ -236,6 +247,15 @@ def commit_manifest(man: Manifest) -> None:
         vf.flush()
         os.fsync(vf.fileno())
     os.replace(tmp, path)
+    # make the swap itself durable: fsync the directory entry, or a power
+    # loss could resurface the previous manifest after the caller reported
+    # the epoch committed (parts are fsynced before this — see
+    # stages/merge.py write_part_tmp / promote_part)
+    dfd = os.open(man.table_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     for old in retained_epochs(man.table_dir)[: -man.retention]:
         os.remove(os.path.join(man.table_dir, f"manifest-{old:06d}.json"))
 
@@ -281,73 +301,53 @@ class TableLockError(RuntimeError):
 
 
 class table_lock:
-    """Single-writer advisory lock (O_CREAT|O_EXCL lock file holding the
-    owner pid). The commit protocol assumes one driver per table — two
-    concurrent epochs would silently last-write-win the manifest swap and
-    orphan one epoch's files. A lock whose owner pid is dead (crashed driver)
-    is reclaimed; the exactly-once protocol makes that safe (the dead run's
-    tmp files are ignored and GC'd).
+    """Single-writer advisory lock via ``flock`` on a permanent lock file.
+    The commit protocol assumes one driver per table — two concurrent epochs
+    would silently last-write-win the manifest swap and orphan one epoch's
+    files.
 
-    The reference has no equivalent guard — concurrent batch + streaming
-    services write the same ClickHouse tables unconcerned
-    (/root/reference/docker-compose.yaml runs both)."""
+    ``flock`` is owned by the open fd, so the kernel releases it the instant
+    a crashed owner dies — no staleness judgment, no reclaim, and none of
+    the TOCTOU holes the previous pid-file scheme had (an empty just-created
+    pid file read as "dead", or a reclaim rename stealing a racer's freshly
+    acquired live lock). The file itself is never unlinked: unlink+recreate
+    would let two processes flock DIFFERENT inodes at the same path. The
+    owner pid is written into the file for diagnostics only.
+
+    Scope: correct for a single node (the sandbox; the driver runs one
+    process per table). On a multi-node deployment the single-writer claim
+    moves to the coordination layer that launches drivers (the same place
+    the reference's docker-compose implicitly puts it — it has NO guard and
+    runs concurrent batch + streaming writers against the same ClickHouse
+    tables, /root/reference/docker-compose.yaml).
+    """
 
     def __init__(self, table_dir: str):
         self.path = os.path.join(table_dir, "table.lock")
         self.fd = None
 
-    def _owner_alive(self) -> bool:
-        try:
-            pid = int(open(self.path).read().strip() or 0)
-        except (OSError, ValueError):
-            return False
-        if pid <= 0:
-            return False
-        try:
-            os.kill(pid, 0)
-        except ProcessLookupError:
-            return False
-        except PermissionError:
-            return True
-        return True
-
     def __enter__(self):
+        import fcntl
+
+        fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
         try:
-            self.fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            if self._owner_alive():
-                raise TableLockError(
-                    f"table is locked by a live writer ({self.path})"
-                ) from None
-            # Atomic reclaim: rename the stale lock to a unique name first —
-            # only the process whose rename succeeds may proceed, so two
-            # racers observing the same dead owner can't both unlink their
-            # way past each other's freshly created lock (check-then-unlink
-            # was exactly the concurrent-writer hole this lock exists for).
-            claim = f"{self.path}.stale.{os.getpid()}"
-            try:
-                os.rename(self.path, claim)
-            except FileNotFoundError:
-                pass  # another racer reclaimed it; fall through to O_EXCL
-            else:
-                os.unlink(claim)
-            try:
-                self.fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                # the other reclaimer won the re-create — genuine contention
-                raise TableLockError(
-                    f"table is locked by a concurrent writer ({self.path})"
-                ) from None
-        os.write(self.fd, str(os.getpid()).encode())
-        os.fsync(self.fd)
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            os.close(fd)
+            raise TableLockError(
+                f"table is locked by a live writer ({self.path})"
+            ) from None
+        self.fd = fd
+        os.ftruncate(fd, 0)
+        os.write(fd, str(os.getpid()).encode())
         return self
 
     def __exit__(self, *exc):
+        import fcntl
+
         if self.fd is not None:
+            os.ftruncate(self.fd, 0)
+            fcntl.flock(self.fd, fcntl.LOCK_UN)
             os.close(self.fd)
             self.fd = None
-        try:
-            os.unlink(self.path)
-        except FileNotFoundError:
-            pass
         return False

@@ -2,6 +2,8 @@
 
 from dataclasses import replace
 
+import os
+
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
@@ -220,3 +222,55 @@ def test_ensure_wal_regenerates_on_param_change(tmp_path):
         assert f.read() == repr(p2)
     n_segments = len(list_segments(wal))
     assert n_segments == len(plan_segments(p2))
+
+
+def test_segments_past_twelve_lsn_digits_are_listed(tmp_path):
+    """{:012d} grows past 12 digits at lsn 10^12; the listing regex accepts
+    the wider names (a fixed {12} made such segments silently invisible —
+    replay would report caught-up while events stopped applying)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_data_pipeline_ray.sources.wal import (
+        list_segments,
+        pending_segments,
+        segment_path,
+    )
+
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    lo, hi = 10**12, 10**12 + 9  # 13-digit LSNs
+    t = pa.table(
+        {
+            "lsn": pa.array(range(lo, hi + 1), pa.int64()),
+            "op": pa.array(["c"] * 10),
+            "doc_id": pa.array([f"d-{i}" for i in range(10)]),
+        }
+    )
+    pq.write_table(t, segment_path(wal, lo, hi))
+    segs = list_segments(wal)
+    assert [(s.first_lsn, s.last_lsn) for s in segs] == [(lo, hi)]
+    # parsed-int ordering across widths (12-digit before 13-digit)
+    pq.write_table(t, segment_path(wal, 999, 1005))
+    segs = list_segments(wal)
+    assert [s.first_lsn for s in segs] == [999, lo]
+
+
+def test_pending_segments_zero_cap_means_none(tmp_path):
+    """max_segments=0 is a real cap (a dynamic backpressure budget can reach
+    zero), not 'unlimited'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_data_pipeline_ray.sources.wal import (
+        pending_segments,
+        segment_path,
+    )
+
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    t = pa.table({"lsn": pa.array([1, 2], pa.int64()), "op": pa.array(["c", "c"]),
+                  "doc_id": pa.array(["a", "b"])})
+    pq.write_table(t, segment_path(wal, 1, 2))
+    assert pending_segments(wal, 0, max_segments=0) == []
+    assert len(pending_segments(wal, 0, max_segments=None)) == 1

@@ -109,8 +109,8 @@ def test_wrong_table_kinds_rejected(ray_session, tmp_path):
         L.lookup_keys(t1, ["ev-1"])
     t2 = str(tmp_path / "time")
     create_table(
-        t2, schema=FACT_SNAPSHOT_SCHEMA, mode="upsert", key_col="event_id",
+        t2, schema=FACT_SNAPSHOT_SCHEMA, mode="upsert",
         partition_spec={"kind": "time", "col": "event_ts", "granularity": "month"},
     )
     with pytest.raises(ValueError, match="time-partitioned"):
-        L.lookup_keys(t2, ["ev-1"])
+        L.lookup_keys(t2, ["d-1"])

@@ -159,3 +159,54 @@ def test_long_delta_chain_rank_over_127():
     out = merge_file_tables(tables, SNAPSHOT_SCHEMA)
     assert out.num_rows == 1
     assert out.column("tokens").to_pylist() == [[129]]
+
+
+def test_lww_compact_null_keys_are_one_group():
+    """Null keys must not poison adjacent runs: ``not_equal`` is null against
+    a null side (→ False as a mask bit), which silently dropped the last
+    real key's winner next to the null run and kept a null-key row. Nulls
+    now compare as one ordinary key group."""
+    import pyarrow as pa
+
+    from clickhouse_data_pipeline_ray.stages.merge import lww_compact
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", None, None, "b", "a"]),
+            "lsn": pa.array([1, 5, 6, 3, 2], pa.int64()),
+        }
+    )
+    out = lww_compact(t)
+    got = set(zip(out.column("doc_id").to_pylist(), out.column("lsn").to_pylist()))
+    assert got == {("a", 2), ("b", 3), (None, 6)}
+    # all-null degenerate
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([None, None], pa.string()),
+            "lsn": pa.array([1, 2], pa.int64()),
+        }
+    )
+    assert lww_compact(t2).to_pydict() == {"doc_id": [None], "lsn": [2]}
+
+
+def test_normalize_rejects_null_keys():
+    """A change event with a null key (e.g. a JSONL segment missing the
+    field — cast_table null-fills it) fails the epoch loudly, like invalid
+    ops do, instead of reaching the LWW merge."""
+    import pyarrow as pa
+    import pytest
+
+    from clickhouse_data_pipeline_ray.schemas import CHANGE_SCHEMA
+    from clickhouse_data_pipeline_ray.stages.normalize import make_normalize_fn
+
+    fn = make_normalize_fn(CHANGE_SCHEMA, {"kind": "hash", "num": 4})
+    batch = pa.table(
+        {
+            "lsn": pa.array([1, 2], pa.int64()),
+            "op": pa.array(["c", "c"]),
+            "doc_id": pa.array(["a", None]),
+            "tokens": pa.array([[1], [2]], pa.list_(pa.int32())),
+        }
+    )
+    with pytest.raises(ValueError, match="null"):
+        fn(batch)

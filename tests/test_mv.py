@@ -439,3 +439,11 @@ def test_upsert_table_requires_doc_id_key(ray_session, tmp_path):
             schema=pa.schema([("k", pa.string()), ("lsn", pa.int64())]),
             mode="upsert",
         )
+
+
+def test_upsert_table_requires_doc_id_key_col(ray_session, tmp_path):
+    """upsert + key_col != 'doc_id' would split LWW semantics between the
+    key_col-honoring pre-compaction and the doc_id-keyed merge kernels
+    (batch-boundary-dependent row loss) — rejected at DDL time."""
+    with pytest.raises(ValueError, match="key_col"):
+        create_table(str(tmp_path / "bad"), mode="upsert", key_col="user_id")

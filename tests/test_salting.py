@@ -81,3 +81,25 @@ def test_partitioner_stable_across_processes():
     assert partition_of("web-00000000", 64) == partition_of("web-00000000", 64)
     pids = [partition_of(f"web-{i:08d}", 8) for i in range(32)]
     assert len(set(pids)) > 1  # spreads
+
+
+def test_salting_skipped_on_non_hash_partition_spec():
+    """assign_by_spec only creates the salt column for hash specs — salting
+    on a time-partitioned table would crash the salted groupby on a missing
+    column. _detect_hot_pids must refuse regardless of skew history."""
+    from clickhouse_data_pipeline_ray.pipelines.apply import (
+        ApplyConfig,
+        _detect_hot_pids,
+    )
+    from clickhouse_data_pipeline_ray.state.manifest import Manifest
+
+    man = Manifest(
+        table_dir="/nonexistent",
+        num_partitions=8,
+        schema_b64="",
+        partitions={},
+        partition_spec={"kind": "time", "col": "event_ts", "granularity": "month"},
+        last_applied={"0": 1_000_000, "1": 10},  # wildly skewed history
+    )
+    hot, _ = _detect_hot_pids(man, None, ApplyConfig())
+    assert hot == []
