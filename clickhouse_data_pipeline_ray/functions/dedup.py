@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..stages.partition import n_reduce_buckets
 from .textstats import fingerprint_batch
 
 _MERSENNE = (1 << 61) - 1
@@ -135,9 +136,7 @@ def exact_dedup(
     interpreter call per (overwhelmingly singleton) fingerprint group."""
     from ..stages.merge import lww_compact
 
-    nb = num_buckets or max(
-        8, 2 * int(ray.cluster_resources().get("CPU", 8))
-    )
+    nb = num_buckets or n_reduce_buckets()
 
     def partial(b: pa.Table) -> pa.Table:
         b = fingerprint_batch(b, text_col)
@@ -189,17 +188,20 @@ def segment_dedup(
     pairs for not moving text twice). ``pos_scale`` bounds seg_no and
     requires ``max(doc_id) * pos_scale`` to fit int64 — re-key upstream if
     ids are not dense."""
-    nb = num_buckets or max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    nb = num_buckets or n_reduce_buckets()
     from pandas.util import hash_array
 
     def tile(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
+            # column set AND order must match the non-empty return exactly —
+            # Ray unifies block schemas across batches ('h' was missing here)
             return pa.table(
                 {
                     key_col: pa.nulls(0, b.schema.field(key_col).type),
                     "seg_no": pa.nulls(0, pa.int64()),
                     "n_segments": pa.nulls(0, pa.int64()),
                     "seg_text": pa.nulls(0, pa.string()),
+                    "h": pa.nulls(0, pa.int64()),
                     "hb": pa.nulls(0, pa.int32()),
                     "pos": pa.nulls(0, pa.int64()),
                 }
@@ -500,21 +502,6 @@ class MinHasher:
         )
 
 
-def _bucket_pairs(group: pd.DataFrame, key_col: str) -> pd.DataFrame:
-    g = group.sort_values(key_col).reset_index(drop=True)
-    if len(g) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-    rows_a, rows_b, est = [], [], []
-    sigs = [np.asarray(s) for s in g["sig"]]
-    keys = list(g[key_col])
-    for i in range(len(g)):
-        for j in range(i + 1, len(g)):
-            rows_a.append(keys[i])
-            rows_b.append(keys[j])
-            est.append(float((sigs[i] == sigs[j]).mean()))
-    return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, "est_jaccard": est})
-
-
 def _bucket_pairs_block(
     group: pd.DataFrame, key_col: str, max_bucket: int = 512
 ) -> pd.DataFrame:
@@ -602,7 +589,7 @@ def minhash_lsh_pairs(
     # Superbucket the candidates: each shuffle group holds MANY LSH buckets,
     # so the per-group Python cost is O(superbuckets), and the bucket runs
     # inside are paired vectorized (_bucket_pairs_block).
-    n_super = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    n_super = n_reduce_buckets()
 
     def add_super(b: pa.Table) -> pa.Table:
         bh = b.column("band_hash").to_numpy(zero_copy_only=False)
@@ -894,6 +881,16 @@ class SimHasher:
         return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # typed empty (pa.array([]) would infer a null key column and
+            # break block-schema unification against non-empty batches)
+            cols = {
+                self.key_col: pa.nulls(0, batch.schema.field(self.key_col).type),
+                "simhash": pa.nulls(0, pa.int64()),
+            }
+            for b in range(self.n_bands):
+                cols[f"band{b}"] = pa.nulls(0, pa.int64())
+            return pa.table(cols)
         keys = batch.column(self.key_col).to_pylist()
         sigs = self.simhash_batch(batch.column(self.text_col).to_pylist())
         cols = {self.key_col: pa.array(keys), "simhash": pa.array(sigs.astype(np.int64))}
@@ -1019,7 +1016,7 @@ def simhash_pairs(
     # Superbucket shuffle key (hash(bucket) % 2×CPUs): O(CPUs) Python group
     # calls with every bucket's rows co-grouped; the verify inside is the
     # vectorized XOR+popcount pass, never per-element Python.
-    n_super = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    n_super = n_reduce_buckets()
 
     def add_super(b: pa.Table) -> pa.Table:
         bh = b.column("bucket").to_numpy(zero_copy_only=False)
@@ -1251,7 +1248,7 @@ def ngram_jaccard_pairs(
 
     # Superbucket shuffle key: O(CPUs) Python group calls, with all of a
     # bucket's rows guaranteed co-grouped (bucket → superbucket is pure).
-    n_super = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    n_super = n_reduce_buckets()
 
     def add_super(b: pa.Table) -> pa.Table:
         bh = b.column("bucket").to_numpy(zero_copy_only=False)
@@ -1291,6 +1288,9 @@ class HyperplaneLSH:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # np.stack([]) raises; pass the empty block through typed
+            return batch.append_column("bucket", pa.nulls(0, pa.int64()))
         emb = np.stack(batch.column(self.vec_col).to_pylist()).astype(np.float64)
         bits = (emb @ self.planes) > 0
         bucket = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)

@@ -189,9 +189,13 @@ def distinct_sketch(
             blobs.append(
                 HyperLogLog(p).add_values(vals[codes == gi]).registers.tobytes()
             )
+        # group column keeps the SOURCE column's arrow type (a string cast
+        # raised on int group keys; a null-typed empty would break block
+        # unification)
+        gtype = pa.string() if group_col is None else b.schema.field(group_col).type
         return pa.table(
             {
-                "group": pa.array(groups.astype(object), pa.string()),
+                "group": pa.array(groups.tolist(), gtype),
                 "regs": pa.array(blobs, pa.binary()),
             }
         )
@@ -272,9 +276,11 @@ def heavy_hitters_sketch(
         hh = HeavyHitters.from_values(
             b.column(col).to_numpy(zero_copy_only=False), k
         )
+        # 'v' keeps the source column's arrow type: an empty batch's
+        # pa.array([]) would infer null and break block-schema unification
         return pa.table(
             {
-                "v": pa.array(list(hh.values)),
+                "v": pa.array(list(hh.values), b.schema.field(col).type),
                 "c": pa.array(hh.counts, pa.int64()),
             }
         )

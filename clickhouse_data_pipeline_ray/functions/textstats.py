@@ -59,17 +59,19 @@ class QualityScore:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.stop_patterns = [rf"\b{w}\b" for w in self.STOPWORDS]
+        # ONE alternation pass instead of ten scans: \b-delimited word
+        # matches are mutually non-overlapping, so the alternation count
+        # equals the per-word sum (SQL-oracle parity via _STOP_SQL unchanged)
+        self.stop_pattern = rf"\b({'|'.join(self.STOPWORDS)})\b"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column(self.text_col)
         n_words = pc.count_substring_regex(text, pattern=WORD_RE).cast(pa.float64())
         n_chars = pc.utf8_length(text).cast(pa.float64())
         n_alpha = pc.count_substring_regex(text, pattern=r"[A-Za-z]").cast(pa.float64())
-        n_stop = None
-        for pat in self.stop_patterns:
-            c = pc.count_substring_regex(text, pattern=pat).cast(pa.float64())
-            n_stop = c if n_stop is None else pc.add(n_stop, c)
+        n_stop = pc.count_substring_regex(
+            text, pattern=self.stop_pattern
+        ).cast(pa.float64())
         safe_words = pc.max_element_wise(n_words, 1.0)
         safe_chars = pc.max_element_wise(n_chars, 1.0)
         batch = batch.append_column("q_n_words", n_words.cast(pa.int64()))

@@ -87,7 +87,9 @@ def export_sorted(
     """Write ``ds`` as a globally sorted, range-partitioned parquet layout
     under ``out_dir`` and commit its zone-map index. Returns the index."""
     if num_files is None:
-        num_files = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        from ..stages.partition import n_reduce_buckets
+
+        num_files = n_reduce_buckets()
     bounds = _boundaries(ds, col, num_files)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -284,7 +286,9 @@ def export_zorder(
             f"{len(cols)}*{bits}={len(cols) * bits}"
         )
     if num_files is None:
-        num_files = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        from ..stages.partition import n_reduce_buckets
+
+        num_files = n_reduce_buckets()
     # more files than z-prefixes would underflow the shift; clamp so e.g.
     # 1 col × 8 bits caps at 256 files instead of corrupting every z-value
     file_bits = min(max(1, int(np.ceil(np.log2(num_files)))), len(cols) * bits)

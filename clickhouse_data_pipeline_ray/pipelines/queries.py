@@ -88,7 +88,9 @@ def _n_reduce_buckets() -> int:
     from the cluster (2×CPUs) so reduce parallelism scales with the node
     count instead of a hardcoded literal. Results are bucket-count-invariant
     (pure hash partitioning; see test_queries_oracle bucket-invariance)."""
-    return max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    from ..stages.partition import n_reduce_buckets
+
+    return n_reduce_buckets()
 
 def _partial_groupby(
     ds: ray.data.Dataset,
@@ -654,10 +656,18 @@ def q_lww_latest_event_per_user(sf_dir: str) -> pa.Table:
             batch_format="pyarrow",
         )
     )
-    w = pa.concat_tables(
-        [t for t in final.iter_batches(batch_format="pyarrow") if t.num_rows],
-        promote_options="none",
-    )
+    parts = [t for t in final.iter_batches(batch_format="pyarrow") if t.num_rows]
+    if not parts:
+        # empty events table: typed empty result, not a concat_tables crash
+        return pa.table(
+            {
+                "user_id": pa.nulls(0, pa.string()),
+                "last_event_id": pa.nulls(0, pa.string()),
+                "last_event_type": pa.nulls(0, pa.string()),
+                "last_value": pa.nulls(0, pa.float64()),
+            }
+        )
+    w = pa.concat_tables(parts, promote_options="none")
     return pa.table(
         {
             "user_id": w.column("user_id"),

@@ -56,7 +56,9 @@ def _n_join_buckets() -> int:
     """Cluster-sized reduce fan-out (2×CPUs, floor 8) — same convention as
     the other bucketed map_groups stages; results are bucket-count-invariant
     (pure hash partitioning)."""
-    return max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    from .partition import n_reduce_buckets
+
+    return n_reduce_buckets()
 
 
 def _multi_key_hash(batch: pa.Table, on: list[str]) -> np.ndarray:

@@ -24,6 +24,18 @@ import pyarrow as pa
 from pandas.util import hash_array
 
 
+def n_reduce_buckets() -> int:
+    """Reduce-group count for two-level bucketed reductions (~2 groups per
+    CPU): every core stays busy while Python-per-group cost is O(CPUs), and
+    reduce parallelism scales with the cluster instead of a hardcoded
+    literal. Results are bucket-count-invariant everywhere this is used
+    (pure hash partitioning; see test_queries_oracle bucket-invariance).
+    The ONE copy of this policy — dedup/join/export/queries all import it."""
+    import ray
+
+    return max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+
 def key_hash(keys: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Deterministic uint64 hash of a string key column."""
     obj = keys.to_numpy(zero_copy_only=False)

@@ -350,3 +350,58 @@ def test_segment_dedup_planted(ray_session):
     # doc 3 fully duplicate -> absent; doc 4's single segment 'x y z'
     # already appeared at an earlier position (doc 2 seg 1) -> absent
     assert 3 not in out.doc_id.values and 4 not in out.doc_id.values
+
+
+def test_stage_kernels_handle_empty_batches(ray_session):
+    """Ray unifies block schemas across batches, so every map-stage kernel
+    must emit the SAME column names/types for an empty block as for data
+    (regression: tile() dropped 'h', SimHasher inferred a null key type,
+    HyperplaneLSH crashed on np.stack([]))."""
+    import pyarrow as pa
+
+    from clickhouse_data_pipeline_ray.functions.dedup import (
+        HyperplaneLSH,
+        SimHasher,
+    )
+
+    doc_schema = pa.schema([("doc_id", pa.string()), ("text", pa.string())])
+    full = pa.table(
+        {"doc_id": ["d-1", "d-2"], "text": ["a b c", "a b d"]}, schema=doc_schema
+    )
+    empty = doc_schema.empty_table()
+
+    sh = SimHasher()
+    assert sh(empty).schema.equals(sh(full).schema)
+    assert sh(empty).num_rows == 0
+
+    emb_schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+    vecs = pa.table(
+        {"vec_id": [1, 2], "embedding": [[0.1, 0.2], [0.3, 0.4]]},
+        schema=emb_schema,
+    )
+    lsh = HyperplaneLSH(dim=2)
+    assert lsh(emb_schema.empty_table()).schema.equals(lsh(vecs).schema)
+
+
+def test_segment_dedup_with_empty_blocks(ray_session):
+    """An empty block in the input (routine under Ray's read splitting) must
+    not change segment_dedup's result or crash the groupby stages."""
+    import pyarrow as pa
+
+    from clickhouse_data_pipeline_ray.functions.dedup import segment_dedup
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 x0 x1",
+                     "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 y0 y1"],
+        }
+    )
+    empty = docs.schema.empty_table()
+    ds = ray.data.from_arrow([docs, empty])  # one empty block planted
+    out = segment_dedup(ds, key_col="doc_id").to_pandas().sort_values("doc_id")
+    # doc 2's first 10-word segment duplicates doc 1's and is dropped
+    kept = dict(zip(out["doc_id"], out["n_kept"]))
+    assert kept == {1: 2, 2: 1}

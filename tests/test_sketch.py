@@ -194,3 +194,37 @@ def test_heavy_hitters_distributed_vs_exact(ray_session):
             assert v in est, (v, t, bound)
         if v in est:
             assert t - bound <= est[v] <= t, (v, t, est[v])
+
+
+def test_distinct_sketch_non_string_group_col(ray_session):
+    """distinct_sketch groups by a column of ANY type (the group column used
+    to be force-cast to pa.string(), raising on int group keys), and empty
+    blocks emit typed partials."""
+    import pyarrow as pa
+
+    from clickhouse_data_pipeline_ray.functions.sketch import distinct_sketch
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 2, 2, 2], pa.int64()),
+            "u": pa.array(["a", "b", "a", "b", "c"]),
+        }
+    )
+    ds = ray.data.from_arrow([t, t.schema.empty_table()])
+    out = distinct_sketch(ds, "u", group_col="g")
+    got = dict(zip(out["group"], out["n_distinct_approx"]))
+    assert got == {1: 2, 2: 3}
+
+
+def test_heavy_hitters_sketch_empty_block_typed(ray_session):
+    """heavy_hitters_sketch partials keep the source column's type for empty
+    blocks (a null-typed 'v' broke block-schema unification)."""
+    import pyarrow as pa
+
+    from clickhouse_data_pipeline_ray.functions.sketch import heavy_hitters_sketch
+
+    t = pa.table({"v": pa.array([5, 5, 5, 7, 9], pa.int64())})
+    ds = ray.data.from_arrow([t, t.schema.empty_table()])
+    hh = heavy_hitters_sketch(ds, "v", k=3)
+    top = dict(zip([int(x) for x in hh.values], [int(c) for c in hh.counts]))
+    assert top.get(5, 0) >= 1  # the true heavy hitter survives
