@@ -159,9 +159,12 @@ def _read_segments(
     file may split by row group)."""
     cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
     groups: dict[tuple, list[str]] = {}
+    schemas: dict[tuple, pa.Schema] = {}
     for s in segs:
-        key = (s.format, segment_schema(s).serialize().to_pybytes())
+        schema = segment_schema(s)
+        key = (s.format, schema.serialize().to_pybytes())
         groups.setdefault(key, []).append(s.path)
+        schemas[key] = schema
     total = sum(len(p) for p in groups.values())
     target = max(cpus, min(total, 2 * cpus))
     datasets = []
@@ -170,9 +173,18 @@ def _read_segments(
         if fmt == "jsonl":
             datasets.append(ray.data.read_json(paths, override_num_blocks=blocks))
         else:
+            # projection intersected per schema GROUP: a WAL spanning a
+            # schema evolution has pre-evolution files without the new
+            # columns, and projecting an absent column raises ArrowInvalid —
+            # the caller null-fills the gap (unify+cast convention)
+            cols_g = (
+                [c for c in columns if c in schemas[(fmt, _schema)].names]
+                if columns
+                else None
+            )
             datasets.append(
                 ray.data.read_parquet(
-                    paths, override_num_blocks=blocks, columns=columns
+                    paths, override_num_blocks=blocks, columns=cols_g
                 )
             )
     ds = datasets[0]

@@ -40,10 +40,16 @@ from ..state.manifest import load_manifest
 
 
 def _diff_partition(
-    old: pa.Table, new: pa.Table, key_col: str
+    old: pa.Table, new: pa.Table, key_col: str, delete_lsn: int
 ) -> pa.Table:
     """Vectorized three-way diff of one partition's merged states (upsert
-    mode: keys unique per side; both sides already cast to one schema)."""
+    mode: keys unique per side; both sides already cast to one schema).
+
+    Deletes are stamped with ``delete_lsn`` (the to-epoch watermark), NOT
+    the vanished row's old LSN: the old LSN is ≤ the from-epoch watermark,
+    so a replica standing at the from-epoch would silently drop every
+    delete at its ``lsn > watermark`` ingest filter — breaking the
+    "re-apply the diff as a WAL" contract for exactly the rows that matter."""
     ok, nk = old.column(key_col), new.column(key_col)
     # new side → creates / updates
     pos_in_old = pc.index_in(nk, ok)
@@ -55,9 +61,14 @@ def _diff_partition(
     )
     creates = new.filter(is_create)
     updates = new.filter(pc.fill_null(is_update, False))
-    # old side → deletes (key vanished)
+    # old side → deletes (key vanished), re-stamped past the old watermark
     gone = pc.is_null(pc.index_in(ok, nk))
     deletes = old.filter(gone)
+    deletes = deletes.set_column(
+        deletes.schema.get_field_index("lsn"),
+        "lsn",
+        pa.nulls(deletes.num_rows, pa.int64()).fill_null(delete_lsn),
+    )
 
     def with_op(t: pa.Table, op: str) -> pa.Table:
         return t.append_column(
@@ -84,6 +95,22 @@ def changed_partitions(
         raise ValueError(
             f"to_epoch {man_new.epoch} precedes from_epoch {man_old.epoch} — "
             "reverse diffs are not defined (swap the arguments)"
+        )
+    if (
+        man_old.num_partitions != man_new.num_partitions
+        or man_old.partition_spec != man_new.partition_spec
+    ):
+        # a diff across a repartition would emit a spurious equal-LSN c/d
+        # pair for every MOVED key (a key's pid changes, so it looks gone
+        # from one partition and new in another) — violating the
+        # one-net-change-per-key property consumers rely on. Diff each side
+        # of the repartition separately instead.
+        raise ValueError(
+            "partition layout changed between the two epochs "
+            f"({man_old.num_partitions}/{man_old.partition_spec} -> "
+            f"{man_new.num_partitions}/{man_new.partition_spec}); a "
+            "pid-level diff across a repartition is not defined — diff up "
+            "to the repartition epoch and from it separately"
         )
     changed = []
     for pid in sorted(set(man_old.partitions) | set(man_new.partitions), key=int):
@@ -115,6 +142,7 @@ def table_diff(
 
     mode, key_col = man_new.mode, man_new.key_col
     old_wm = man_old.watermark
+    new_wm = man_new.watermark
 
     def diff_pids(batch: pa.Table) -> pa.Table:
         import json as _json
@@ -141,7 +169,9 @@ def table_diff(
                     if old_files
                     else old_schema.empty_table()
                 )
-                d = _diff_partition(cast_table(old_t, schema), new_t, key_col)
+                d = _diff_partition(
+                    cast_table(old_t, schema), new_t, key_col, new_wm
+                )
             out.append(d)
         return pa.concat_tables(out) if out else out_schema.empty_table()
 

@@ -51,9 +51,13 @@ def lookup_keys(
             "lookup_keys needs unique keys (upsert tables); append tables "
             "legally hold duplicate business keys — scan with read_snapshot"
         )
+    # route by the spec's modulus — the WRITE path's routing source
+    # (assign_by_spec); init_table pins spec num == num_partitions, but a
+    # divergence here must miss loudly-never silently, so use the same field
+    num = int(man.spec.get("num", man.num_partitions))
     by_pid: dict[int, list[str]] = {}
     for k in dict.fromkeys(keys):  # de-dup, keep caller order
-        by_pid.setdefault(partition_of(k, man.num_partitions), []).append(k)
+        by_pid.setdefault(partition_of(k, num), []).append(k)
 
     out = []
     for pid in sorted(by_pid):

@@ -63,12 +63,9 @@ def _mv_dir(table_dir: str, name: str) -> str:
 
 
 def _atomic_json(path: str, doc: dict) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(doc, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    from ..state.manifest import atomic_json_write
+
+    atomic_json_write(path, doc)
 
 
 def register_mv(
@@ -362,6 +359,22 @@ def _refresh_mv_locked(table_dir: str, wal_dir: str, name: str) -> dict | None:
     partial_fn = _tick_partial(spec, lo, hi, enrich_map)
     tick_cols = _tick_columns(spec)
     tick_events = sum(s.last_lsn - s.first_lsn + 1 for s in segs)
+    # A tick can span a WAL schema evolution: pre-evolution segments lack
+    # newly added columns, and projecting an absent column from parquet
+    # raises. Both paths read only the columns each FILE has, then null-fill
+    # the gap (the apply path's unify+cast convention), so an MV over an
+    # evolved column folds pre-evolution rows into the NULL group.
+    from ..schemas import unify
+    from ..sources.wal import segment_schema
+
+    ref = unify([segment_schema(s) for s in segs])
+
+    def conform(b: pa.Table) -> pa.Table:
+        for c in tick_cols:
+            if c not in b.column_names:
+                b = b.append_column(c, pa.nulls(b.num_rows, ref.field(c).type))
+        return b
+
     if tick_events <= SMALL_TICK_EVENTS and all(s.format == "parquet" for s in segs):
         # latency fast path: a Ray Dataset execution costs ~1 s of fixed
         # scheduling/warmup — for a small tick (the steady-state case:
@@ -370,13 +383,20 @@ def _refresh_mv_locked(table_dir: str, wal_dir: str, name: str) -> dict | None:
         # Identical results by construction (one shared partial fn); the
         # distributed path takes over when a lagging MV catches up over a
         # large WAL span. Both paths read only the tick's needed columns.
+        def read_one(s) -> pa.Table:
+            present = [
+                c for c in pq.ParquetFile(s.path).schema_arrow.names
+                if c in tick_cols
+            ]
+            return conform(pq.read_table(s.path, columns=present))
+
         parts = pa.concat_tables(
-            [partial_fn(pq.read_table(s.path, columns=tick_cols)) for s in segs]
+            [partial_fn(read_one(s)) for s in segs]
         ).to_pandas()
     else:
         parts = (
             _read_segments(segs, columns=tick_cols)
-            .map_batches(partial_fn, batch_format="pyarrow")
+            .map_batches(lambda b: partial_fn(conform(b)), batch_format="pyarrow")
             .to_pandas()
         )
     prev = read_mv(table_dir, name).to_pandas()

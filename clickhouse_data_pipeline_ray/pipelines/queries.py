@@ -2452,7 +2452,8 @@ def build_oracle_sql(sf_dir: str) -> dict[str, str]:
         SELECT b.lsn, b.doc_id, b.n_tok, b.source, 'u' AS op
         FROM b JOIN a ON a.doc_id = b.doc_id WHERE b.lsn <> a.lsn
         UNION ALL
-        SELECT a.lsn, a.doc_id, a.n_tok, a.source, 'd' AS op
+        SELECT (SELECT max(lsn) FROM ev) AS lsn, a.doc_id, a.n_tok, a.source,
+               'd' AS op
         FROM a LEFT JOIN b ON b.doc_id = a.doc_id WHERE b.doc_id IS NULL
     """
     out["cdc_mv_daily_performance"] = f"""

@@ -333,6 +333,11 @@ def ensure_fact_wal(cache_root: str, params: FactGenParams, tag: str) -> str:
             if f.read() == want:
                 return wal_dir
         shutil.rmtree(wal_dir)
+    elif os.path.isdir(wal_dir):
+        # dir without a marker = an interrupted generation; its partial
+        # segments would mix with (and pass listing validation alongside)
+        # the new run's, silently desyncing query and oracle
+        shutil.rmtree(wal_dir)
     generate_fact_wal(wal_dir, params)
     with open(marker, "w") as f:
         f.write(want)
@@ -353,6 +358,11 @@ def ensure_wal(cache_root: str, params: GenParams, tag: str, parallel: bool = Fa
         with open(marker) as f:
             if f.read() == want:
                 return wal_dir
+        shutil.rmtree(wal_dir)
+    elif os.path.isdir(wal_dir):
+        # dir without a marker = an interrupted generation; its partial
+        # segments would mix with (and pass listing validation alongside)
+        # the new run's, silently desyncing query and oracle
         shutil.rmtree(wal_dir)
     generate_wal(wal_dir, params, parallel=parallel)
     with open(marker, "w") as f:

@@ -78,7 +78,13 @@ def make_normalize_fn(
         if watermark > 0:
             batch = batch.filter(pc.greater(batch.column("lsn"), pa.scalar(watermark)))
         if batch.num_rows == 0:
-            empty = cast_table(batch, change_schema)
+            # SAME column order as the non-empty path (op appended last,
+            # after the cast) — Ray 2.49 unifies block schemas by name, but
+            # strict consumers (concat with promote_options='none') do not
+            no_op = change_schema.remove(change_schema.get_field_index("op"))
+            empty = cast_table(batch, no_op).append_column(
+                "op", pa.nulls(0, pa.string())
+            )
             return assign_by_spec(empty, partition_spec, salt_factor, key_col)
         batch = normalize_batch(batch, change_schema, valid_ops)
         n_null_keys = batch.column(key_col).null_count

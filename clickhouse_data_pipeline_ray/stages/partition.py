@@ -65,6 +65,15 @@ def assign_time_partitions(batch: pa.Table, ts_col: str) -> pa.Table:
     import pyarrow.compute as pc
 
     ts = batch.column(ts_col)
+    n_null = ts.null_count
+    if n_null:
+        # a null partition timestamp would become a null pid and crash the
+        # merge stage with a cryptic format error (poisoning its actor
+        # pool); fail the epoch loudly at assignment time instead — the
+        # null-key convention of make_normalize_fn
+        raise ValueError(
+            f"{n_null} event(s) with null partition timestamp {ts_col!r}"
+        )
     pid = pc.add(
         pc.multiply(pc.year(ts).cast(pa.int32()), 100), pc.month(ts).cast(pa.int32())
     )

@@ -152,11 +152,18 @@ def init_table(
             f"upsert tables must use key_col='doc_id' (got {key_col!r}); "
             "rename the key column at import/normalize time instead"
         )
+    spec = partition_spec or {"kind": "hash", "num": num_partitions}
+    if spec.get("kind") == "hash" and int(spec.get("num", num_partitions)) != num_partitions:
+        # the write path routes by spec['num'] while readers size loops by
+        # num_partitions — a mismatch would make point lookups silently miss
+        raise ValueError(
+            f"hash partition_spec num ({spec.get('num')}) must equal "
+            f"num_partitions ({num_partitions})"
+        )
     existing = os.path.join(table_dir, MANIFEST_NAME)
     if os.path.exists(existing):
         return load_manifest(table_dir)
     os.makedirs(os.path.join(table_dir, "parts"), exist_ok=True)
-    spec = partition_spec or {"kind": "hash", "num": num_partitions}
     partitions = (
         {str(pid): empty_partition() for pid in range(num_partitions)}
         if spec.get("kind") == "hash"
@@ -213,6 +220,25 @@ def load_manifest(table_dir: str, epoch: int | None = None) -> Manifest:
     )
 
 
+def atomic_json_write(path: str, doc: dict, fsync_dir: bool = True) -> None:
+    """THE atomic JSON commit (manifest, registry, MV specs all use it):
+    pid-suffixed tmp name (two concurrent writers never interleave bytes in
+    one tmp file), content fsync, atomic rename, parent-directory fsync (the
+    rename itself must be durable before anything references the file)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    if fsync_dir:
+        dfd = os.open(os.path.dirname(os.path.abspath(path)), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+
 def commit_manifest(man: Manifest) -> None:
     """Atomic swap: tmp write + fsync + os.replace."""
     man.updated_at = time.time()
@@ -234,28 +260,14 @@ def commit_manifest(man: Manifest) -> None:
         "event_time_watermark_us": man.event_time_watermark_us,
     }
     path = os.path.join(man.table_dir, MANIFEST_NAME)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(doc, f)
-        f.flush()
-        os.fsync(f.fileno())
     # versioned copy first (readable only once the swap lands), then the
-    # atomic swap that makes this epoch current
+    # atomic swap that makes this epoch current; both writes fsync content
+    # and directory (a power loss must not resurface the previous manifest
+    # after the caller reported the epoch committed — parts are fsynced
+    # before this, see stages/merge.py write_part_tmp / promote_part)
     versioned = os.path.join(man.table_dir, f"manifest-{man.epoch:06d}.json")
-    with open(versioned, "w") as vf:
-        json.dump(doc, vf)
-        vf.flush()
-        os.fsync(vf.fileno())
-    os.replace(tmp, path)
-    # make the swap itself durable: fsync the directory entry, or a power
-    # loss could resurface the previous manifest after the caller reported
-    # the epoch committed (parts are fsynced before this — see
-    # stages/merge.py write_part_tmp / promote_part)
-    dfd = os.open(man.table_dir, os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
+    atomic_json_write(versioned, doc, fsync_dir=False)
+    atomic_json_write(path, doc)
     for old in retained_epochs(man.table_dir)[: -man.retention]:
         os.remove(os.path.join(man.table_dir, f"manifest-{old:06d}.json"))
 

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 
 from ..schemas import schema_from_b64, schema_to_b64
-from .manifest import init_table, load_manifest
+from .manifest import atomic_json_write, init_table, load_manifest
 
 REGISTRY_NAME = "registry.json"
 
@@ -49,6 +49,31 @@ def _registry_path(root: str) -> str:
 
 def table_dir(root: str, name: str) -> str:
     return os.path.join(root, "tables", name)
+
+
+class _registry_lock:
+    """flock on a permanent lake-level lock file (the table_lock scheme):
+    guards the registry.json read-modify-write in register_table."""
+
+    def __init__(self, root: str):
+        self.path = os.path.join(root, "registry.lock")
+        self.fd = None
+
+    def __enter__(self):
+        import fcntl
+
+        self.fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
+        fcntl.flock(self.fd, fcntl.LOCK_EX)  # blocking: registration is rare
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        if self.fd is not None:
+            fcntl.flock(self.fd, fcntl.LOCK_UN)
+            os.close(self.fd)
+            self.fd = None
+        return False
 
 
 def load_registry(root: str) -> dict[str, TableSpec]:
@@ -86,13 +111,7 @@ def _save_registry(root: str, tables: dict[str, TableSpec]) -> None:
             for s in tables.values()
         },
     }
-    path = _registry_path(root)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(doc, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    atomic_json_write(_registry_path(root), doc)
 
 
 def register_table(
@@ -108,32 +127,40 @@ def register_table(
     """Declare a table (idempotent) and create its empty layout + manifest —
     the CREATE TABLE IF NOT EXISTS analog, one directory per table."""
     os.makedirs(root, exist_ok=True)
-    tables = load_registry(root)
-    missing = [d for d in depends_on if d not in tables]
-    if missing:
-        raise ValueError(f"unknown dependencies for table {name!r}: {missing}")
-    spec = TableSpec(
-        name=name,
-        schema_b64=schema_to_b64(schema),
-        key_col=key_col,
-        mode=mode,
-        partition_spec=partition_spec or {"kind": "hash", "num": num_partitions},
-        num_partitions=num_partitions,
-        depends_on=tuple(depends_on),
-    )
-    existing = tables.get(name)
-    if existing is not None and existing != spec:
-        raise ValueError(f"table {name!r} already registered with a different spec")
-    tables[name] = spec
-    _save_registry(root, tables)
-    init_table(
-        table_dir(root, name),
-        schema,
-        num_partitions,
-        mode=mode,
-        key_col=key_col,
-        partition_spec=spec.partition_spec,
-    )
+    # lake-level registration lock: the registry read-modify-write below is
+    # not atomic on its own — two concurrent registrations would each save a
+    # map missing the other's table (last rename wins). Same flock scheme as
+    # the per-table single-writer lock.
+    with _registry_lock(root):
+        tables = load_registry(root)
+        missing = [d for d in depends_on if d not in tables]
+        if missing:
+            raise ValueError(f"unknown dependencies for table {name!r}: {missing}")
+        spec = TableSpec(
+            name=name,
+            schema_b64=schema_to_b64(schema),
+            key_col=key_col,
+            mode=mode,
+            partition_spec=partition_spec or {"kind": "hash", "num": num_partitions},
+            num_partitions=num_partitions,
+            depends_on=tuple(depends_on),
+        )
+        existing = tables.get(name)
+        if existing is not None and existing != spec:
+            raise ValueError(f"table {name!r} already registered with a different spec")
+        # create the layout FIRST: init_table validates the spec (mode /
+        # key_col / doc_id rules), and a rejected spec must not leave a
+        # poisoned registry entry pointing at a table with no manifest
+        init_table(
+            table_dir(root, name),
+            schema,
+            num_partitions,
+            mode=mode,
+            key_col=key_col,
+            partition_spec=spec.partition_spec,
+        )
+        tables[name] = spec
+        _save_registry(root, tables)
     return spec
 
 

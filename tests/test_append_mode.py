@@ -132,3 +132,42 @@ def test_append_compaction_coalesces_chains(ray_session, tmp_path):
     assert before.sort_by([("lsn", "ascending")]).equals(
         after.sort_by([("lsn", "ascending")])
     )
+
+
+def test_null_event_ts_fails_loudly(ray_session, tmp_path):
+    """A fact event with a null partition timestamp must fail the epoch
+    with a clear error at assignment time, not a cryptic format crash in
+    the merge actor pool."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from clickhouse_data_pipeline_ray.schemas import (
+        FACT_CHANGE_SCHEMA,
+        FACT_SNAPSHOT_SCHEMA,
+    )
+    from clickhouse_data_pipeline_ray.sources.wal import segment_path
+
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    t = pa.table(
+        {
+            "lsn": pa.array([1, 2], pa.int64()),
+            "op": pa.array(["c", "c"]),
+            "event_id": pa.array(["e1", "e2"]),
+            "doc_id": pa.array(["d1", "d2"]),
+            "event_ts": pa.array([1_700_000_000_000_000, None], pa.timestamp("us")),
+            "event_type": pa.array(["view", "view"]),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        },
+        schema=FACT_CHANGE_SCHEMA,
+    )
+    pq.write_table(t, segment_path(wal, 1, 2))
+    table = str(tmp_path / "t")
+    create_table(
+        table, schema=FACT_SNAPSHOT_SCHEMA, mode="append", key_col="event_id",
+        partition_spec={"kind": "time", "col": "event_ts", "granularity": "month"},
+    )
+    with pytest.raises(Exception, match="null partition timestamp"):
+        apply_once(table, wal, ApplyConfig())

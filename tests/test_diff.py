@@ -151,3 +151,77 @@ def test_reverse_diff_rejected(ray_session, tmp_path):
     replay(table, wal, ApplyConfig(max_segments=1), final_compact=False)
     with pytest.raises(ValueError, match="precedes"):
         table_diff(table, from_epoch=2, to_epoch=1)
+
+
+def test_diff_reapplies_through_the_engine(ray_session, tmp_path):
+    """The diff is a WAL the ENGINE itself can re-apply: a replica standing
+    at epoch A that ingests diff(A→current) through apply_once must equal
+    the current snapshot — including deletes. (Regression: deletes carried
+    the old row's LSN ≤ A's watermark, so the replica's `lsn > watermark`
+    ingest filter silently dropped every delete; they are now stamped with
+    the to-epoch watermark.)"""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_data_pipeline_ray.sources.wal import (
+        list_segments,
+        segment_path,
+    )
+    from clickhouse_data_pipeline_ray.state.manifest import load_manifest
+
+    table, wal = _doc_table(tmp_path, n_events=4_000)
+    apply_once(table, wal, ApplyConfig(max_segments=2))
+    epoch_a = load_manifest(table).epoch
+    wm_a = load_manifest(table).watermark
+    while apply_once(table, wal, ApplyConfig()) is not None:
+        pass
+
+    dt = pa.concat_tables(
+        list(
+            table_diff(table, from_epoch=epoch_a).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    ops = set(dt.column("op").to_pylist())
+    assert "d" in ops, "fixture must exercise deletes"
+    # every diff row must clear the replica's watermark filter
+    assert min(dt.column("lsn").to_pylist()) > wm_a
+
+    # replica at epoch A: fresh table + the same first segments
+    wal_a = str(tmp_path / "wal_a")
+    os.makedirs(wal_a)
+    for s in list_segments(wal)[:2]:
+        shutil.copy(s.path, os.path.join(wal_a, s.name))
+    replica = str(tmp_path / "replica")
+    create_table(replica, num_partitions=8)
+    replay(replica, wal_a, ApplyConfig())
+    assert load_manifest(replica).watermark == wm_a
+
+    # ship the diff as one WAL segment and ingest it
+    diff_wal = str(tmp_path / "diff_wal")
+    os.makedirs(diff_wal)
+    lsns = dt.column("lsn").to_pylist()
+    pq.write_table(dt, segment_path(diff_wal, min(lsns), max(lsns)))
+    replay(replica, diff_wal, ApplyConfig())
+
+    got = _canon(snapshot_table(replica).to_pandas(), "doc_id")
+    want = _canon(snapshot_table(table).to_pandas(), "doc_id")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_diff_across_repartition_rejected(ray_session, tmp_path):
+    """A pid-level diff across a repartition would emit spurious equal-LSN
+    c/d pairs for every moved key — rejected loudly."""
+    from clickhouse_data_pipeline_ray.pipelines.apply import repartition_table
+    from clickhouse_data_pipeline_ray.state.manifest import load_manifest
+
+    table, wal = _doc_table(tmp_path, n_events=2_000)
+    replay(table, wal, ApplyConfig())
+    before = load_manifest(table).epoch
+    repartition_table(table, 16)
+    with pytest.raises(ValueError, match="repartition"):
+        table_diff(table, from_epoch=before).materialize()

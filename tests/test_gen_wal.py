@@ -274,3 +274,27 @@ def test_pending_segments_zero_cap_means_none(tmp_path):
     pq.write_table(t, segment_path(wal, 1, 2))
     assert pending_segments(wal, 0, max_segments=0) == []
     assert len(pending_segments(wal, 0, max_segments=None)) == 1
+
+
+def test_ensure_wal_cleans_interrupted_generation(tmp_path):
+    """A cache dir WITHOUT a DONE marker is an interrupted generation: its
+    stale segments must be wiped, not mixed contiguously into the new run
+    (which would silently desync query and oracle)."""
+    from clickhouse_data_pipeline_ray.sources.gen import GenParams, ensure_wal
+    from clickhouse_data_pipeline_ray.sources.wal import list_segments
+
+    root = str(tmp_path / "cache")
+    params = GenParams(
+        total_events=2_000, base_events=500, events_per_segment=500, seed=3,
+        tok_min=4, tok_max=8,
+    )
+    # simulate an interrupted earlier run with different params: segments
+    # beyond the new run's range, no marker
+    stale = ensure_wal(root, GenParams(
+        total_events=4_000, base_events=500, events_per_segment=500, seed=3,
+        tok_min=4, tok_max=8,
+    ), tag="x")
+    os.remove(os.path.join(stale, "_DONE"))  # marker lost mid-crash
+    wal = ensure_wal(root, params, tag="x")
+    segs = list_segments(wal)
+    assert max(s.last_lsn for s in segs) == 2_000  # no stale 2001-4000 tail

@@ -447,3 +447,64 @@ def test_upsert_table_requires_doc_id_key_col(ray_session, tmp_path):
     (batch-boundary-dependent row loss) — rejected at DDL time."""
     with pytest.raises(ValueError, match="key_col"):
         create_table(str(tmp_path / "bad"), mode="upsert", key_col="user_id")
+
+
+def test_mv_tick_spans_schema_evolution(ray_session, tmp_path):
+    """A refresh tick over a WAL that evolved mid-stream must read each
+    file's PRESENT columns and null-fill the gap (projecting an absent
+    column from parquet raises) — pre-evolution rows fold into the NULL
+    group, the LEFT-JOIN convention."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_data_pipeline_ray.pipelines.mv import (
+        read_mv,
+        refresh_mv,
+        register_mv,
+    )
+    from clickhouse_data_pipeline_ray.schemas import FACT_CHANGE_SCHEMA
+    from clickhouse_data_pipeline_ray.sources.wal import segment_path
+
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+
+    def seg(lsns, extra=None):
+        n = len(lsns)
+        cols = {
+            "lsn": pa.array(lsns, pa.int64()),
+            "op": pa.array(["c"] * n),
+            "event_id": pa.array([f"e{i}" for i in lsns]),
+            "doc_id": pa.array(["d"] * n),
+            "event_ts": pa.array([1_700_000_000_000_000] * n, pa.timestamp("us")),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array([1.0] * n, pa.float64()),
+        }
+        if extra is not None:
+            cols["channel"] = pa.array(extra)
+        return pa.table(cols)
+
+    pq.write_table(seg([1, 2]), segment_path(wal, 1, 2))  # pre-evolution
+    pq.write_table(
+        seg([3, 4], extra=["web", "app"]), segment_path(wal, 3, 4)
+    )  # evolved: channel column added
+
+    facts = str(tmp_path / "facts")
+    schema = FACT_CHANGE_SCHEMA.remove(
+        FACT_CHANGE_SCHEMA.get_field_index("op")
+    ).append(pa.field("channel", pa.string()))
+    create_table(
+        facts, schema=schema, mode="append", key_col="event_id",
+        num_partitions=2,
+    )
+    replay(facts, wal, ApplyConfig(), final_compact=False)
+    register_mv(facts, "by_channel", group_keys=["channel"], sums=[])
+    refresh_mv(facts, wal, "by_channel")
+    df = read_mv(facts, "by_channel").to_pandas()
+    got = {
+        (c if isinstance(c, str) else None): n
+        for c, n in zip(df["channel"], df["n_events"])
+    }
+    assert got == {None: 2, "web": 1, "app": 1}

@@ -98,3 +98,31 @@ def test_sync_all_skips_dependents_of_failed_table(ray_session, tmp_path):
         "table": "doc_events", "skipped": True,
         "reason": "dependency failed: ['documents']",
     }
+
+
+def test_failed_registration_does_not_poison_registry(ray_session, tmp_path):
+    """init_table validates the spec BEFORE the registry entry persists: a
+    rejected registration must leave registry.json untouched so the
+    corrected retry succeeds (regression: the old order wrote the entry
+    first, and the retry died on 'already registered with a different
+    spec' while registry_status crashed on the missing manifest)."""
+    import pyarrow as pa
+
+    from clickhouse_data_pipeline_ray.state.registry import (
+        load_registry,
+        register_table,
+        registry_status,
+    )
+
+    root = str(tmp_path / "lake")
+    schema = pa.schema(
+        [("event_id", pa.string()), ("doc_id", pa.string()), ("lsn", pa.int64())]
+    )
+    # upsert + key_col event_id is rejected at DDL time
+    with pytest.raises(ValueError, match="key_col"):
+        register_table(root, "t", schema, key_col="event_id", mode="upsert")
+    assert "t" not in load_registry(root)
+    # corrected registration succeeds, status works
+    register_table(root, "t", schema, key_col="doc_id", mode="upsert")
+    assert "t" in load_registry(root)
+    assert registry_status(root)["t"]["epoch"] == 0
