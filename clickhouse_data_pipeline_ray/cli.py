@@ -385,8 +385,6 @@ def _run(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "sync":
-        import os as _os
-
         from .pipelines.apply import ApplyConfig
         from .state import registry as R
 
@@ -395,7 +393,7 @@ def _run(argv: list[str] | None = None) -> int:
             wals = {
                 name: wal
                 for name in R.load_registry(args.root)
-                if _os.path.isdir(wal := _os.path.join(args.wal_root, name))
+                if os.path.isdir(wal := os.path.join(args.wal_root, name))
             }
             out = R.sync_all(
                 args.root, wals, ApplyConfig(max_segments=args.epoch_segments)
@@ -630,6 +628,16 @@ def _run(argv: list[str] | None = None) -> int:
         if args.output:
             import pyarrow.parquet as pq
 
+            if os.path.isdir(args.output) and any(
+                f.endswith(".parquet") for f in os.listdir(args.output)
+            ):
+                # refuse to interleave with a previous result: the row count
+                # below (and any downstream reader) cannot tell the two
+                # queries' files apart
+                raise ValueError(
+                    f"output dir {args.output} already holds parquet files; "
+                    "point --output at an empty or new directory"
+                )
             if isinstance(res, rd.Dataset):
                 # streaming sink: one file per block, no driver materialization
                 res.write_parquet(args.output)
@@ -696,13 +704,10 @@ def _run(argv: list[str] | None = None) -> int:
             doc["event_time_watermark_us"] = man.event_time_watermark_us
         mvs = list_mvs(args.table)
         if mvs:
+            wms = {n: load_mv(args.table, n)["watermark_lsn"] for n in mvs}
             doc["mvs"] = {
-                n: {
-                    "watermark_lsn": load_mv(args.table, n)["watermark_lsn"],
-                    "lag_events": man.watermark
-                    - load_mv(args.table, n)["watermark_lsn"],
-                }
-                for n in mvs
+                n: {"watermark_lsn": wm, "lag_events": man.watermark - wm}
+                for n, wm in wms.items()
             }
         print(json.dumps(doc))
         return 0

@@ -150,6 +150,15 @@ def decode_y4m(payload: bytes) -> np.ndarray:
         raise ValueError("not a Y4M payload")
     params = dict((t[0], t[1:]) for t in header.split()[1:])
     w, h = int(params["W"]), int(params["H"])
+    # the Y4M spec defaults an absent C tag to 4:2:0 (1.5*w*h per frame) —
+    # decoding that as C444 would silently consume two frames per iteration;
+    # reject non-444 variants loudly like decode_bmp/decode_wav do
+    colourspace = params.get("C", "420")
+    if not colourspace.startswith("444"):
+        raise ValueError(
+            f"unsupported Y4M colourspace C{colourspace} (only C444 is "
+            "implemented by this pure-numpy decoder)"
+        )
     frame_bytes = 3 * w * h  # C444: full-size U and V planes
     frames, pos = [], nl + 1
     while pos < len(payload):

@@ -35,17 +35,27 @@ def pack_token_sequences(
 
     Returns rows ``(bucket, seq_index, n_tok, tokens)`` where ``tokens`` is a
     list<int32> of exactly ``seq_len`` ids except the final (partial)
-    sequence of each bucket. Deterministic: bucket = key % n_buckets (int
-    keys), docs packed in ascending key order within a bucket.
+    sequence of each bucket. Deterministic: bucket = key % n_buckets for
+    integer keys, SipHash(key) % n_buckets for string keys (the engine's own
+    snapshot tables key docs by STRING doc_id — a blind int cast crashed on
+    them); docs pack in ascending key order within a bucket either way.
     """
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        keys = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        if keys.dtype.kind in "iu":
+            bucket = (keys.astype(np.int64) % n_buckets).astype(np.int32)
+        else:
+            from ..stages.partition import key_hash
+
+            bucket = (key_hash(b.column(key_col)) % np.uint64(n_buckets)).astype(
+                np.int32
+            )
         return pa.table(
             {
                 key_col: b.column(key_col),
                 tokens_col: b.column(tokens_col),
-                "bucket": pa.array((keys % n_buckets).astype(np.int32)),
+                "bucket": pa.array(bucket),
             }
         )
 

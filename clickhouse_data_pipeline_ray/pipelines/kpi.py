@@ -29,6 +29,7 @@ def source_stats(snapshot: ray.data.Dataset) -> ray.data.Dataset:
         Mean("n_tok", alias_name="avg_tok"),
         Min("n_tok", alias_name="min_tok"),
         Max("n_tok", alias_name="max_tok"),
+        Max("lsn", alias_name="max_lsn"),
     )
 
 
@@ -43,21 +44,37 @@ def totals(snapshot: ray.data.Dataset) -> dict:
     return dict(agg)
 
 
-def top_sources(snapshot: ray.data.Dataset, k: int = 3) -> pa.Table:
-    """Top-k sources by token volume (sort + limit demo, SURVEY.md §2.8)."""
-    stats = source_stats(snapshot)
-    return pa.Table.from_pandas(
-        stats.sort("sum_tok", descending=True).limit(k).to_pandas(),
-        preserve_index=False,
-    )
-
-
 def kpi_report(table_dir: str, epoch: int | None = None) -> dict:
     """One-call report over a committed table (CLI `kpi` subcommand);
-    ``epoch`` time-travels to a retained historical commit."""
+    ``epoch`` time-travels to a retained historical commit.
+
+    ONE merge-on-read scan: the global totals are the column sums of the
+    per-source rollup (plus its max of per-source max_lsn), so the second
+    full-snapshot aggregate job the old version ran bought nothing."""
+    from .apply import load_manifest
+
+    man = load_manifest(table_dir)
+    for c in ("source", "n_tok"):
+        if c not in man.schema.names:
+            raise ValueError(
+                f"kpi needs a tokenized-docs table with a {c!r} column; "
+                f"this table's schema is {list(man.schema.names)}"
+            )
     snap = read_snapshot(table_dir, epoch=epoch)
-    per_source = source_stats(snap).to_pandas().sort_values("source")
+    per_source = source_stats(snap).to_pandas()
+    if per_source.empty:
+        # zero-row table: Ray's grouped aggregate yields a columnless frame
+        return {
+            "totals": {"n_docs": 0, "sum_tok": 0, "max_lsn": 0},
+            "per_source": [],
+        }
+    per_source = per_source.sort_values("source")
+    tot = {
+        "n_docs": int(per_source["n_docs"].sum()),
+        "sum_tok": int(per_source["sum_tok"].sum()),
+        "max_lsn": int(per_source["max_lsn"].max()),
+    }
     return {
-        "totals": totals(snap),
-        "per_source": per_source.to_dict(orient="records"),
+        "totals": tot,
+        "per_source": per_source.drop(columns=["max_lsn"]).to_dict(orient="records"),
     }

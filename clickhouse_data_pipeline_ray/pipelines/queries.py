@@ -213,7 +213,8 @@ def cdc_kpi_source_stats(sf_dir: str) -> pa.Table:
         pdf = source_stats(read_snapshot(table_dir)).to_pandas()
     finally:
         shutil.rmtree(table_dir, ignore_errors=True)
-    pdf = pdf.sort_values("source").reset_index(drop=True)
+    # max_lsn feeds kpi_report's single-scan totals, not this oracle's shape
+    pdf = pdf.drop(columns=["max_lsn"]).sort_values("source").reset_index(drop=True)
     for c in ("n_docs", "sum_tok", "min_tok", "max_tok"):
         pdf[c] = pdf[c].astype("int64")
     pdf["avg_tok"] = _round_half_up(pdf["avg_tok"], 4)

@@ -116,3 +116,28 @@ def test_gc_removes_stale_epochs_and_tmps(ray_session, wal, tmp_path):
         on_disk.update(os.path.join(root, n) for n in names)
     assert on_disk == live
     assert not [p for p in on_disk if ".tmp" in p]
+
+
+def test_kpi_report_on_empty_table(ray_session, tmp_path):
+    """kpi over a freshly initialized (zero-row) table returns zeros, not a
+    raw KeyError from the columnless grouped aggregate; kpi over a table
+    without the doc columns is rejected with an actionable error."""
+    import pytest
+
+    from clickhouse_data_pipeline_ray.pipelines.kpi import kpi_report
+    from clickhouse_data_pipeline_ray.schemas import FACT_SNAPSHOT_SCHEMA
+
+    t = str(tmp_path / "empty")
+    create_table(t, num_partitions=4)
+    rep = kpi_report(t)
+    assert rep == {
+        "totals": {"n_docs": 0, "sum_tok": 0, "max_lsn": 0},
+        "per_source": [],
+    }
+    facts = str(tmp_path / "facts")
+    create_table(
+        facts, schema=FACT_SNAPSHOT_SCHEMA, mode="append", key_col="event_id",
+        num_partitions=2,
+    )
+    with pytest.raises(ValueError, match="kpi needs"):
+        kpi_report(facts)

@@ -96,3 +96,24 @@ def test_tokenize_words_counts_match_regex(ray_session):
         for t in texts
     ]
     assert got == want
+
+
+def test_packing_accepts_string_keys(ray_session):
+    """The engine's own snapshot tables key docs by STRING doc_id — packing
+    must hash-bucket them instead of crashing on a blind int cast, and still
+    conserve every token."""
+    from clickhouse_data_pipeline_ray.functions.packing import pack_token_sequences
+
+    rows = [
+        {"doc_id": f"web-{i:05d}", "tokens": list(range(i, i + 30))}
+        for i in range(25)
+    ]
+    packed = pack_token_sequences(
+        ray.data.from_items(rows), seq_len=16, n_buckets=4
+    ).to_pandas()
+    total_in = sum(len(r["tokens"]) for r in rows)
+    assert int(packed["n_tok"].sum()) == total_in
+    # within a bucket the final chunk is the only short one
+    for _, g in packed.groupby("bucket"):
+        short = (g["n_tok"] < 16).sum()
+        assert short <= 1
