@@ -7,8 +7,9 @@ Prints ONE JSON line:
 Env knobs: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
 (default 32), BENCH_EVENTS (default 1_000_000), BENCH_HEADLINE_ONLY=1.
 
-``--scaling`` runs the headline job in two fresh processes at
-num_cpus=8 and num_cpus=32 on the same (cached) input and reports both
+``--scaling`` runs the headline job at num_cpus=8 and num_cpus=32 on the
+same (cached) input — best-of-2 fresh processes PER LEG (4 subprocesses
+total, volatile 32-cpu leg first) — and reports both
 throughputs + scaling efficiency = T(8)/T(32)/4. The sandbox host exposes a
 single physical CPU, so num_cpus oversubscribes; results are still a valid
 relative-parallelism probe of the pipeline's scheduling behavior (see
@@ -44,6 +45,25 @@ def _parse_task_seconds(stats_str: str) -> float:
     return total
 
 
+def _headline_params():
+    """ONE definition of the headline workload + its cache tag — bench_cdc
+    and run_stats must profile the SAME WAL or --stats silently breaks down
+    a different workload than the headline it claims to explain."""
+    from clickhouse_data_pipeline_ray.sources.gen import GenParams
+
+    tok_min = int(os.environ.get("BENCH_TOK_MIN", "256"))
+    tok_max = int(os.environ.get("BENCH_TOK_MAX", "2048"))
+    params = GenParams(
+        total_events=BENCH_EVENTS,
+        base_events=BENCH_EVENTS // 4,
+        events_per_segment=10_000,
+        seed=42,
+        tok_min=tok_min,
+        tok_max=tok_max,
+    )
+    return params, f"bench-{BENCH_EVENTS}-{tok_min}-{tok_max}"
+
+
 def bench_cdc(ray) -> dict:
     """Headline: full CDC replay (gen cached WAL -> engine replay)."""
     import tempfile
@@ -60,17 +80,7 @@ def bench_cdc(ray) -> dict:
     # 256-2048 tokens (~2.2 KB/row; BENCH_TOK_MIN/MAX override), not toy short
     # rows — with realistic rows the pipeline is compute/bandwidth-bound and
     # throughput + scaling reflect the engine, not fixed scheduling overhead.
-    tok_min = int(os.environ.get("BENCH_TOK_MIN", "256"))
-    tok_max = int(os.environ.get("BENCH_TOK_MAX", "2048"))
-    params = GenParams(
-        total_events=BENCH_EVENTS,
-        base_events=BENCH_EVENTS // 4,
-        events_per_segment=10_000,
-        seed=42,
-        tok_min=tok_min,
-        tok_max=tok_max,
-    )
-    tag = f"bench-{BENCH_EVENTS}-{tok_min}-{tok_max}"
+    params, tag = _headline_params()
     t_gen0 = time.perf_counter()
     wal_dir = ensure_wal(CACHE_ROOT, params, tag, parallel=True)
     gen_s = time.perf_counter() - t_gen0
@@ -86,7 +96,7 @@ def bench_cdc(ray) -> dict:
 
     # one bounded apply epoch + final compaction checkpoint; fixed-size merge
     # pool at half the CPUs (actors hold their CPU; upstream needs the rest).
-    # Best-of-N fresh replays (BENCH_REPEATS, default 2): this host's
+    # Best-of-N fresh replays (BENCH_REPEATS, default 3): this host's
     # effective capacity swings 2-3x between windows, so a single shot
     # measures the neighbors, not the engine.
     # stage_stats: capture per-stage breakdowns so aggregate TASK seconds can
@@ -120,6 +130,8 @@ def bench_cdc(ray) -> dict:
     wall, epochs, table_dir = best
     apply_s = sum(e["wall_s"] for e in epochs if not e.get("compaction"))
     compact_s = sum(e["wall_s"] for e in epochs if e.get("compaction"))
+    # compaction stats rows carry no stage_stats -> counted as 0 here; the
+    # lo/hi inflation comparison is unaffected (both legs undercount alike)
     agg_task_s = sum(
         _parse_task_seconds(e.get("stage_stats") or "") for e in epochs
     )
@@ -249,8 +261,6 @@ BENCH_QUERIES = [
 
 
 def bench_queries(ray) -> dict:
-    import pyarrow as pa
-
     import ray.data as rd
     from clickhouse_data_pipeline_ray.pipelines.queries import QUERIES
 
@@ -309,14 +319,18 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_HEADLINE_ONLY="1",
         )
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            # surface the leg's Ray traceback — a bare CalledProcessError
+            # hides the reason (OOM, disk-full scratch) behind 'status 1'
+            sys.stderr.write(proc.stderr)
+            raise RuntimeError(f"scaling leg (num_cpus={ncpu}) failed, see stderr")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # best-of-2 per leg: the sandbox host has noisy neighbors (observed ±50%
     # run-to-run wall variance at idle load averages of 9+), so a single shot
@@ -437,7 +451,7 @@ def run_soak() -> dict:
         while apply_once(table_dir, wal_dir, cfg) is not None:
             n_epochs += 1
         c = compact_table(table_dir, concurrency=max(2, NUM_CPUS // 2))
-        steps.append(("compact", (c or {}).get("compacted", 0)))
+        steps.append(("compact", (c or {}).get("partitions_compacted", 0)))
         wall = time.perf_counter() - t0
         got = totals(read_snapshot(table_dir))
         ok = (got["n_docs"], got["sum_tok"]) == (want[0], want[1])
@@ -486,21 +500,10 @@ def run_stats() -> dict:
         create_table,
         replay,
     )
-    from clickhouse_data_pipeline_ray.sources.gen import GenParams, ensure_wal
+    from clickhouse_data_pipeline_ray.sources.gen import ensure_wal
 
-    tok_min = int(os.environ.get("BENCH_TOK_MIN", "256"))
-    tok_max = int(os.environ.get("BENCH_TOK_MAX", "2048"))
-    params = GenParams(
-        total_events=BENCH_EVENTS,
-        base_events=BENCH_EVENTS // 4,
-        events_per_segment=10_000,
-        seed=42,
-        tok_min=tok_min,
-        tok_max=tok_max,
-    )
-    wal_dir = ensure_wal(
-        CACHE_ROOT, params, f"bench-{BENCH_EVENTS}-{tok_min}-{tok_max}", parallel=True
-    )
+    params, tag = _headline_params()
+    wal_dir = ensure_wal(CACHE_ROOT, params, tag, parallel=True)
     cfg = ApplyConfig(
         merge_concurrency=max(2, NUM_CPUS // 2), stage_stats=True
     )

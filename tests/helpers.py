@@ -17,11 +17,15 @@ from clickhouse_data_pipeline_ray.sources.wal import list_segments
 def replay_oracle(wal_dir: str, upto_lsn: int | None = None) -> pa.Table:
     state: dict[str, dict] = {}
     columns: list[str] = ["lsn", "doc_id", "tokens", "n_tok", "source"]
+    # evolved/extra columns keep their ACTUAL arrow type from the segment
+    # that introduced them (assuming string crashed on numeric evolutions)
+    extra_types: dict[str, pa.DataType] = {}
     for seg in list_segments(wal_dir):
         table = pq.read_table(seg.path)
         for name in table.column_names:
             if name not in columns and name != "op":
                 columns.append(name)
+                extra_types[name] = table.schema.field(name).type
         for row in table.to_pylist():
             if upto_lsn is not None and row["lsn"] > upto_lsn:
                 continue
@@ -41,7 +45,7 @@ def replay_oracle(wal_dir: str, upto_lsn: int | None = None) -> pa.Table:
         pa.field("tokens", pa.list_(pa.int32())),
         pa.field("n_tok", pa.int64()),
         pa.field("source", pa.string()),
-    ] + [pa.field(c, pa.string()) for c in columns[5:]]
+    ] + [pa.field(c, extra_types[c]) for c in columns[5:]]
     return pa.table({f.name: pa.array(data[f.name], f.type) for f in fields})
 
 
