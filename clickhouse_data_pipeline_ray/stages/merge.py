@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import time
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -351,6 +352,23 @@ class MergeApply:
         self.event_time_watermark_us = event_time_watermark_us
         self.allowed_lateness_us = allowed_lateness_us
 
+    def _threshold(self, pid) -> int:
+        """Effective compact threshold for one partition: the configured value
+        minus a deterministic per-pid jitter, bounded to (T/2, T].
+
+        Partitions that fill at the same rate (uniform key hashing does
+        exactly that) would otherwise all hit the threshold in the SAME
+        epoch and compact together — a synchronized ~T× latency spike every
+        T epochs on the micro-batch path. Downward jitter keeps the
+        configured threshold as a hard chain-length bound (the documented
+        invariant tests pin) while spreading compaction epochs across
+        partitions. crc32 keeps it stable across processes, so crashed-epoch
+        re-runs still produce identical bytes (exactly-once)."""
+        span = self.compact_threshold // 2
+        if span <= 0:
+            return self.compact_threshold
+        return self.compact_threshold - (zlib.crc32(str(pid).encode()) % span)
+
     def _event_time_partials(self, changes: pa.Table) -> tuple[int | None, int]:
         """(max event-time us, late-event count) for one change group."""
         col = self.event_time_col
@@ -416,7 +434,7 @@ class MergeApply:
             rows = cast_table(rows, self.snapshot_schema).sort_by(
                 [("lsn", "ascending")]
             )
-            if len(old_files) + 1 >= self.compact_threshold:
+            if len(old_files) + 1 >= self._threshold(pid):
                 parts = [
                     pq.read_table(os.path.join(self.table_dir, f))
                     for f in old_files
@@ -447,7 +465,7 @@ class MergeApply:
         delta_ok = (
             self.write_mode == "delta"
             and bool(old_files)
-            and len(old_files) + 1 < self.compact_threshold
+            and len(old_files) + 1 < self._threshold(pid)
         )
         if delta_ok:
             # Append path: compacted change rows only, op + tombstones kept.

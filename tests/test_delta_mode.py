@@ -102,6 +102,51 @@ def test_auto_compaction_bounds_chain_length(ray_session, wal, tmp_path):
     assert_snapshots_equal(snapshot_table(table_dir), replay_oracle(wal))
 
 
+def test_compaction_thresholds_are_jittered_but_bounded():
+    """Per-partition threshold jitter desynchronizes compaction waves.
+
+    Uniformly-hashed partitions fill at the same rate, so a fixed threshold
+    would compact EVERY partition in the same epoch — a synchronized ~T×
+    latency spike every T epochs on the micro-batch path. The effective
+    threshold must be (a) deterministic per pid (exactly-once: a crashed
+    epoch's re-run takes the same branch), (b) bounded to (T/2, T] so the
+    configured value stays a hard chain-length bound, and (c) actually
+    spread across pids."""
+    from clickhouse_data_pipeline_ray.stages.merge import MergeApply
+
+    def mk(threshold):
+        m = MergeApply.__new__(MergeApply)
+        m.compact_threshold = threshold
+        return m
+
+    for t in (2, 3, 4, 8, 16, 100):
+        m, m2 = mk(t), mk(t)
+        vals = [m._threshold(pid) for pid in range(256)]
+        assert all(v == m2._threshold(pid) for pid, v in enumerate(vals))
+        assert all(t // 2 < v <= t for v in vals), (t, min(vals), max(vals))
+        if t >= 4:  # span >= 2: jitter must actually spread
+            assert len(set(vals)) >= 2, (t, set(vals))
+    # span <= 0 degenerates to the fixed threshold (never 0 or negative).
+    assert mk(1)._threshold(7) == 1
+
+
+def test_jittered_compaction_desynchronizes_epochs(ray_session, wal, tmp_path):
+    """End-to-end: with many epochs and a small threshold, partitions do NOT
+    all carry the same chain length at the end (they compacted in different
+    epochs), yet the merged state still matches the oracle."""
+    table_dir = str(tmp_path / "t")
+    create_table(table_dir, num_partitions=8)
+    replay(table_dir, wal, _delta_cfg(compact_threshold=8), final_compact=False)
+    man = load_manifest(table_dir)
+    chains = sorted(len(p["files"]) for p in man.partitions.values())
+    assert max(chains) <= 8
+    # 6 epochs / threshold 8: every partition appended every epoch, so equal
+    # thresholds would mean equal chain lengths everywhere. Jitter (effective
+    # thresholds in (4, 8]) makes some partitions compact earlier.
+    assert len(set(chains)) >= 2, chains
+    assert_snapshots_equal(snapshot_table(table_dir), replay_oracle(wal))
+
+
 def test_delta_writes_are_o_changes_not_o_table(ray_session, wal, tmp_path):
     """Shape invariant for the 10^10 design point: a delta epoch's bytes on
     disk scale with the epoch's changes, not the accumulated table."""
