@@ -246,6 +246,17 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--limit", type=int, default=5)
 
     sp = sub.add_parser(
+        "search-bm25",
+        help="BM25 lexical top-k over a documents parquet (two map-only "
+             "passes, no shuffle; query-term stats only, never the vocab)",
+    )
+    sp.add_argument("--query", required=True, help="space-separated terms")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--k1", type=float, default=1.2)
+    sp.add_argument("--b", type=float, default=0.75)
+
+    sp = sub.add_parser(
         "get",
         help="point lookup by key — opens only the routed partitions "
              "(driver-side latency path, no Ray job)",
@@ -605,6 +616,25 @@ def _run(argv: list[str] | None = None) -> int:
                     print(head.to_string(index=False))
         finally:
             ray.shutdown()
+        return 0
+
+    if args.cmd == "search-bm25":
+        from .functions.retrieval import bm25_topk
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        ds = rd.read_parquet(
+            os.path.join(args.sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        res = bm25_topk(ds, args.query, k=args.k, k1=args.k1, b=args.b)
+        print(json.dumps({
+            "query": args.query, "k": args.k, "rows": res.num_rows,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        print(res.to_pandas().to_string(index=False))
         return 0
 
     if args.cmd == "query":

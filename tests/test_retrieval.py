@@ -1,0 +1,104 @@
+"""BM25 lexical retrieval vs an independent DuckDB oracle.
+
+The oracle recomputes the whole BM25 pipeline (tf, df, |d|, avgdl, score)
+in SQL from the same parquet with the same tokenization (string_split on a
+single space) — integers must match exactly; scores to float tolerance
+(ln/÷ may differ in the last ulp between libm and DuckDB)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from clickhouse_data_pipeline_ray.functions.retrieval import bm25_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+DOCS = f"{SF_DIR}/documents.parquet"
+K1, B = 1.2, 0.75
+
+
+def _read_docs(ray, num_blocks=None):
+    return ray.data.read_parquet(
+        DOCS, columns=["doc_id", "text"], override_num_blocks=num_blocks
+    )
+
+
+def _oracle(terms: list[str], k: int):
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return duckdb.sql(
+        f"""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS w
+          FROM read_parquet('{DOCS}')
+        ),
+        corpus AS (
+          SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+          FROM d
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(w) AS term FROM d)
+          WHERE term IN ({tlist})
+          GROUP BY doc_id, term
+        ),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        dl AS (SELECT doc_id, len(w) AS dl FROM d),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln((corpus.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                   * tf.tf * ({K1} + 1.0)
+                   / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / corpus.avgdl))
+                 ) AS score
+          FROM tf
+          JOIN dft USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN corpus
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+        """
+    ).df()
+
+
+@pytest.mark.parametrize("query", ["merge sort filter", "customer", "scan scan hash"])
+def test_bm25_matches_duckdb_oracle(ray_session, query):
+    got = bm25_topk(_read_docs(ray_session), query, k=10).to_pandas()
+    terms = sorted({t for t in query.split(" ") if t})
+    want = _oracle(terms, k=10)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-9)
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+
+
+def test_bm25_block_count_invariant(ray_session):
+    a = bm25_topk(_read_docs(ray_session, num_blocks=1), "join window stream", k=7)
+    b = bm25_topk(_read_docs(ray_session, num_blocks=8), "join window stream", k=7)
+    assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
+    np.testing.assert_allclose(
+        a.column("score").to_pylist(), b.column("score").to_pylist(), rtol=1e-12
+    )
+
+
+def test_bm25_no_match_is_empty_with_schema(ray_session):
+    out = bm25_topk(_read_docs(ray_session), "zzzznotaword", k=5)
+    assert out.num_rows == 0
+    assert out.column_names == ["rank", "doc_id", "score"]
+
+
+def test_bm25_empty_query_raises(ray_session):
+    with pytest.raises(ValueError):
+        bm25_topk(_read_docs(ray_session), "   ", k=5)
+
+
+def test_bm25_duplicate_terms_no_double_weight(ray_session):
+    once = bm25_topk(_read_docs(ray_session), "merge", k=5)
+    twice = bm25_topk(_read_docs(ray_session), "merge merge", k=5)
+    assert once.column("doc_id").to_pylist() == twice.column("doc_id").to_pylist()
+    np.testing.assert_allclose(
+        once.column("score").to_pylist(), twice.column("score").to_pylist()
+    )
