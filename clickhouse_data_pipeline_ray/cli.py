@@ -255,6 +255,19 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("-k", type=int, default=10)
     sp.add_argument("--k1", type=float, default=1.2)
     sp.add_argument("--b", type=float, default=0.75)
+    sp.add_argument("--index", default=None,
+                    help="persisted text-index dir (index-text output): "
+                         "opens only the query terms' postings buckets — "
+                         "no Ray job, no corpus scan")
+
+    sp = sub.add_parser(
+        "index-text",
+        help="build a persisted BM25 inverted index (term-hash-bucketed "
+             "postings + corpus stats; idempotent tmp+rename build)",
+    )
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--num-buckets", type=int, default=64)
 
     sp = sub.add_parser(
         "get",
@@ -619,7 +632,32 @@ def _run(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "search-bm25":
-        from .functions.retrieval import bm25_topk
+        from .functions.retrieval import bm25_index_topk, bm25_topk
+
+        t0 = time.perf_counter()
+        if args.index:
+            # latency path: a few postings-bucket file reads, no Ray session
+            res = bm25_index_topk(args.index, args.query, k=args.k,
+                                  k1=args.k1, b=args.b)
+        else:
+            _init_ray(args.num_cpus)
+            import ray.data as rd
+
+            ds = rd.read_parquet(
+                os.path.join(args.sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+            )
+            res = bm25_topk(ds, args.query, k=args.k, k1=args.k1, b=args.b)
+        print(json.dumps({
+            "query": args.query, "k": args.k, "rows": res.num_rows,
+            "indexed": bool(args.index),
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        print(res.to_pandas().to_string(index=False))
+        return 0
+
+    if args.cmd == "index-text":
+        from .functions.retrieval import build_text_index
 
         _init_ray(args.num_cpus)
         t0 = time.perf_counter()
@@ -629,12 +667,11 @@ def _run(argv: list[str] | None = None) -> int:
             os.path.join(args.sf_dir, "documents.parquet"),
             columns=["doc_id", "text"],
         )
-        res = bm25_topk(ds, args.query, k=args.k, k1=args.k1, b=args.b)
+        meta = build_text_index(ds, args.output, num_buckets=args.num_buckets)
         print(json.dumps({
-            "query": args.query, "k": args.k, "rows": res.num_rows,
+            "output": args.output, **meta,
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
-        print(res.to_pandas().to_string(index=False))
         return 0
 
     if args.cmd == "query":

@@ -40,6 +40,8 @@ invariance test.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -204,4 +206,171 @@ def bm25_topk(
     return pa.Table.from_pandas(
         out[["rank", "doc_id", "score"]].reset_index(drop=True),
         preserve_index=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index — the 100-TB path (the lexical analog of
+# similarity.build_ivf_index / ivf_index_topk): the corpus is scanned ONCE at
+# build time into a term-hash-bucketed postings layout; every subsequent
+# query opens ONLY the buckets its terms hash to (file-level pruning), reads
+# a few small parquet files driver-side, and scores with the exact same
+# dense kernel as the streaming path — bitwise-identical results, zero
+# corpus scans per query.
+# ---------------------------------------------------------------------------
+
+
+def _term_buckets(terms: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic term → bucket hash (pandas hash_array — stable across
+    processes/partitionings, unlike builtin str hash under PYTHONHASHSEED)."""
+    from pandas.util import hash_array
+
+    return (hash_array(terms.astype(object)) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def build_text_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    num_buckets: int = 64,
+) -> dict:
+    """One-time inverted index over (doc_id, text): postings rows
+    (term, doc_id, tf, dl) partitioned by ``bucket = hash(term) % B``, plus
+    corpus stats (N, avgdl) in meta.json. Postings extraction is one
+    vectorized map pass (split → factorize → unique (row, term) pairs with
+    counts); the only wide step is the partitioned write. IDEMPOTENT via the
+    tmp-write + atomic-swap protocol the table sink and the IVF index use —
+    a rebuild after a partial failure can never leave stale or duplicate
+    postings files for ``bm25_index_topk`` to read."""
+    import json
+    import shutil
+
+    nb = int(num_buckets)
+
+    def postings(b: pa.Table) -> pa.Table:
+        lens, words, rows = _split_docs(b)
+        doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(words) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array(doc_ids[:0]),
+                    "tf": pa.array([], pa.int64()),
+                    "dl": pa.array([], pa.int64()),
+                }
+            )
+        uvals, inv = np.unique(words, return_inverse=True)
+        pair = rows * len(uvals) + inv
+        upair, tf = np.unique(pair, return_counts=True)
+        prow = (upair // len(uvals)).astype(np.int64)
+        pterm = (upair % len(uvals)).astype(np.int64)
+        terms = uvals[pterm]
+        return pa.table(
+            {
+                "bucket": pa.array(_term_buckets(terms, nb)),
+                "term": pa.array(terms.astype(str)),
+                "doc_id": pa.array(doc_ids[prow]),
+                "tf": pa.array(tf.astype(np.int64)),
+                "dl": pa.array(lens[prow]),
+            }
+        )
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(
+            pc.split_pattern(b.column("text"), pattern=" ")
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "n_docs": pa.array([b.num_rows], pa.int64()),
+                "sum_len": pa.array([int(pc.sum(lens).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    post_dir = os.path.join(index_dir, "postings")
+    tmp_dir = post_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        tmp_dir, partition_cols=["bucket"]
+    )
+    shutil.rmtree(post_dir, ignore_errors=True)
+    os.replace(tmp_dir, post_dir)
+
+    sp = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(sp["n_docs"].sum())
+    avgdl = float(sp["sum_len"].sum()) / n_docs if n_docs else 0.0
+    meta = {"n_docs": n_docs, "avgdl": avgdl, "num_buckets": nb}
+    with open(os.path.join(index_dir, "meta.json.tmp"), "w") as f:
+        json.dump(meta, f)
+    os.replace(
+        os.path.join(index_dir, "meta.json.tmp"), os.path.join(index_dir, "meta.json")
+    )
+    return meta
+
+
+def bm25_index_topk(
+    index_dir: str,
+    query: str | list[str],
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> pa.Table:
+    """BM25 top-k against a persisted text index: opens ONLY the postings
+    buckets the query terms hash to, then scores the (few) candidate docs
+    with the same dense tf-matrix kernel as the streaming path — the two are
+    bitwise-identical by construction (same float64 ops in the same order),
+    pinned by the identity test. This is a LATENCY surface: a handful of
+    file reads, no Ray job, no corpus scan (the point-lookup convention,
+    pipelines/lookup.py)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    empty = pa.table(
+        {
+            "rank": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    qarr = _terms_of(query)
+    nq = len(qarr)
+    wanted = sorted(set(_term_buckets(qarr, meta["num_buckets"]).tolist()))
+    paths = [
+        os.path.join(d, name)
+        for bk in wanted
+        if os.path.isdir(d := os.path.join(index_dir, "postings", f"bucket={bk}"))
+        for name in sorted(os.listdir(d))
+        if name.endswith(".parquet")
+    ]
+    if not paths:
+        return empty
+    tbl = pa.concat_tables(
+        pq.read_table(p, columns=["term", "doc_id", "tf", "dl"]) for p in paths
+    )
+    tbl = tbl.filter(pc.is_in(tbl.column("term"), value_set=pa.array(qarr.astype(str))))
+    if tbl.num_rows == 0:
+        return empty
+    terms = tbl.column("term").to_numpy(zero_copy_only=False).astype(object)
+    tidx = np.searchsorted(qarr, terms)
+    df = np.bincount(tidx, minlength=nq).astype(np.int64)
+    doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    udocs, dinv = np.unique(doc_ids, return_inverse=True)
+    tf = np.zeros((len(udocs), nq), dtype=np.float64)
+    tf[dinv, tidx] = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+    dl = np.zeros(len(udocs), dtype=np.float64)
+    dl[dinv] = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+    idf = np.log((meta["n_docs"] - df + 0.5) / (df + 0.5) + 1.0)
+    denom = tf + k1 * (1.0 - b + b * (dl[:, None] / meta["avgdl"]))
+    score = (idf[None, :] * tf * (k1 + 1.0) / denom).sum(axis=1)
+    matched = score > 0.0
+    udocs, score = udocs[matched], score[matched]
+    order = np.lexsort((udocs, -score))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "doc_id": pa.array(udocs[order]),
+            "score": pa.array(score[order], pa.float64()),
+        }
     )

@@ -95,6 +95,76 @@ def test_bm25_empty_query_raises(ray_session):
         bm25_topk(_read_docs(ray_session), "   ", k=5)
 
 
+@pytest.fixture(scope="module")
+def text_index(ray_session, tmp_path_factory):
+    from clickhouse_data_pipeline_ray.functions.retrieval import build_text_index
+
+    idx = str(tmp_path_factory.mktemp("bm25idx"))
+    meta = build_text_index(_read_docs(ray_session), idx, num_buckets=16)
+    return idx, meta
+
+
+def test_index_identical_to_streaming(ray_session, text_index):
+    from clickhouse_data_pipeline_ray.functions.retrieval import bm25_index_topk
+
+    idx, meta = text_index
+    assert meta["n_docs"] == 500
+    for q in ["merge sort filter", "customer", "join window stream"]:
+        got = bm25_index_topk(idx, q, k=10)
+        want = bm25_topk(_read_docs(ray_session), q, k=10)
+        assert got.column("doc_id").to_pylist() == want.column("doc_id").to_pylist()
+        # same float64 ops in the same order on both paths → bitwise equal
+        assert got.column("score").to_pylist() == want.column("score").to_pylist()
+
+
+def test_index_opens_only_query_buckets(text_index, monkeypatch):
+    from clickhouse_data_pipeline_ray.functions import retrieval as R
+
+    idx, meta = text_index
+    qarr = np.array(["merge"], dtype=object)
+    want_bucket = int(R._term_buckets(qarr, meta["num_buckets"])[0])
+    opened = []
+    real = __import__("pyarrow.parquet", fromlist=["read_table"]).read_table
+
+    def spy(path, *a, **kw):
+        opened.append(path)
+        return real(path, *a, **kw)
+
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(pq, "read_table", spy)
+    R.bm25_index_topk(idx, "merge", k=5)
+    assert opened, "index read no files"
+    assert all(f"bucket={want_bucket}" in p for p in opened)
+    n_buckets_on_disk = len(
+        [d for d in __import__("os").listdir(f"{idx}/postings") if d.startswith("bucket=")]
+    )
+    assert n_buckets_on_disk > 1  # pruning is real, not vacuous
+
+
+def test_index_rebuild_idempotent(ray_session, text_index):
+    from clickhouse_data_pipeline_ray.functions.retrieval import (
+        bm25_index_topk,
+        build_text_index,
+    )
+
+    idx, _ = text_index
+    before = bm25_index_topk(idx, "merge sort", k=5)
+    build_text_index(_read_docs(ray_session), idx, num_buckets=16)
+    after = bm25_index_topk(idx, "merge sort", k=5)
+    assert before.column("doc_id").to_pylist() == after.column("doc_id").to_pylist()
+    assert before.column("score").to_pylist() == after.column("score").to_pylist()
+
+
+def test_index_unknown_term_empty(text_index):
+    from clickhouse_data_pipeline_ray.functions.retrieval import bm25_index_topk
+
+    idx, _ = text_index
+    out = bm25_index_topk(idx, "zzzznotaword", k=5)
+    assert out.num_rows == 0
+    assert out.column_names == ["rank", "doc_id", "score"]
+
+
 def test_bm25_duplicate_terms_no_double_weight(ray_session):
     once = bm25_topk(_read_docs(ray_session), "merge", k=5)
     twice = bm25_topk(_read_docs(ray_session), "merge merge", k=5)
