@@ -261,6 +261,21 @@ def _run(argv: list[str] | None = None) -> int:
                          "no Ray job, no corpus scan")
 
     sp = sub.add_parser(
+        "mix-sample",
+        help="token-budget mixture sampling: keep each source's greedy "
+             "hash-prefix within its token budget (two small map-only "
+             "passes + a filter — exact, partitioning-independent)",
+    )
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--budgets", required=True,
+                    help="comma-separated source:max_tokens, e.g. "
+                         "src0:5000,src1:2000 (unlisted sources kept whole)")
+    sp.add_argument("--tok-col", default="n_chars",
+                    help="integer weight column (n_tok on snapshot tables)")
+    sp.add_argument("--output", default=None,
+                    help="write the sampled rows to this directory as parquet")
+
+    sp = sub.add_parser(
         "index-text",
         help="build a persisted BM25 inverted index (term-hash-bucketed "
              "postings + corpus stats; idempotent tmp+rename build)",
@@ -654,6 +669,34 @@ def _run(argv: list[str] | None = None) -> int:
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
         print(res.to_pandas().to_string(index=False))
+        return 0
+
+    if args.cmd == "mix-sample":
+        from .functions.mixing import token_budget_sample
+
+        budgets = {}
+        for part in args.budgets.split(","):
+            s, _, v = part.partition(":")
+            budgets[s] = int(v)
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        ds = rd.read_parquet(os.path.join(args.sf_dir, "documents.parquet"))
+        out = token_budget_sample(ds, budgets, tok_col=args.tok_col)
+        if args.output:
+            # streaming sink; the summary below reads the written files so
+            # the pipeline executes exactly once
+            out.write_parquet(args.output)
+            out = rd.read_parquet(args.output)
+        pdf = out.groupby("source").sum(args.tok_col).to_pandas()
+        pdf = pdf.sort_values("source").reset_index(drop=True)
+        print(json.dumps({
+            "budgets": budgets, "tok_col": args.tok_col,
+            "output": args.output,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        print(pdf.to_string(index=False))
         return 0
 
     if args.cmd == "index-text":
