@@ -47,7 +47,18 @@ N_BUCKETS_DEFAULT = 4096
 
 
 def _lehmer(doc_id: np.ndarray) -> np.ndarray:
-    return (doc_id.astype(np.int64) * LEHMER_A) % LEHMER_M
+    """Order hash in [0, 2^31-1): Lehmer permutation for integer keys (plain
+    int64 arithmetic — SQL-reproducible, the sample_documents convention);
+    stable pandas hash_array for string keys (the engine's own snapshot
+    tables key docs by STRING doc_id — a blind int cast crashed the packing
+    and connected-components paths before the same treatment)."""
+    if np.issubdtype(np.asarray(doc_id).dtype, np.integer):
+        return (doc_id.astype(np.int64) * LEHMER_A) % LEHMER_M
+    from pandas.util import hash_array
+
+    return (hash_array(np.asarray(doc_id, dtype=object)) % np.uint64(LEHMER_M)).astype(
+        np.int64
+    )
 
 
 def _bucket_shift(n_buckets: int) -> int:
@@ -76,7 +87,7 @@ def token_budget_sample(
 
     def hist(b: pa.Table) -> pa.Table:
         src = b.column(source_col).to_numpy(zero_copy_only=False).astype(object)
-        did = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        did = b.column(key_col).to_numpy(zero_copy_only=False)
         tok = b.column(tok_col).to_numpy(zero_copy_only=False).astype(np.int64)
         mask = np.isin(src, budgeted)
         if not mask.any():
@@ -133,7 +144,7 @@ def token_budget_sample(
 
         def sliver(b: pa.Table) -> pa.Table:
             src = b.column(source_col).to_numpy(zero_copy_only=False).astype(object)
-            did = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            did = b.column(key_col).to_numpy(zero_copy_only=False)
             sidx = np.searchsorted(np.array(bsrc, dtype=object), src)
             sidx_c = np.clip(sidx, 0, len(bsrc) - 1)
             mask = (np.array(bsrc, dtype=object)[sidx_c] == src) & (
@@ -149,7 +160,7 @@ def token_budget_sample(
             )
 
         sl = ds.map_batches(sliver, batch_format="pyarrow").to_pandas()
-        sl["h"] = _lehmer(sl["doc_id"].to_numpy(np.int64))
+        sl["h"] = _lehmer(sl["doc_id"].to_numpy())
         sl = sl.sort_values(["source", "h", "doc_id"], kind="mergesort")
         for s, grp in sl.groupby("source", sort=False):
             remaining = boundary[str(s)][1]
@@ -162,13 +173,13 @@ def token_budget_sample(
 
         def __init__(self, full_upto, keep_ids, budgeted):
             self.full_upto = dict(full_upto)
-            self.keep = {s: np.array(sorted(ids), dtype=np.int64)
+            self.keep = {s: np.sort(np.asarray(sorted(ids)))
                          for s, ids in keep_ids.items()}
             self.budgeted = np.array(sorted(budgeted), dtype=object)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             src = b.column(source_col).to_numpy(zero_copy_only=False).astype(object)
-            did = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            did = b.column(key_col).to_numpy(zero_copy_only=False)
             bkt = _lehmer(did) >> shift
             sidx = np.searchsorted(self.budgeted, src)
             sidx_c = np.clip(sidx, 0, max(len(self.budgeted) - 1, 0))

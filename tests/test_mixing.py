@@ -92,6 +92,52 @@ def test_budget_sample_empty_budgets_is_identity(ray_session):
     assert out is ds
 
 
+def test_budget_sample_string_keys(ray_session):
+    # the engine's snapshot tables key docs by STRING doc_id — the sampler
+    # must handle them (stable hash_array order instead of the Lehmer int
+    # permutation); oracle = the same greedy prefix computed independently
+    # in pandas over the full (hash, doc_id) sort
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from pandas.util import hash_array
+
+    from clickhouse_data_pipeline_ray.functions.mixing import LEHMER_M
+
+    rng = np.random.default_rng(7)
+    n = 1000
+    df = pd.DataFrame(
+        {
+            "doc_id": [f"doc-{i:05d}" for i in range(n)],
+            "source": rng.choice(["a", "b", "c"], n),
+            "n_tok": rng.integers(1, 400, n),
+        }
+    )
+    budgets = {"a": 9000, "b": 1500}
+    ds = ray_session.data.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = set(token_budget_sample(ds, budgets).to_pandas()["doc_id"])
+
+    ref = df.copy()
+    ref["h"] = (
+        hash_array(ref["doc_id"].to_numpy(object)) % np.uint64(LEHMER_M)
+    ).astype(np.int64)
+    ref = ref.sort_values(["source", "h", "doc_id"], kind="mergesort")
+    ref["cum"] = ref.groupby("source")["n_tok"].cumsum()
+    want = set(
+        ref[
+            ref.apply(
+                lambda r: r["source"] not in budgets
+                or r["cum"] <= budgets[r["source"]],
+                axis=1,
+            )
+        ]["doc_id"]
+    )
+    assert got == want
+    per = token_budget_sample(ds, budgets).to_pandas().groupby("source")["n_tok"].sum()
+    for s, b in budgets.items():
+        assert per.get(s, 0) <= b
+
+
 def test_budget_sample_greedy_maximality(ray_session):
     # the kept prefix is maximal: the FIRST excluded doc (in hash order) of a
     # budgeted source would push the running total past the budget
