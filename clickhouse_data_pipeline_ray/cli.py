@@ -285,6 +285,26 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--num-buckets", type=int, default=64)
 
     sp = sub.add_parser(
+        "index-tokens",
+        help="build or incrementally refresh a BM25 token index over a "
+             "committed table (re-derives ONLY partitions whose file "
+             "chains changed since the indexed epoch)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--output", required=True, help="index directory")
+    sp.add_argument("--num-buckets", type=int, default=64)
+
+    sp = sub.add_parser(
+        "search-tokens",
+        help="BM25 top-k over a table token index — opens only the query "
+             "token ids' postings buckets, no Ray job",
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--tokens", required=True,
+                    help="comma-separated token ids")
+    sp.add_argument("-k", type=int, default=10)
+
+    sp = sub.add_parser(
         "get",
         help="point lookup by key — opens only the routed partitions "
              "(driver-side latency path, no Ray job)",
@@ -666,6 +686,35 @@ def _run(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "query": args.query, "k": args.k, "rows": res.num_rows,
             "indexed": bool(args.index),
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        print(res.to_pandas().to_string(index=False))
+        return 0
+
+    if args.cmd == "index-tokens":
+        from .functions.retrieval import refresh_table_token_index
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        res = refresh_table_token_index(
+            args.table, args.output, num_buckets=args.num_buckets
+        )
+        print(json.dumps({
+            "table": args.table, "output": args.output,
+            "indexed_epoch": res["indexed_epoch"],
+            "refreshed_pids": res["refreshed_pids"],
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "search-tokens":
+        from .functions.retrieval import bm25_table_index_topk
+
+        t0 = time.perf_counter()
+        qtoks = [int(t) for t in args.tokens.split(",") if t]
+        res = bm25_table_index_topk(args.index, qtoks, k=args.k)
+        print(json.dumps({
+            "tokens": qtoks, "k": args.k, "rows": res.num_rows,
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
         print(res.to_pandas().to_string(index=False))

@@ -374,3 +374,270 @@ def bm25_index_topk(
             "score": pa.array(score[order], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental token index over a COMMITTED table — derived-artifact
+# maintenance wired into the CDC engine's lineage: the postings layout is
+# partitioned by (term bucket, table partition), so a refresh after new
+# apply epochs re-derives ONLY the table partitions whose file chains
+# changed (the changed_partitions contract the epoch-diff pipeline uses) —
+# O(changed partitions) maintenance, not O(table). Terms are the table's
+# token IDS (the tokenized-sequence domain of the north-star schema), not
+# words; everything else (postings shape, BM25 kernel) is shared with the
+# text index above.
+# ---------------------------------------------------------------------------
+
+STATS_BUCKET = -1  # sentinel partition carrying per-pid (n_docs, sum_len)
+
+
+def _token_buckets(terms: np.ndarray, num_buckets: int) -> np.ndarray:
+    from pandas.util import hash_array
+
+    return (hash_array(terms.astype(np.int64)) % np.uint64(num_buckets)).astype(
+        np.int64
+    )
+
+
+def _pid_postings(t: pa.Table, pid: int, num_buckets: int, tokens_col: str) -> pa.Table:
+    """Postings rows (bucket, term, doc_id, tf, dl, pid) for one partition's
+    merged snapshot, plus ONE stats row (bucket=STATS_BUCKET, tf=n_docs,
+    dl=sum_len) so refresh can update corpus stats without a second pass.
+    Same vectorized shape as the text extraction (flatten → unique pairs)."""
+    lists = t.column(tokens_col).combine_chunks()
+    lens = pc.fill_null(pc.list_value_length(lists), 0).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    did_type = t.schema.field("doc_id").type
+    stats = pa.table(
+        {
+            "bucket": pa.array([STATS_BUCKET], pa.int64()),
+            "term": pa.array([-1], pa.int64()),
+            "doc_id": pa.array([None], did_type),
+            "tf": pa.array([t.num_rows], pa.int64()),
+            "dl": pa.array([int(lens.sum())], pa.int64()),
+            "pid": pa.array([pid], pa.int64()),
+        }
+    )
+    if len(flat) == 0:
+        return stats
+    uvals, inv = np.unique(flat, return_inverse=True)
+    pair = rows * len(uvals) + inv
+    upair, tf = np.unique(pair, return_counts=True)
+    prow = (upair // len(uvals)).astype(np.int64)
+    terms = uvals[(upair % len(uvals)).astype(np.int64)]
+    body = pa.table(
+        {
+            "bucket": pa.array(_token_buckets(terms, num_buckets)),
+            "term": pa.array(terms, pa.int64()),
+            "doc_id": pa.array(doc_ids[prow]),
+            "tf": pa.array(tf.astype(np.int64)),
+            "dl": pa.array(lens[prow]),
+            "pid": pa.array(np.full(len(terms), pid, np.int64)),
+        }
+    )
+    return pa.concat_tables([body, stats.cast(body.schema)])
+
+
+def refresh_table_token_index(
+    table_dir: str,
+    index_dir: str,
+    num_buckets: int = 64,
+    tokens_col: str = "tokens",
+) -> dict:
+    """Build — or incrementally refresh — a token-postings BM25 index over a
+    committed table's merged snapshot.
+
+    Layout: ``postings/bucket=B/pid=P/*.parquet`` + ``meta.json`` holding
+    ``indexed_epoch`` and per-pid corpus stats. On refresh, partitions whose
+    manifest file chains are identical between the indexed epoch and the
+    current one are provably unchanged and never opened (the epoch-diff
+    pruning contract, pipelines/diff.py); only changed partitions re-derive,
+    and updates/deletes are handled for free because each partition's
+    postings are REPLACED from its current merged snapshot. Falls back to a
+    full rebuild when the indexed epoch is no longer retained, the partition
+    layout changed (repartition), or ``num_buckets`` differs.
+
+    Crash safety: postings dirs swap per-partition via os.replace and
+    ``meta.json`` commits LAST — a crash mid-swap leaves the old meta, so
+    the next refresh re-derives the same changed partitions (idempotent).
+
+    Returns the new meta plus ``refreshed_pids`` (what was re-derived)."""
+    import json
+    import shutil
+
+    from ..state.manifest import load_manifest
+
+    man = load_manifest(table_dir)
+    meta_path = os.path.join(index_dir, "meta.json")
+    old = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = json.load(f)
+    all_pids = sorted(man.partitions, key=int)
+    pids: list[str] = all_pids
+    if old and old.get("num_buckets") == num_buckets:
+        try:
+            from ..pipelines.diff import changed_partitions
+
+            changed = changed_partitions(
+                table_dir, old["indexed_epoch"], man.epoch
+            )
+            pids = [str(c["pid"]) for c in changed]
+        except Exception:
+            old = None  # layout change / un-retained epoch → full rebuild
+
+    post_dir = os.path.join(index_dir, "postings")
+    if pids:
+        files_by_pid = {
+            p: (man.partitions[p].get("files") or []) for p in pids
+        }
+
+        def derive(batch: pa.Table) -> pa.Table:
+            from ..stages.merge import read_partition
+
+            out = []
+            for pid in batch.column("pid").to_pylist():
+                files = files_by_pid.get(str(pid)) or []
+                snap = (
+                    read_partition(table_dir, files, man.schema, man.mode)
+                    if files
+                    else man.schema.empty_table()
+                )
+                out.append(_pid_postings(snap, int(pid), num_buckets, tokens_col))
+            return pa.concat_tables(out)
+
+        tmp_dir = post_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        ray.data.from_items([{"pid": int(p)} for p in pids]).map_batches(
+            derive, batch_format="pyarrow", batch_size=1
+        ).write_parquet(tmp_dir, partition_cols=["bucket", "pid"])
+
+        # per-pid swap: clear every refreshed pid everywhere, then move the
+        # freshly derived dirs in (deletes/emptied partitions handled by the
+        # clearing step — they simply have no new dir)
+        os.makedirs(post_dir, exist_ok=True)
+        refreshed = set(pids)
+        for bdir in os.listdir(post_dir):
+            bpath = os.path.join(post_dir, bdir)
+            for pdir in os.listdir(bpath):
+                if pdir.split("=", 1)[-1] in refreshed:
+                    shutil.rmtree(os.path.join(bpath, pdir))
+        new_stats: dict[str, list[int]] = {}
+        for bdir in sorted(os.listdir(tmp_dir)):
+            bval = bdir.split("=", 1)[-1]
+            src_b = os.path.join(tmp_dir, bdir)
+            if bval == str(STATS_BUCKET):
+                import pyarrow.parquet as pq
+
+                for pdir in os.listdir(src_b):
+                    srow = pq.read_table(
+                        os.path.join(src_b, pdir), columns=["tf", "dl"]
+                    )
+                    new_stats[pdir.split("=", 1)[-1]] = [
+                        int(pc.sum(srow.column("tf")).as_py() or 0),
+                        int(pc.sum(srow.column("dl")).as_py() or 0),
+                    ]
+                continue
+            dst_b = os.path.join(post_dir, bdir)
+            os.makedirs(dst_b, exist_ok=True)
+            for pdir in os.listdir(src_b):
+                dst = os.path.join(dst_b, pdir)
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(os.path.join(src_b, pdir), dst)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    else:
+        new_stats = {}
+
+    per_pid = dict(old["per_pid"]) if old else {}
+    for p in pids:
+        per_pid.pop(p, None)
+    per_pid.update(new_stats)
+    per_pid = {p: per_pid[p] for p in all_pids if p in per_pid}
+    meta = {
+        "num_buckets": num_buckets,
+        "indexed_epoch": man.epoch,
+        "tokens_col": tokens_col,
+        "per_pid": per_pid,
+    }
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
+    return {**meta, "refreshed_pids": sorted(pids, key=int)}
+
+
+def bm25_table_index_topk(
+    index_dir: str,
+    query_tokens: list[int],
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> pa.Table:
+    """BM25 top-k over a table token index: opens only the postings buckets
+    the query token ids hash to (across all table partitions), scores with
+    the shared dense kernel. Terms are token ids (int64)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    empty = pa.table(
+        {
+            "rank": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    n_docs = sum(v[0] for v in meta["per_pid"].values())
+    sum_len = sum(v[1] for v in meta["per_pid"].values())
+    if n_docs == 0:
+        return empty
+    avgdl = float(sum_len) / n_docs
+    qarr = np.unique(np.asarray(list(query_tokens), dtype=np.int64))
+    if len(qarr) == 0:
+        raise ValueError("BM25 token query is empty")
+    nq = len(qarr)
+    wanted = sorted(set(_token_buckets(qarr, meta["num_buckets"]).tolist()))
+    paths = [
+        os.path.join(pd_, name)
+        for bk in wanted
+        if os.path.isdir(bd := os.path.join(index_dir, "postings", f"bucket={bk}"))
+        for pdir in sorted(os.listdir(bd))
+        if os.path.isdir(pd_ := os.path.join(bd, pdir))
+        for name in sorted(os.listdir(pd_))
+        if name.endswith(".parquet")
+    ]
+    if not paths:
+        return empty
+    tbl = pa.concat_tables(
+        pq.read_table(p, columns=["term", "doc_id", "tf", "dl"]) for p in paths
+    )
+    tbl = tbl.filter(pc.is_in(tbl.column("term"), value_set=pa.array(qarr, pa.int64())))
+    if tbl.num_rows == 0:
+        return empty
+    terms = tbl.column("term").to_numpy(zero_copy_only=False).astype(np.int64)
+    tidx = np.searchsorted(qarr, terms)
+    df = np.bincount(tidx, minlength=nq).astype(np.int64)
+    doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    udocs, dinv = np.unique(doc_ids, return_inverse=True)
+    tf = np.zeros((len(udocs), nq), dtype=np.float64)
+    tf[dinv, tidx] = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+    dl = np.zeros(len(udocs), dtype=np.float64)
+    dl[dinv] = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    denom = tf + k1 * (1.0 - b + b * (dl[:, None] / avgdl))
+    score = (idf[None, :] * tf * (k1 + 1.0) / denom).sum(axis=1)
+    matched = score > 0.0
+    udocs, score = udocs[matched], score[matched]
+    order = np.lexsort((udocs, -score))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "doc_id": pa.array(udocs[order]),
+            "score": pa.array(score[order], pa.float64()),
+        }
+    )
