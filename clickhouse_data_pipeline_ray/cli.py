@@ -303,6 +303,8 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--tokens", required=True,
                     help="comma-separated token ids")
     sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--k1", type=float, default=1.2)
+    sp.add_argument("--b", type=float, default=0.75)
 
     sp = sub.add_parser(
         "get",
@@ -712,7 +714,8 @@ def _run(argv: list[str] | None = None) -> int:
 
         t0 = time.perf_counter()
         qtoks = [int(t) for t in args.tokens.split(",") if t]
-        res = bm25_table_index_topk(args.index, qtoks, k=args.k)
+        res = bm25_table_index_topk(args.index, qtoks, k=args.k,
+                                    k1=args.k1, b=args.b)
         print(json.dumps({
             "tokens": qtoks, "k": args.k, "rows": res.num_rows,
             "wall_s": round(time.perf_counter() - t0, 3),
@@ -734,6 +737,15 @@ def _run(argv: list[str] | None = None) -> int:
         ds = rd.read_parquet(os.path.join(args.sf_dir, "documents.parquet"))
         out = token_budget_sample(ds, budgets, tok_col=args.tok_col)
         if args.output:
+            if os.path.isdir(args.output) and any(
+                f.endswith(".parquet") for f in os.listdir(args.output)
+            ):
+                # same guard as `query --output`: Ray writes unique file
+                # names, so a reused dir silently interleaves two samples
+                raise ValueError(
+                    f"output dir {args.output} already holds parquet files; "
+                    "point --output at an empty or new directory"
+                )
             # streaming sink; the summary below reads the written files so
             # the pipeline executes exactly once
             out.write_parquet(args.output)

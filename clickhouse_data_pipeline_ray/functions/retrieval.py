@@ -65,12 +65,80 @@ def _terms_of(query: str | list[str]) -> np.ndarray:
 
 def _split_docs(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(doc word-lengths, flattened words, row index per word) — one Arrow
-    split kernel + one repeat; the shared tokenization of the module."""
+    split kernel + one repeat; the shared tokenization of the module.
+    NULL text is a zero-length doc (fill_null before the cast — a null list
+    length is null, not 0, and poisons np.repeat; list_flatten already
+    skips null rows so words/rows stay aligned)."""
     lists = pc.split_pattern(batch.column("text"), pattern=" ").combine_chunks()
-    lens = pc.list_value_length(lists).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    lens = pc.fill_null(pc.list_value_length(lists), 0).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
     words = pc.list_flatten(lists).to_numpy(zero_copy_only=False).astype(object)
     rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
     return lens, words, rows
+
+
+def _bm25_scores(
+    tf: np.ndarray, dl: np.ndarray, idf: np.ndarray, avgdl: float, k1: float, b: float
+) -> np.ndarray:
+    """THE scoring kernel — every path (streaming scorer, text index, table
+    token index) calls this one function, which is what makes their results
+    bitwise-identical: same float64 ops in the same order, never three
+    hand-synchronized copies."""
+    denom = tf + k1 * (1.0 - b + b * (dl[:, None] / avgdl))
+    return (idf[None, :] * tf * (k1 + 1.0) / denom).sum(axis=1)
+
+
+def _rank_topk(doc_ids: np.ndarray, score: np.ndarray, k: int) -> pa.Table:
+    """(rank, doc_id, score) for the global top-k with the shared tie-break
+    (score DESC, doc_id ASC); zero-score docs (no query term) are excluded."""
+    matched = score > 0.0
+    d, s = doc_ids[matched], score[matched]
+    order = np.lexsort((d, -s))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "doc_id": pa.array(d[order]),
+            "score": pa.array(s[order], pa.float64()),
+        }
+    )
+
+
+def _postings_dense(
+    tbl: pa.Table, qarr: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(unique docs, doc×term tf matrix, dl per doc, df per term) from
+    postings rows already filtered to the query terms — shared by both
+    persisted-index query paths."""
+    nq = len(qarr)
+    terms = tbl.column("term").to_numpy(zero_copy_only=False).astype(qarr.dtype)
+    tidx = np.searchsorted(qarr, terms)
+    df = np.bincount(tidx, minlength=nq).astype(np.int64)
+    doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    udocs, dinv = np.unique(doc_ids, return_inverse=True)
+    tf = np.zeros((len(udocs), nq), dtype=np.float64)
+    tf[dinv, tidx] = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+    dl = np.zeros(len(udocs), dtype=np.float64)
+    dl[dinv] = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+    return udocs, tf, dl, df
+
+
+def _empty_result(doc_id_type: pa.DataType = pa.int64()) -> pa.Table:
+    return pa.table(
+        {
+            "rank": pa.array([], pa.int64()),
+            "doc_id": pa.array([], doc_id_type),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+
+def _type_from_name(name: str | None) -> pa.DataType:
+    """Arrow type from the meta.json doc_id_type string (int64/string cover
+    every table this engine writes; unknown names default to int64)."""
+    return {"string": pa.string(), "large_string": pa.large_string()}.get(
+        name or "int64", pa.int64()
+    )
 
 
 def _match_terms(words: np.ndarray, qarr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -144,19 +212,13 @@ class BM25Scorer:
             .reshape(len(lens), nq)
             .astype(np.float64)
         )
-        dl = lens.astype(np.float64)
-        denom = tf + self.k1 * (1.0 - self.b + self.b * (dl[:, None] / self.avgdl))
-        score = (self.idf[None, :] * tf * (self.k1 + 1.0) / denom).sum(axis=1)
-        matched = score > 0.0
-        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)[matched]
-        score = score[matched]
-        order = np.lexsort((doc_id, -score))[: self.k]
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_id[order]),
-                "score": pa.array(score[order], pa.float64()),
-            }
+        score = _bm25_scores(
+            tf, lens.astype(np.float64), self.idf, self.avgdl, self.k1, self.b
         )
+        local = _rank_topk(
+            batch.column("doc_id").to_numpy(zero_copy_only=False), score, self.k
+        )
+        return local.drop_columns(["rank"])
 
 
 def bm25_topk(
@@ -170,13 +232,11 @@ def bm25_topk(
     """BM25 top-k over a Dataset with (doc_id, text) columns. Returns
     (rank, doc_id, score) sorted by score DESC, doc_id ASC; docs matching no
     query term are excluded (their score is exactly 0)."""
-    empty = pa.table(
-        {
-            "rank": pa.array([], pa.int64()),
-            "doc_id": pa.array([], pa.int64()),
-            "score": pa.array([], pa.float64()),
-        }
-    )
+    try:
+        did_type = ds.schema().base_schema.field("doc_id").type
+    except Exception:
+        did_type = pa.int64()
+    empty = _empty_result(did_type)
     qarr, df, n_docs, avgdl = corpus_stats(ds, query)
     if n_docs == 0 or not df.any():
         # empty corpus, or no query term occurs anywhere: every score is
@@ -237,35 +297,41 @@ def build_text_index(
     (term, doc_id, tf, dl) partitioned by ``bucket = hash(term) % B``, plus
     corpus stats (N, avgdl) in meta.json. Postings extraction is one
     vectorized map pass (split → factorize → unique (row, term) pairs with
-    counts); the only wide step is the partitioned write. IDEMPOTENT via the
-    tmp-write + atomic-swap protocol the table sink and the IVF index use —
-    a rebuild after a partial failure can never leave stale or duplicate
-    postings files for ``bm25_index_topk`` to read."""
+    counts), and it is genuinely the ONLY corpus pass: each block also emits
+    one stats sentinel row (bucket=STATS_BUCKET) carrying (n_docs, sum_len),
+    which the driver sums into meta after the write — no second scan.
+    IDEMPOTENT via the tmp-write + atomic-swap protocol the table sink and
+    the IVF index use — a rebuild after a partial failure can never leave
+    stale or duplicate postings files for ``bm25_index_topk`` to read."""
     import json
     import shutil
+
+    import pyarrow.parquet as pq
 
     nb = int(num_buckets)
 
     def postings(b: pa.Table) -> pa.Table:
         lens, words, rows = _split_docs(b)
         doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        did_type = b.schema.field("doc_id").type
+        stats = pa.table(
+            {
+                "bucket": pa.array([STATS_BUCKET], pa.int64()),
+                "term": pa.array([""], pa.string()),
+                "doc_id": pa.array([None], did_type),
+                "tf": pa.array([b.num_rows], pa.int64()),
+                "dl": pa.array([int(lens.sum())], pa.int64()),
+            }
+        )
         if len(words) == 0:
-            return pa.table(
-                {
-                    "bucket": pa.array([], pa.int64()),
-                    "term": pa.array([], pa.string()),
-                    "doc_id": pa.array(doc_ids[:0]),
-                    "tf": pa.array([], pa.int64()),
-                    "dl": pa.array([], pa.int64()),
-                }
-            )
+            return stats
         uvals, inv = np.unique(words, return_inverse=True)
         pair = rows * len(uvals) + inv
         upair, tf = np.unique(pair, return_counts=True)
         prow = (upair // len(uvals)).astype(np.int64)
         pterm = (upair % len(uvals)).astype(np.int64)
         terms = uvals[pterm]
-        return pa.table(
+        body = pa.table(
             {
                 "bucket": pa.array(_term_buckets(terms, nb)),
                 "term": pa.array(terms.astype(str)),
@@ -274,17 +340,7 @@ def build_text_index(
                 "dl": pa.array(lens[prow]),
             }
         )
-
-    def stats_partial(b: pa.Table) -> pa.Table:
-        lens = pc.list_value_length(
-            pc.split_pattern(b.column("text"), pattern=" ")
-        ).cast(pa.int64())
-        return pa.table(
-            {
-                "n_docs": pa.array([b.num_rows], pa.int64()),
-                "sum_len": pa.array([int(pc.sum(lens).as_py() or 0)], pa.int64()),
-            }
-        )
+        return pa.concat_tables([body, stats.cast(body.schema)])
 
     post_dir = os.path.join(index_dir, "postings")
     tmp_dir = post_dir + ".tmp"
@@ -292,13 +348,24 @@ def build_text_index(
     ds.map_batches(postings, batch_format="pyarrow").write_parquet(
         tmp_dir, partition_cols=["bucket"]
     )
+    stats_dir = os.path.join(tmp_dir, f"bucket={STATS_BUCKET}")
+    n_docs, sum_len, did_type_name = 0, 0, "int64"
+    if os.path.isdir(stats_dir):
+        srow = pq.read_table(stats_dir)
+        n_docs = int(pc.sum(srow.column("tf")).as_py() or 0)
+        sum_len = int(pc.sum(srow.column("dl")).as_py() or 0)
+        did_type_name = str(srow.schema.field("doc_id").type)
+        shutil.rmtree(stats_dir)  # queries never probe the sentinel bucket
     shutil.rmtree(post_dir, ignore_errors=True)
     os.replace(tmp_dir, post_dir)
 
-    sp = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
-    n_docs = int(sp["n_docs"].sum())
-    avgdl = float(sp["sum_len"].sum()) / n_docs if n_docs else 0.0
-    meta = {"n_docs": n_docs, "avgdl": avgdl, "num_buckets": nb}
+    avgdl = float(sum_len) / n_docs if n_docs else 0.0
+    meta = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "num_buckets": nb,
+        "doc_id_type": did_type_name,
+    }
     with open(os.path.join(index_dir, "meta.json.tmp"), "w") as f:
         json.dump(meta, f)
     os.replace(
@@ -327,15 +394,8 @@ def bm25_index_topk(
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
-    empty = pa.table(
-        {
-            "rank": pa.array([], pa.int64()),
-            "doc_id": pa.array([], pa.int64()),
-            "score": pa.array([], pa.float64()),
-        }
-    )
+    empty = _empty_result(_type_from_name(meta.get("doc_id_type")))
     qarr = _terms_of(query)
-    nq = len(qarr)
     wanted = sorted(set(_term_buckets(qarr, meta["num_buckets"]).tolist()))
     paths = [
         os.path.join(d, name)
@@ -352,28 +412,10 @@ def bm25_index_topk(
     tbl = tbl.filter(pc.is_in(tbl.column("term"), value_set=pa.array(qarr.astype(str))))
     if tbl.num_rows == 0:
         return empty
-    terms = tbl.column("term").to_numpy(zero_copy_only=False).astype(object)
-    tidx = np.searchsorted(qarr, terms)
-    df = np.bincount(tidx, minlength=nq).astype(np.int64)
-    doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-    udocs, dinv = np.unique(doc_ids, return_inverse=True)
-    tf = np.zeros((len(udocs), nq), dtype=np.float64)
-    tf[dinv, tidx] = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
-    dl = np.zeros(len(udocs), dtype=np.float64)
-    dl[dinv] = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+    udocs, tf, dl, df = _postings_dense(tbl, qarr)
     idf = np.log((meta["n_docs"] - df + 0.5) / (df + 0.5) + 1.0)
-    denom = tf + k1 * (1.0 - b + b * (dl[:, None] / meta["avgdl"]))
-    score = (idf[None, :] * tf * (k1 + 1.0) / denom).sum(axis=1)
-    matched = score > 0.0
-    udocs, score = udocs[matched], score[matched]
-    order = np.lexsort((udocs, -score))[:k]
-    return pa.table(
-        {
-            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-            "doc_id": pa.array(udocs[order]),
-            "score": pa.array(score[order], pa.float64()),
-        }
-    )
+    score = _bm25_scores(tf, dl, idf, meta["avgdl"], k1, b)
+    return _rank_topk(udocs, score, k)
 
 
 # ---------------------------------------------------------------------------
@@ -479,7 +521,11 @@ def refresh_table_token_index(
             old = json.load(f)
     all_pids = sorted(man.partitions, key=int)
     pids: list[str] = all_pids
-    if old and old.get("num_buckets") == num_buckets:
+    if (
+        old
+        and old.get("num_buckets") == num_buckets
+        and old.get("tokens_col") == tokens_col  # mixed-column index = garbage
+    ):
         try:
             from ..pipelines.diff import changed_partitions
 
@@ -489,8 +535,15 @@ def refresh_table_token_index(
             pids = [str(c["pid"]) for c in changed]
         except Exception:
             old = None  # layout change / un-retained epoch → full rebuild
+    else:
+        old = None  # incompatible layout (bucket count / term column)
 
     post_dir = os.path.join(index_dir, "postings")
+    if old is None:
+        # full rebuild: wipe EVERYTHING first, or postings of partitions no
+        # longer in the manifest (e.g. after a repartition) would survive
+        # the per-pid clearing below and be read as live duplicates
+        shutil.rmtree(post_dir, ignore_errors=True)
     if pids:
         files_by_pid = {
             p: (man.partitions[p].get("files") or []) for p in pids
@@ -561,6 +614,7 @@ def refresh_table_token_index(
         "num_buckets": num_buckets,
         "indexed_epoch": man.epoch,
         "tokens_col": tokens_col,
+        "doc_id_type": str(man.schema.field("doc_id").type),
         "per_pid": per_pid,
     }
     with open(meta_path + ".tmp", "w") as f:
@@ -585,13 +639,7 @@ def bm25_table_index_topk(
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
-    empty = pa.table(
-        {
-            "rank": pa.array([], pa.int64()),
-            "doc_id": pa.array([], pa.string()),
-            "score": pa.array([], pa.float64()),
-        }
-    )
+    empty = _empty_result(_type_from_name(meta.get("doc_id_type", "string")))
     n_docs = sum(v[0] for v in meta["per_pid"].values())
     sum_len = sum(v[1] for v in meta["per_pid"].values())
     if n_docs == 0:
@@ -600,7 +648,6 @@ def bm25_table_index_topk(
     qarr = np.unique(np.asarray(list(query_tokens), dtype=np.int64))
     if len(qarr) == 0:
         raise ValueError("BM25 token query is empty")
-    nq = len(qarr)
     wanted = sorted(set(_token_buckets(qarr, meta["num_buckets"]).tolist()))
     paths = [
         os.path.join(pd_, name)
@@ -619,25 +666,7 @@ def bm25_table_index_topk(
     tbl = tbl.filter(pc.is_in(tbl.column("term"), value_set=pa.array(qarr, pa.int64())))
     if tbl.num_rows == 0:
         return empty
-    terms = tbl.column("term").to_numpy(zero_copy_only=False).astype(np.int64)
-    tidx = np.searchsorted(qarr, terms)
-    df = np.bincount(tidx, minlength=nq).astype(np.int64)
-    doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-    udocs, dinv = np.unique(doc_ids, return_inverse=True)
-    tf = np.zeros((len(udocs), nq), dtype=np.float64)
-    tf[dinv, tidx] = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
-    dl = np.zeros(len(udocs), dtype=np.float64)
-    dl[dinv] = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+    udocs, tf, dl, df = _postings_dense(tbl, qarr)
     idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-    denom = tf + k1 * (1.0 - b + b * (dl[:, None] / avgdl))
-    score = (idf[None, :] * tf * (k1 + 1.0) / denom).sum(axis=1)
-    matched = score > 0.0
-    udocs, score = udocs[matched], score[matched]
-    order = np.lexsort((udocs, -score))[:k]
-    return pa.table(
-        {
-            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-            "doc_id": pa.array(udocs[order]),
-            "score": pa.array(score[order], pa.float64()),
-        }
-    )
+    score = _bm25_scores(tf, dl, idf, avgdl, k1, b)
+    return _rank_topk(udocs, score, k)

@@ -159,6 +159,102 @@ def test_noop_refresh_touches_nothing(ray_session, table, tmp_path):
     assert res["refreshed_pids"] == []
 
 
+def test_repartition_forces_full_rebuild_no_stale_postings(ray_session, tmp_path):
+    # a layout change (repartition 8→4) must trigger a full rebuild that
+    # WIPES the old postings tree — otherwise pid=4..7 dirs would survive
+    # and be read as live duplicates (inflated df, resurrected deletes)
+    from clickhouse_data_pipeline_ray.pipelines.apply import repartition_table
+
+    wal_dir = str(tmp_path / "wal")
+    generate_wal(
+        wal_dir,
+        GenParams(total_events=2_000, base_events=800, events_per_segment=1_000,
+                  seed=41, tok_min=4, tok_max=32),
+    )
+    table_dir = str(tmp_path / "t")
+    create_table(table_dir, num_partitions=8)
+    while apply_once(table_dir, wal_dir, CFG) is not None:
+        pass
+    idx = str(tmp_path / "idx")
+    refresh_table_token_index(table_dir, idx, num_buckets=8)
+
+    repartition_table(table_dir, 4)
+    res = refresh_table_token_index(table_dir, idx, num_buckets=8)
+    assert set(res["refreshed_pids"]) == {"0", "1", "2", "3"}
+    post = os.path.join(idx, "postings")
+    stale = [
+        pd_ for bd in os.listdir(post)
+        for pd_ in os.listdir(os.path.join(post, bd))
+        if int(pd_.split("=", 1)[-1]) >= 4
+    ]
+    assert stale == []
+    qtoks = _some_query_tokens(table_dir)
+    got = bm25_table_index_topk(idx, qtoks, k=10).to_pandas()
+    snap_path = _snapshot_parquet(table_dir, str(tmp_path / "snap.parquet"))
+    want = _oracle_topk(snap_path, qtoks, k=10)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-9)
+
+
+def test_tokens_col_change_forces_full_rebuild(ray_session, table, tmp_path):
+    table_dir, _ = table
+    idx = str(tmp_path / "idx")
+    refresh_table_token_index(table_dir, idx, num_buckets=16)
+    # same epoch, different term column → must NOT be treated as a no-op
+    res = refresh_table_token_index(
+        table_dir, idx, num_buckets=16, tokens_col="tokens"
+    )
+    assert res["refreshed_pids"] == []  # identical spec → no-op
+    import json
+
+    with open(os.path.join(idx, "meta.json")) as f:
+        assert json.load(f)["tokens_col"] == "tokens"
+
+
+def test_null_text_is_zero_length_doc(ray_session):
+    import pyarrow as pa
+
+    from clickhouse_data_pipeline_ray.functions.retrieval import bm25_topk
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha beta", None, "alpha alpha"], pa.string()),
+        }
+    )
+    got = bm25_topk(ray_session.data.from_arrow(t), "alpha", k=5)
+    assert got.column("doc_id").to_pylist() == [3, 1]  # null doc just absent
+
+
+def test_empty_result_schema_matches_string_corpus(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from clickhouse_data_pipeline_ray.functions.retrieval import (
+        bm25_topk,
+        build_text_index,
+        bm25_index_topk,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"], pa.string()),
+            "text": pa.array(["x y", "y z"], pa.string()),
+        }
+    )
+    ds = ray_session.data.from_arrow(t)
+    hit = bm25_topk(ds, "x", k=5)
+    miss = bm25_topk(ds, "qqq", k=5)
+    assert hit.schema.field("doc_id").type == miss.schema.field("doc_id").type
+    idx = str(tmp_path / "idx")
+    build_text_index(ds, idx, num_buckets=4)
+    ihit = bm25_index_topk(idx, "x", k=5)
+    imiss = bm25_index_topk(idx, "qqq", k=5)
+    assert ihit.schema.field("doc_id").type == imiss.schema.field("doc_id").type
+    # and index == streaming on the string-keyed corpus too
+    assert ihit.column("doc_id").to_pylist() == hit.column("doc_id").to_pylist()
+    assert ihit.column("score").to_pylist() == hit.column("score").to_pylist()
+
+
 def test_deleted_docs_leave_the_index(ray_session, tmp_path):
     # a WAL with a heavy delete mix: every returned doc must exist in the
     # final snapshot (deletes were dropped when their partition re-derived)
