@@ -418,6 +418,81 @@ def bm25_index_topk(
     return _rank_topk(udocs, score, k)
 
 
+DEFAULT_RRF_K0 = 60  # the standard constant from Cormack et al. (SIGIR'09)
+
+
+def rrf_fuse(
+    ranked_lists: list, k: int = 10, k0: int = DEFAULT_RRF_K0, id_col: str = "doc_id"
+) -> pa.Table:
+    """Reciprocal-rank fusion of ranked result lists (public knowledge:
+    Cormack, Clarke & Buettcher, SIGIR 2009): RRF(d) = Σ_lists 1/(k0 +
+    rank_list(d)), summed over the lists that returned d. Rank is each
+    list's 1-based ORDER (its own score scale never matters — that is the
+    point of RRF; sparse BM25 and dense cosine fuse without calibration).
+
+    Pure driver-side arithmetic over k-sized lists — the component searches
+    (each a pruned index read or one streamed scan) dominate; fusion is
+    O(Σ|lists|). Ties break by id ascending, like every top-k here."""
+    scores: dict = {}
+    for lst in ranked_lists:
+        if isinstance(lst, pa.Table):
+            ids = lst.column(id_col).to_pylist()
+        else:  # pandas
+            ids = list(lst[id_col])
+        for rank, d in enumerate(ids, start=1):
+            scores[d] = scores.get(d, 0.0) + 1.0 / (k0 + rank)
+    if not scores:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "rrf_score": pa.array([], pa.float64()),
+            }
+        )
+    ids = np.array(sorted(scores), dtype=object)
+    vals = np.array([scores[d] for d in ids], dtype=np.float64)
+    order = np.lexsort((ids, -vals))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ids[order].tolist()),
+            "rrf_score": pa.array(vals[order], pa.float64()),
+        }
+    )
+
+
+def hybrid_topk(
+    ds_docs: ray.data.Dataset,
+    emb_table: pa.Table,
+    query_text: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    fetch_k: int = 50,
+    k0: int = DEFAULT_RRF_K0,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Hybrid sparse+dense retrieval: BM25 over (doc_id, text) fused with
+    cosine top-k over an aligned embedding table via RRF. Each component
+    runs its own optimized path (BM25's two shuffle-free passes; the
+    broadcast-query matmul — swap in ``ivf_index_topk`` / ``bm25_index_topk``
+    for the persisted-index variants, the fusion is identical); ``fetch_k``
+    deep component lists keep the fused top-k stable at the boundary."""
+    from .similarity import brute_force_topk
+
+    sparse = bm25_topk(ds_docs, query_text, k=fetch_k)
+    dense = brute_force_topk(
+        emb_table,
+        np.asarray(query_vec, dtype=np.float64)[None, :],
+        query_ids=[-1],  # synthetic id: never exclude a real doc as "self"
+        k=fetch_k,
+        key_col=key_col,
+        vec_col=vec_col,
+        exclude_self=False,
+    ).rename(columns={"neighbor_id": "doc_id"})
+    return rrf_fuse([sparse, dense], k=k, k0=k0)
+
+
 # ---------------------------------------------------------------------------
 # Incremental token index over a COMMITTED table — derived-artifact
 # maintenance wired into the CDC engine's lineage: the postings layout is

@@ -165,6 +165,75 @@ def test_index_unknown_term_empty(text_index):
     assert out.column_names == ["rank", "doc_id", "score"]
 
 
+def test_rrf_fuse_hand_computed():
+    import pyarrow as pa
+
+    from clickhouse_data_pipeline_ray.functions.retrieval import rrf_fuse
+
+    a = pa.table({"doc_id": pa.array([10, 20, 30], pa.int64())})
+    b = pa.table({"doc_id": pa.array([20, 40], pa.int64())})
+    out = rrf_fuse([a, b], k=4, k0=60).to_pandas()
+    want = {
+        10: 1 / 61,
+        20: 1 / 62 + 1 / 61,
+        30: 1 / 63,
+        40: 1 / 62,
+    }
+    assert list(out["doc_id"]) == sorted(want, key=lambda d: (-want[d], d))
+    for _, r in out.iterrows():
+        assert abs(r["rrf_score"] - want[r["doc_id"]]) < 1e-12
+
+
+def test_hybrid_topk_matches_sql_rrf_oracle(ray_session):
+    import pyarrow.parquet as pq
+
+    from clickhouse_data_pipeline_ray.functions.retrieval import hybrid_topk
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    qvec = np.asarray(emb.column("embedding")[7].as_py(), dtype=np.float64)
+    got = hybrid_topk(
+        _read_docs(ray_session), emb, "merge sort filter", qvec,
+        k=10, fetch_k=25,
+    ).to_pandas()
+    qv = "[" + ", ".join(repr(float(x)) for x in qvec) + "]"
+    terms = "'merge', 'sort', 'filter'"
+    want = duckdb.sql(
+        f"""
+        WITH d AS (SELECT doc_id, string_split(text,' ') w
+                   FROM read_parquet('{SF_DIR}/documents.parquet')),
+        corpus AS (SELECT count(*) n, CAST(sum(len(w)) AS DOUBLE)/count(*) avgdl FROM d),
+        tf AS (SELECT doc_id, term, count(*) tf
+               FROM (SELECT doc_id, unnest(w) term FROM d)
+               WHERE term IN ({terms}) GROUP BY 1, 2),
+        dft AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        dl AS (SELECT doc_id, len(w) dl FROM d),
+        bm AS (SELECT tf.doc_id,
+                      sum(ln((corpus.n-dft.df+0.5)/(dft.df+0.5)+1.0)*tf.tf*2.2
+                          /(tf.tf+1.2*(0.25+0.75*dl.dl/corpus.avgdl))) s
+               FROM tf JOIN dft USING(term) JOIN dl ON tf.doc_id=dl.doc_id
+               CROSS JOIN corpus GROUP BY 1),
+        bm_r AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY s DESC, doc_id) r
+                 FROM bm ORDER BY s DESC, doc_id LIMIT 25),
+        -- dense side mirrors brute_force_topk's determinism contract:
+        -- scores rounded to 6 decimals BEFORE ranking, ties by id
+        dn AS (SELECT vec_id AS doc_id,
+                      round(list_cosine_similarity(embedding, {qv}::FLOAT[]), 6) s
+               FROM read_parquet('{SF_DIR}/embeddings.parquet')),
+        dn_r AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY s DESC, doc_id) r
+                 FROM dn ORDER BY s DESC, doc_id LIMIT 25),
+        fused AS (
+          SELECT doc_id, sum(1.0/(60+r)) rrf FROM (
+            SELECT * FROM bm_r UNION ALL SELECT * FROM dn_r
+          ) GROUP BY doc_id)
+        SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+        """
+    ).df()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["rrf_score"], want["rrf"], rtol=1e-12)
+
+
 def test_bm25_duplicate_terms_no_double_weight(ray_session):
     once = bm25_topk(_read_docs(ray_session), "merge", k=5)
     twice = bm25_topk(_read_docs(ray_session), "merge merge", k=5)
