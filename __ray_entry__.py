@@ -35,13 +35,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names, fixed-point integer aggregates for hash-stable comparison).
+    names, fixed-point integer aggregates for hash-stable comparison) —
+    49 of the 50 queries() entries; only sketch_profile (approximate
+    sketches by construction, pinned by tests/test_sketch.py) is rows-only.
 
     Includes the flagship CDC replay family: their oracles read the same
     deterministic WAL parquet (generated here if absent) that the Ray
-    pipeline replays, as a DuckDB ``arg_max`` LWW reduction. MinHash/SimHash
-    LSH and IVF entries are intentionally absent (non-SQL-expressible) —
-    their semantics are pinned by tests/.
+    pipeline replays, as a DuckDB ``arg_max`` LWW reduction. The dedup
+    family (MinHash / SimHash / n-gram / embedding) is exactly SQL-checked
+    via shared deterministic fixtures; approximate-sketch semantics are
+    pinned by tests/.
 
     CONTRACT: the driver evaluates queries() at sf0.01, so the CDC oracles
     bake WAL paths sized to that scale factor. If the driver ever moves to a

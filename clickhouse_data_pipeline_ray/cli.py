@@ -285,6 +285,33 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--num-buckets", type=int, default=64)
 
     sp = sub.add_parser(
+        "index-fingerprints",
+        help="build or extend the exact-dedup fingerprint ledger over a "
+             "parquet input (one atomically-swapped part per build)",
+    )
+    sp.add_argument("--input", required=True,
+                    help="parquet file or directory with (doc_id, text)")
+    sp.add_argument("--output", required=True, help="ledger directory")
+    sp.add_argument("--part", default="base",
+                    help="part name (re-using a name overwrites that part)")
+    sp.add_argument("--num-buckets", type=int, default=64,
+                    help="fixed by the FIRST build; later values are ignored")
+
+    sp = sub.add_parser(
+        "dedup-incremental",
+        help="dedup a parquet input within itself AND against the "
+             "fingerprint ledger without rescanning the corpus; optionally "
+             "commit survivors back as a new ledger part",
+    )
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--index", required=True, help="ledger directory")
+    sp.add_argument("--output", default=None,
+                    help="write surviving rows to this directory as parquet")
+    sp.add_argument("--update-part", default=None,
+                    help="also extend the ledger with the survivors under "
+                         "this part name")
+
+    sp = sub.add_parser(
         "index-tokens",
         help="build or incrementally refresh a BM25 token index over a "
              "committed table (re-derives ONLY partitions whose file "
@@ -774,6 +801,50 @@ def _run(argv: list[str] | None = None) -> int:
         meta = build_text_index(ds, args.output, num_buckets=args.num_buckets)
         print(json.dumps({
             "output": args.output, **meta,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "index-fingerprints":
+        from .functions.dedup import build_fingerprint_index
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+        meta = build_fingerprint_index(
+            ds, args.output, part=args.part, num_buckets=args.num_buckets
+        )
+        print(json.dumps({
+            "output": args.output, "part": args.part, **meta,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "dedup-incremental":
+        from .functions.dedup import build_fingerprint_index, incremental_dedup
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        surv = incremental_dedup(rd.read_parquet(args.input), args.index)
+        if args.output or args.update_part:
+            # consumed up to three times below — pin the blocks once
+            surv = surv.materialize()
+        n = surv.count()
+        if args.output:
+            surv.write_parquet(args.output)
+        if args.update_part:
+            build_fingerprint_index(
+                surv.select_columns(["doc_id", "text"]),
+                args.index,
+                part=args.update_part,
+            )
+        print(json.dumps({
+            "survivors": n, "index": args.index, "output": args.output,
+            "update_part": args.update_part,
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
         return 0

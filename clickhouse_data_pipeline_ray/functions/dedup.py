@@ -1357,3 +1357,216 @@ def embedding_neardup_pairs(
         return _over_cap_stats(counts, max_bucket, "embedding_neardup", empty)
     pdf = pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return _over_cap_stats(counts, max_bucket, "embedding_neardup", pdf)
+
+
+# ---------------------------------------------------------------------------
+# Persisted fingerprint index — the dedup ledger
+#
+# Incremental exact dedup against an EXISTING corpus without rescanning it:
+# the corpus's content fingerprints live in a bucket-partitioned parquet
+# index (bucket = fingerprint hash % B), each build/extend writes one
+# atomically-swapped "part" directory, and `incremental_dedup` shuffles only
+# the INCOMING batch by the same bucket function — each reduce group opens
+# only its own bucket's index files. At 100 TB: the corpus is hashed exactly
+# once (when its part was built); deduplicating a new crawl costs one map
+# pass + one hash shuffle over the new data only, plus O(new-data buckets)
+# bounded index reads. Reference analog: ClickHouse's dedup-on-merge only
+# dedups within one table part — this ledger is the cross-run generalization
+# the reference lacks (etl/core/pipeline.py syncs blindly re-upsert).
+# ---------------------------------------------------------------------------
+
+
+def _keepmin_counts(
+    fp: np.ndarray, keys: np.ndarray, counts: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-fingerprint winner selection: index of the min-key row
+    for every distinct fingerprint plus the (weighted) copy count. One
+    lexsort + run-length reduction — O(n log n), no per-group Python."""
+    order = np.lexsort((keys, fp))
+    fps = fp[order]
+    start = np.flatnonzero(np.r_[True, fps[1:] != fps[:-1]])
+    take = order[start]
+    if counts is None:
+        n = np.diff(np.r_[start, len(fps)])
+    else:
+        n = np.add.reduceat(counts[order], start)
+    return take, n.astype(np.int64)
+
+
+def _fp_meta_path(index_dir: str) -> str:
+    import os
+
+    return os.path.join(index_dir, "meta.json")
+
+
+def read_fingerprint_meta(index_dir: str) -> dict:
+    import json
+
+    with open(_fp_meta_path(index_dir)) as f:
+        return json.load(f)
+
+
+def fingerprint_bucket_paths(index_dir: str, bucket: int) -> list[str]:
+    """Every committed part's files for ONE bucket — the only files a reduce
+    group for that bucket ever opens (``.tmp`` part dirs are in-progress
+    builds and are never read)."""
+    import os
+
+    parts_dir = os.path.join(index_dir, "parts")
+    if not os.path.isdir(parts_dir):
+        return []
+    out: list[str] = []
+    for part in sorted(os.listdir(parts_dir)):
+        if part.endswith(".tmp"):
+            continue
+        d = os.path.join(parts_dir, part, f"fpb={bucket}")
+        if os.path.isdir(d):
+            out.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def _bucket_fingerprints(index_dir: str, bucket: int) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    paths = fingerprint_bucket_paths(index_dir, bucket)
+    if not paths:
+        return np.empty(0, np.int64)
+    cols = [
+        pq.read_table(p, columns=["fingerprint"]).column("fingerprint") for p in paths
+    ]
+    return pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols]
+    ).to_numpy(zero_copy_only=False)
+
+
+def _fp_partial(
+    b: pa.Table, text_col: str, key_col: str, nb: int, project: bool
+) -> pa.Table:
+    """Per-batch combiner: fingerprint → keep-min-key row + copy count +
+    bucket. ``project=True`` keeps only the ledger columns (index builds —
+    shrinks the shuffle); ``project=False`` keeps every incoming column
+    (incremental dedup returns full surviving rows)."""
+    b = fingerprint_batch(b, text_col)
+    if project:
+        b = b.select([key_col, "fingerprint"])
+    if b.num_rows == 0:
+        return b.append_column("n_copies", pa.array([], pa.int64())).append_column(
+            "fpb", pa.array([], pa.int32())
+        )
+    fp = b.column("fingerprint").to_numpy(zero_copy_only=False)
+    keys = b.column(key_col).to_numpy(zero_copy_only=False)
+    take, n = _keepmin_counts(fp, keys)
+    kept = b.take(pa.array(take))
+    bucket = (
+        kept.column("fingerprint").to_numpy(zero_copy_only=False).view(np.uint64)
+        % np.uint64(nb)
+    ).astype(np.int32)
+    return kept.append_column("n_copies", pa.array(n)).append_column(
+        "fpb", pa.array(bucket)
+    )
+
+
+def _fp_combine(g: pa.Table, key_col: str) -> pa.Table:
+    """Merge per-batch partials for one bucket group: same winner rule,
+    counts summed."""
+    fp = g.column("fingerprint").to_numpy(zero_copy_only=False)
+    keys = g.column(key_col).to_numpy(zero_copy_only=False)
+    counts = g.column("n_copies").to_numpy(zero_copy_only=False)
+    take, n = _keepmin_counts(fp, keys, counts)
+    kept = g.take(pa.array(take))
+    return kept.set_column(
+        kept.schema.get_field_index("n_copies"), "n_copies", pa.array(n)
+    )
+
+
+def build_fingerprint_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    part: str = "base",
+    num_buckets: int = 64,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> dict:
+    """Build (or extend, with a new ``part`` name) the fingerprint ledger.
+
+    Each part is one atomically-swapped directory of bucket-partitioned
+    ``(key, fingerprint, n_copies)`` rows — re-running the same build after
+    a partial failure can never leave stale or duplicate files (the IVF /
+    BM25-index tmp+swap protocol). Parts are additive: extending an index
+    with a new crawl's survivors is just ``part="epoch-N"``. ``num_buckets``
+    is fixed by the FIRST build (recorded in meta.json) so every part and
+    every incremental read buckets identically."""
+    import json
+    import os
+    import shutil
+
+    os.makedirs(index_dir, exist_ok=True)
+    if os.path.exists(_fp_meta_path(index_dir)):
+        meta = read_fingerprint_meta(index_dir)
+        nb = int(meta["num_buckets"])
+    else:
+        nb = int(num_buckets)
+
+    combined = (
+        ds.map_batches(
+            lambda b: _fp_partial(b, text_col, key_col, nb, project=True),
+            batch_format="pyarrow",
+        )
+        .groupby("fpb")
+        .map_groups(lambda g: _fp_combine(g, key_col), batch_format="pyarrow")
+    )
+    part_dir = os.path.join(index_dir, "parts", part)
+    tmp_dir = part_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    combined.write_parquet(tmp_dir, partition_cols=["fpb"])
+    shutil.rmtree(part_dir, ignore_errors=True)
+    os.replace(tmp_dir, part_dir)
+
+    meta = {"num_buckets": nb, "key_col": key_col, "text_col": text_col}
+    tmp = _fp_meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _fp_meta_path(index_dir))
+    return meta
+
+
+def incremental_dedup(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Surviving rows of ``ds`` after exact dedup WITHIN the batch (smallest
+    key wins, ``n_copies`` counted) and AGAINST the fingerprint ledger —
+    without reading the corpus. One map pass + one hash shuffle over the
+    incoming data only; each reduce group opens just its own bucket's index
+    files (``fingerprint_bucket_paths``). The surviving Dataset still
+    carries ``fingerprint``, so feeding it straight back into
+    ``build_fingerprint_index(part="epoch-N")`` extends the ledger for the
+    next increment. Partitioning assumption: the index lives on storage
+    every worker can read (shared FS / object store)."""
+    meta = read_fingerprint_meta(index_dir)
+    nb = int(meta["num_buckets"])
+
+    def final(g: pa.Table) -> pa.Table:
+        kept = _fp_combine(g, key_col)
+        bucket = int(g.column("fpb")[0].as_py())
+        seen = _bucket_fingerprints(index_dir, bucket)
+        fp = kept.column("fingerprint").to_numpy(zero_copy_only=False)
+        fresh = ~np.isin(fp, seen)
+        return kept.filter(pa.array(fresh)).drop_columns(["fpb"])
+
+    return (
+        ds.map_batches(
+            lambda b: _fp_partial(b, text_col, key_col, nb, project=False),
+            batch_format="pyarrow",
+        )
+        .groupby("fpb")
+        .map_groups(final, batch_format="pyarrow")
+    )

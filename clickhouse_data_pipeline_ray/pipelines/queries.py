@@ -1375,18 +1375,64 @@ def q_doc_length_percentiles(sf_dir: str) -> pa.Table:
 
 
 def q_dedup_exact_documents(sf_dir: str) -> ray.data.Dataset:
-    """Exact dedup: content fingerprint → hash groupby → keep smallest key.
-    Vectorized aggregate (Min/Count) — no per-group Python."""
-    from ray.data.aggregate import Min
+    """Exact dedup both ways the engine supports it, one SQL-checked result:
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    with_fp = ds.map_batches(
-        lambda b: F_text.fingerprint_batch(b, "text"), batch_format="pyarrow"
+    - phase 'base': the corpus half (doc_id % 2 == 0) deduped (smallest key
+      wins, copies counted) WHILE building the persisted fingerprint ledger
+      (functions/dedup.build_fingerprint_index) — the committed ledger part
+      IS the deduped answer, read straight back.
+    - phase 'incremental': the other half PLUS planted copies of ledger
+      docs (doc_id % 50 == 0 → doc_id + 1_000_000, guaranteed index hits)
+      deduped within-batch AND against the ledger WITHOUT rescanning the
+      corpus (functions/dedup.incremental_dedup — the new-crawl-vs-100TB-
+      corpus shape: only the incoming data shuffles; each reduce group
+      opens just its own bucket's index files)."""
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sfX"
+    idx = os.path.join(tempfile.gettempdir(), "cdp_ray_fpidx", tag)
+    shutil.rmtree(idx, ignore_errors=True)  # deterministic fresh ledger
+
+    full = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def even_half(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 2 == 0))
+
+    def inc_half(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        odd = b.filter(pa.array(ids % 2 == 1))
+        plant = b.filter(pa.array(ids % 50 == 0))
+        plant = plant.set_column(
+            plant.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(plant.column("doc_id"), 1_000_000),
+        )
+        return pa.concat_tables([odd, plant])
+
+    F_dedup.build_fingerprint_index(
+        full.map_batches(even_half, batch_format="pyarrow"), idx, part="base"
     )
-    agg = with_fp.groupby("fingerprint").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
-    )
-    return agg.select_columns(["doc_id", "n_copies"])
+
+    def tag_phase(phase: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id").cast(pa.int64()),
+                    "n_copies": b.column("n_copies").cast(pa.int64()),
+                    "phase": pa.nulls(b.num_rows, pa.string()).fill_null(phase),
+                }
+            )
+
+        return f
+
+    base_kept = ray.data.read_parquet(
+        os.path.join(idx, "parts", "base"), columns=["doc_id", "n_copies"]
+    ).map_batches(tag_phase("base"), batch_format="pyarrow")
+    survivors = F_dedup.incremental_dedup(
+        full.map_batches(inc_half, batch_format="pyarrow"), idx
+    ).map_batches(tag_phase("incremental"), batch_format="pyarrow")
+    return base_kept.union(survivors)
 
 
 def q_token_counts_documents(sf_dir: str) -> ray.data.Dataset:
@@ -1922,16 +1968,76 @@ def _query_vectors(sf_dir: str, upto: int) -> pd.DataFrame:
     return qdf.sort_values("vec_id")
 
 
+# MinHash driver-query parameters, shared by the Ray query, the signature
+# fixture, and the SQL oracle so all three band/estimate identically.
+_MH_PERM, _MH_BANDS, _MH_K, _MH_THRESH = 64, 16, 2, 0.2
+
+
+def _minhash_sig_parquet(sf_dir: str) -> str:
+    """Deterministic (doc_id, sig) MinHash-signature fixture over the SAME
+    planted-duplicate doc set q_minhash_dedup_documents replays, computed
+    with the SAME whole-batch kernel the distributed stage runs
+    (MinHasher.signatures, identical seed/params) and committed tmp+rename
+    idempotent — the both-sides-read-one-generated-input convention of
+    _simhash_sig_parquet / the CDC WAL. The SQL oracle reproduces LSH
+    banding (pairs sharing any full band slice) and the signature-overlap
+    Jaccard estimate exactly from it."""
+    import pyarrow.parquet as pq
+
+    from ..functions.dedup import MinHasher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sfX"
+    out_dir = os.path.join(tempfile.gettempdir(), "cdp_ray_sigs")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"minhash-{tag}.parquet")
+    if os.path.exists(path):
+        return path
+    src = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = src.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    dup = src.filter(pa.array(ids % 100 == 0))
+    dup = dup.set_column(
+        dup.schema.get_field_index("doc_id"),
+        "doc_id",
+        pc.add(dup.column("doc_id"), 1_000_000),
+    )
+    planted = pa.concat_tables([src, dup])
+    hasher = MinHasher(num_perm=_MH_PERM, bands=_MH_BANDS, shingle_k=_MH_K)
+    sigs = []
+    for i in range(0, planted.num_rows, 2048):
+        chunk = planted.slice(i, 2048)
+        sigs.append(hasher.signatures(chunk.column("text").to_pylist()))
+    all_sigs = (
+        np.concatenate(sigs) if sigs else np.zeros((0, _MH_PERM), np.uint64)
+    ).astype(np.int64)
+    off = np.arange(0, (planted.num_rows + 1) * _MH_PERM, _MH_PERM)
+    sig_col = pa.LargeListArray.from_arrays(
+        pa.array(off), pa.array(all_sigs.ravel())
+    ).cast(pa.list_(pa.int64()))
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(
+        pa.table({"doc_id": planted.column("doc_id").cast(pa.int64()), "sig": sig_col}),
+        tmp,
+    )
+    os.replace(tmp, path)
+    return path
+
+
 def q_minhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH near-dup pairs, SELF-VALIDATING: exact duplicate docs are
-    planted (doc_id % 100 == 0 copied to doc_id + 1_000_000 — identical text
-    ⇒ identical signatures in every band ⇒ same buckets), and the query
-    ASSERTS each planted pair is returned with est_jaccard 1.0 before
-    returning. Natural near-dup pairs' est_jaccard is signature-dependent
-    (not SQL-reproducible), so the driver row stays rows-only — but a run
-    that loses guaranteed pairs now fails loudly instead of passing a
-    weaker count check. Recall for the near-but-not-identical regime stays
-    pinned by the analytic LSH bound test (tests/test_dedup.py)."""
+    """MinHash+LSH near-dup pairs, EXACTLY SQL-verified via the shared
+    signature fixture (_minhash_sig_parquet): given identical signatures —
+    same kernel, same seed, both sides — LSH banding is deterministic
+    (pairs collide iff a full band slice matches, up to a 2^-64 SplitMix64
+    collision that deterministic input either always or never exhibits) and
+    est_jaccard = matching-positions/num_perm is exactly reproducible, so
+    the DuckDB oracle recomputes the complete pair set from the fixture.
+    Exact duplicate docs are additionally planted (doc_id % 100 == 0 copied
+    to doc_id + 1_000_000 — identical text ⇒ identical signatures in every
+    band) and ASSERTED present with est_jaccard 1.0 before returning.
+    Recall for the near-but-not-identical regime at scale stays pinned by
+    the analytic LSH bound test (tests/test_dedup.py)."""
+    _minhash_sig_parquet(sf_dir)  # oracle input (idempotent; shared kernel)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def plant(batch: pa.Table) -> pa.Table:
@@ -1948,7 +2054,11 @@ def q_minhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
         return pa.concat_tables([batch, dup])
 
     pairs = F_dedup.minhash_lsh_pairs(
-        ds.map_batches(plant, batch_format="pyarrow"), threshold=0.2, shingle_k=2
+        ds.map_batches(plant, batch_format="pyarrow"),
+        threshold=_MH_THRESH,
+        num_perm=_MH_PERM,
+        bands=_MH_BANDS,
+        shingle_k=_MH_K,
     )
     import pyarrow.parquet as _pq
 
@@ -1967,7 +2077,11 @@ def q_minhash_dedup_documents(sf_dir: str) -> pd.DataFrame:
             raise AssertionError(
                 f"planted exact-dup pair {key} missing or est_jaccard != 1.0"
             )
-    return pairs
+    out = pairs[["doc_a", "doc_b", "est_jaccard"]].copy()
+    out["doc_a"] = out["doc_a"].astype("int64")
+    out["doc_b"] = out["doc_b"].astype("int64")
+    out["est_jaccard"] = out["est_jaccard"].astype("float64")
+    return out
 
 
 def _simhash_sig_parquet(sf_dir: str) -> str:
@@ -2499,6 +2613,42 @@ def build_oracle_sql(sf_dir: str) -> dict[str, str]:
         JOIN read_parquet('{sig}') b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
+    # MinHash LSH: the oracle recomputes candidate generation (pairs whose
+    # signatures agree on at least one full band slice — band_hash equality
+    # on the Ray side ⇔ band-slice equality up to a 2^-64 SplitMix64
+    # collision, deterministic for fixed input) and the signature-overlap
+    # estimate (matching positions / num_perm, an exact binary fraction)
+    # from the shared signature fixture. Integer threshold compare
+    # (n_match ≥ ceil(threshold · num_perm)) ⇔ the Ray side's
+    # est_jaccard ≥ threshold — no float-boundary hazard.
+    mh_sig = _minhash_sig_parquet(sf_dir)
+    mh_r = _MH_PERM // _MH_BANDS
+    mh_min = int(np.ceil(_MH_THRESH * _MH_PERM - 1e-9))
+    out["minhash_dedup_documents"] = f"""
+        WITH sigs AS (SELECT doc_id, sig FROM read_parquet('{mh_sig}')),
+        bands AS (
+          SELECT s.doc_id, t.band,
+                 s.sig[t.band * {mh_r} + 1 : t.band * {mh_r} + {mh_r}] AS bsig
+          FROM sigs s CROSS JOIN
+               (SELECT CAST(range AS INT) AS band FROM range({_MH_BANDS})) t
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2]))
+                     AS n_match
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.doc_a
+          JOIN sigs sb ON sb.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_match AS DOUBLE) / {_MH_PERM} AS est_jaccard
+        FROM est WHERE n_match >= {mh_min}
+    """
     # n-gram Jaccard: same doc_id % n_blocks blocking, STRING bigrams in SQL
     # (hashed-gram Jaccard on the Ray side is identical absent collisions);
     # integer n_inter/n_union compare exactly; short docs mirror the hashing
@@ -2801,9 +2951,27 @@ ORACLE_SQL = {
                quantile_disc(n_chars, 0.99) AS p99
         FROM documents GROUP BY source
     """,
+    # Two-phase: base half deduped (= the fingerprint ledger's content),
+    # then the incoming half + planted ledger copies deduped within-batch
+    # AND against the base (anti-join on text ≡ the ledger's fingerprint
+    # anti-join, collision-free at these scales — the same assumption the
+    # single-phase entry already made).
     "dedup_exact_documents": """
-        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-        FROM documents GROUP BY text
+        WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        inc AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM base
+          WHERE doc_id % 50 = 0
+        )
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies, 'base' AS phase
+        FROM base GROUP BY text
+        UNION ALL
+        SELECT min(i.doc_id) AS doc_id, count(*) AS n_copies,
+               'incremental' AS phase
+        FROM inc i
+        WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = i.text)
+        GROUP BY i.text
     """,
     "sample_documents": f"""
         SELECT doc_id, source FROM documents
