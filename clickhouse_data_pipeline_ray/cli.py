@@ -312,6 +312,38 @@ def _run(argv: list[str] | None = None) -> int:
                          "this part name")
 
     sp = sub.add_parser(
+        "index-minhash",
+        help="build or extend the MinHash near-dup ledger over a parquet "
+             "input (map-only signature pass, one atomically-swapped part "
+             "per build; LSH params pinned by the first build)",
+    )
+    sp.add_argument("--input", required=True,
+                    help="parquet file or directory with (doc_id, text)")
+    sp.add_argument("--output", required=True, help="ledger directory")
+    sp.add_argument("--part", default="base")
+    sp.add_argument("--num-buckets", type=int, default=64)
+    sp.add_argument("--num-perm", type=int, default=64)
+    sp.add_argument("--bands", type=int, default=16)
+    sp.add_argument("--shingle-k", type=int, default=3)
+
+    sp = sub.add_parser(
+        "dedup-neardup",
+        help="near-dup dedup a parquet input against the MinHash ledger "
+             "(bucket-pruned probes, corpus never rescanned); optionally "
+             "commit survivors back as a new ledger part",
+    )
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--index", required=True, help="ledger directory")
+    sp.add_argument("--threshold", type=float, default=0.6)
+    sp.add_argument("--output", default=None,
+                    help="write surviving rows to this directory as parquet")
+    sp.add_argument("--update-part", default=None,
+                    help="also extend the ledger with the survivors under "
+                         "this part name")
+    sp.add_argument("--limit", type=int, default=20,
+                    help="hit rows printed (full hit list still computed)")
+
+    sp = sub.add_parser(
         "index-tokens",
         help="build or incrementally refresh a BM25 token index over a "
              "committed table (re-derives ONLY partitions whose file "
@@ -847,6 +879,55 @@ def _run(argv: list[str] | None = None) -> int:
             "update_part": args.update_part,
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
+        return 0
+
+    if args.cmd == "index-minhash":
+        from .functions.dedup import build_minhash_index
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+        meta = build_minhash_index(
+            ds, args.output, part=args.part, num_buckets=args.num_buckets,
+            num_perm=args.num_perm, bands=args.bands, shingle_k=args.shingle_k,
+        )
+        print(json.dumps({
+            "output": args.output, "part": args.part, **meta,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "dedup-neardup":
+        from .functions.dedup import build_minhash_index, incremental_neardup_dedup
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        surv, hits = incremental_neardup_dedup(
+            rd.read_parquet(args.input), args.index, threshold=args.threshold
+        )
+        if args.output or args.update_part:
+            surv = surv.materialize()
+        n = surv.count()
+        if args.output:
+            surv.write_parquet(args.output)
+        if args.update_part:
+            build_minhash_index(
+                surv.select_columns(["doc_id", "text"]),
+                args.index,
+                part=args.update_part,
+            )
+        print(json.dumps({
+            "survivors": n, "near_dups": len(hits),
+            "capped_candidates": hits.attrs.get("capped", 0),
+            "index": args.index, "output": args.output,
+            "update_part": args.update_part,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        print(hits.head(args.limit).to_string(index=False))
         return 0
 
     if args.cmd == "query":

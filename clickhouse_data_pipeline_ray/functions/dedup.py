@@ -1570,3 +1570,283 @@ def incremental_dedup(
         .groupby("fpb")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash signature ledger — incremental NEAR-dup dedup
+#
+# The fuzzy analog of the fingerprint ledger: the corpus's MinHash band rows
+# (band_hash, key, full signature) live bucket-partitioned by
+# band_hash % B, one atomically-swapped part per build/extend, and a new
+# crawl is near-dup-deduplicated against the corpus by computing ITS
+# signatures (one map pass), shuffling only the new data's band rows by the
+# same bucket function, and having each reduce group probe only its own
+# bucket's index files: candidates are band-hash collisions, verified by the
+# exact signature-overlap estimate (matching positions / num_perm) — the
+# same estimator, same kernel, as minhash_lsh_pairs. The corpus is never
+# re-read or re-hashed. Storage trades bands× signature duplication for
+# single-lookup verification; the at-scale refinement (band rows + a
+# doc-bucketed signature table, two lookups) drops the duplication and slots
+# behind the same API.
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    part: str = "base",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    num_buckets: int = 64,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> dict:
+    """Build (or extend, with a new ``part``) the MinHash ledger.
+
+    MAP-ONLY — signatures are per-doc, so unlike the exact-fingerprint
+    ledger no combine shuffle is needed: one vectorized MinHasher pass over
+    the corpus, partitioned write, atomic part swap. LSH parameters are
+    pinned by the FIRST build (meta.json); later parts and every probe use
+    the recorded values so banding stays identical across epochs."""
+    import json
+    import os
+    import shutil
+
+    os.makedirs(index_dir, exist_ok=True)
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    else:
+        meta = {
+            "num_perm": int(num_perm),
+            "bands": int(bands),
+            "shingle_k": int(shingle_k),
+            "num_buckets": int(num_buckets),
+            "key_col": key_col,
+            "text_col": text_col,
+        }
+    nb = int(meta["num_buckets"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bh = b.column("band_hash").to_numpy(zero_copy_only=False)
+        bkb = (bh.view(np.uint64) % np.uint64(nb)).astype(np.int32)
+        return b.append_column("bkb", pa.array(bkb))
+
+    exploded = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "num_perm": int(meta["num_perm"]),
+            "bands": int(meta["bands"]),
+            "shingle_k": int(meta["shingle_k"]),
+            "text_col": text_col,
+            "key_col": meta["key_col"],
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=0.5,
+    ).map_batches(add_bucket, batch_format="pyarrow")
+
+    part_dir = os.path.join(index_dir, "parts", part)
+    tmp_dir = part_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    exploded.write_parquet(tmp_dir, partition_cols=["bkb"])
+    shutil.rmtree(part_dir, ignore_errors=True)
+    os.replace(tmp_dir, part_dir)
+
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def minhash_bucket_paths(index_dir: str, bucket: int) -> list[str]:
+    """Every committed part's files for ONE band-hash bucket (``.tmp`` parts
+    are in-progress builds, never read)."""
+    import os
+
+    parts_dir = os.path.join(index_dir, "parts")
+    if not os.path.isdir(parts_dir):
+        return []
+    out: list[str] = []
+    for p in sorted(os.listdir(parts_dir)):
+        if p.endswith(".tmp"):
+            continue
+        d = os.path.join(parts_dir, p, f"bkb={bucket}")
+        if os.path.isdir(d):
+            out.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def _neardup_probe_block(
+    g: pa.Table,
+    index_dir: str,
+    threshold: float,
+    key_col: str,
+    max_per_hash: int,
+) -> pd.DataFrame:
+    """One bucket group of the INCOMING data's band rows vs that bucket's
+    corpus band rows: candidates are equal band_hash values (searchsorted
+    range match against the sorted corpus — vectorized, no Python pairs),
+    verified by exact signature overlap. Corpus rows beyond ``max_per_hash``
+    per band_hash are skipped (hot-bucket cap, counted in ``n_capped``)."""
+    import pyarrow.parquet as pq
+
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=object),
+            "corpus_id": pd.Series([], dtype=object),
+            "est_jaccard": pd.Series([], dtype=np.float64),
+            "n_capped": pd.Series([], dtype=np.int64),
+        }
+    )
+    if g.num_rows == 0:
+        return empty
+    bucket = int(g.column("bkb")[0].as_py())
+    paths = minhash_bucket_paths(index_dir, bucket)
+    if not paths:
+        return empty
+    corpus = pa.concat_tables(
+        pq.read_table(p, columns=["band_hash", key_col, "sig"]) for p in paths
+    )
+    if corpus.num_rows == 0:
+        return empty
+    c_bh = corpus.column("band_hash").to_numpy(zero_copy_only=False)
+    order = np.argsort(c_bh, kind="stable")
+    c_bh = c_bh[order]
+    c_keys = corpus.column(key_col).to_numpy(zero_copy_only=False)[order]
+    c_sigs = np.stack(corpus.column("sig").to_numpy(zero_copy_only=False)[order])
+
+    i_bh = g.column("band_hash").to_numpy(zero_copy_only=False)
+    lo = np.searchsorted(c_bh, i_bh, side="left")
+    hi = np.searchsorted(c_bh, i_bh, side="right")
+    capped = np.maximum(hi - lo - max_per_hash, 0)
+    hi = np.minimum(hi, lo + max_per_hash)
+    counts = hi - lo
+    if counts.sum() == 0:
+        return empty
+    inc_i = np.repeat(np.arange(len(i_bh)), counts)
+    # flat corpus indices for each (incoming row, matched corpus row) pair
+    corp_j = _grouped_arange(counts) + np.repeat(lo, counts)
+    i_sigs = np.stack(g.column("sig").to_numpy(zero_copy_only=False))
+    est = (i_sigs[inc_i] == c_sigs[corp_j]).mean(axis=1)
+    keep = est >= threshold
+    i_keys = g.column(key_col).to_numpy(zero_copy_only=False)
+    out = pd.DataFrame(
+        {
+            "doc_id": i_keys[inc_i[keep]],
+            "corpus_id": c_keys[corp_j[keep]],
+            "est_jaccard": est[keep],
+            "n_capped": np.int64(0),
+        }
+    )
+    if not len(out):
+        out = empty
+    n_capped = int(capped.sum())
+    if n_capped:
+        _LOG.warning(
+            "minhash ledger bucket %d: %d corpus candidates over the "
+            "per-hash cap (%d) skipped",
+            bucket,
+            n_capped,
+            max_per_hash,
+        )
+        cap_row = pd.DataFrame(
+            {
+                "doc_id": [None],
+                "corpus_id": [None],
+                "est_jaccard": [np.nan],
+                "n_capped": [np.int64(n_capped)],
+            }
+        )
+        out = pd.concat([out, cap_row], ignore_index=True)
+    return out
+
+
+def incremental_neardup_dedup(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_per_hash: int = 512,
+) -> tuple[ray.data.Dataset, pd.DataFrame]:
+    """(survivors, hits) of ``ds`` near-dup-checked AGAINST the MinHash
+    ledger. ``hits`` is the bounded driver-side match list
+    (doc_id, corpus_id, est_jaccard), deduplicated across bands by max
+    estimate, with total over-cap drops in ``hits.attrs['capped']``;
+    ``survivors`` is ``ds`` minus the hit doc ids (broadcast NOT-IN filter —
+    hit lists are assumed driver-small relative to the corpus, the
+    minhash_lsh_pairs assumption). Within-batch near-dups are a separate
+    concern (``minhash_lsh_pairs`` on the survivors). The incoming data is
+    hashed and shuffled once; the corpus is only touched through
+    bucket-pruned index reads."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    nb = int(meta["num_buckets"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bh = b.column("band_hash").to_numpy(zero_copy_only=False)
+        bkb = (bh.view(np.uint64) % np.uint64(nb)).astype(np.int32)
+        return b.append_column("bkb", pa.array(bkb))
+
+    exploded = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "num_perm": int(meta["num_perm"]),
+            "bands": int(meta["bands"]),
+            "shingle_k": int(meta["shingle_k"]),
+            "text_col": text_col,
+            "key_col": key_col,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=0.5,
+    ).map_batches(add_bucket, batch_format="pyarrow")
+
+    raw = (
+        exploded.groupby("bkb")
+        .map_groups(
+            lambda g: _neardup_probe_block(
+                g, index_dir, threshold, key_col, max_per_hash
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if len(raw) == 0 or "doc_id" not in raw.columns:
+        # a fully-empty map_groups output arrives schema-less
+        raw = pd.DataFrame(
+            {"doc_id": [], "corpus_id": [], "est_jaccard": [], "n_capped": []}
+        )
+    capped = int(raw["n_capped"].fillna(0).sum()) if len(raw) else 0
+    hits = raw[raw["doc_id"].notna()].drop(columns=["n_capped"])
+    if len(hits):
+        hits = (
+            hits.groupby(["doc_id", "corpus_id"], as_index=False)["est_jaccard"]
+            .max()
+            .sort_values(["doc_id", "corpus_id"])
+            .reset_index(drop=True)
+        )
+    hits.attrs["capped"] = capped
+    dup_ids = set(hits["doc_id"].tolist())
+
+    def keep_fresh(b: pa.Table) -> pa.Table:
+        if not dup_ids or b.num_rows == 0:
+            return b
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        mask = ~np.isin(keys, np.array(sorted(dup_ids), dtype=keys.dtype))
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep_fresh, batch_format="pyarrow"), hits
