@@ -344,6 +344,35 @@ def _run(argv: list[str] | None = None) -> int:
                     help="hit rows printed (full hit list still computed)")
 
     sp = sub.add_parser(
+        "index-embeddings",
+        help="build or extend the embedding near-dup ledger over a parquet "
+             "input (map-only hyperplane-LSH pass, atomic part swap; planes "
+             "pinned by the first build)",
+    )
+    sp.add_argument("--input", required=True,
+                    help="parquet file or directory with (vec_id, embedding)")
+    sp.add_argument("--output", required=True, help="ledger directory")
+    sp.add_argument("--part", default="base")
+    sp.add_argument("--num-buckets", type=int, default=64)
+    sp.add_argument("--n-planes", type=int, default=12)
+    sp.add_argument("--seed", type=int, default=5)
+
+    sp = sub.add_parser(
+        "dedup-embdup",
+        help="cosine near-dup dedup a parquet input against the embedding "
+             "ledger (bucket-pruned probes, exact cosine verify)",
+    )
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--index", required=True, help="ledger directory")
+    sp.add_argument("--threshold", type=float, default=0.95)
+    sp.add_argument("--output", default=None,
+                    help="write surviving rows to this directory as parquet")
+    sp.add_argument("--update-part", default=None,
+                    help="also extend the ledger with the survivors under "
+                         "this part name")
+    sp.add_argument("--limit", type=int, default=20)
+
+    sp = sub.add_parser(
         "index-tokens",
         help="build or incrementally refresh a BM25 token index over a "
              "committed table (re-derives ONLY partitions whose file "
@@ -917,6 +946,55 @@ def _run(argv: list[str] | None = None) -> int:
         if args.update_part:
             build_minhash_index(
                 surv.select_columns(["doc_id", "text"]),
+                args.index,
+                part=args.update_part,
+            )
+        print(json.dumps({
+            "survivors": n, "near_dups": len(hits),
+            "capped_candidates": hits.attrs.get("capped", 0),
+            "index": args.index, "output": args.output,
+            "update_part": args.update_part,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        print(hits.head(args.limit).to_string(index=False))
+        return 0
+
+    if args.cmd == "index-embeddings":
+        from .functions.dedup import build_embedding_index
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        ds = rd.read_parquet(args.input, columns=["vec_id", "embedding"])
+        meta = build_embedding_index(
+            ds, args.output, part=args.part, num_buckets=args.num_buckets,
+            n_planes=args.n_planes, seed=args.seed,
+        )
+        print(json.dumps({
+            "output": args.output, "part": args.part, **meta,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "dedup-embdup":
+        from .functions.dedup import build_embedding_index, incremental_embdup_dedup
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        surv, hits = incremental_embdup_dedup(
+            rd.read_parquet(args.input), args.index, threshold=args.threshold
+        )
+        if args.output or args.update_part:
+            surv = surv.materialize()
+        n = surv.count()
+        if args.output:
+            surv.write_parquet(args.output)
+        if args.update_part:
+            build_embedding_index(
+                surv.select_columns(["vec_id", "embedding"]),
                 args.index,
                 part=args.update_part,
             )

@@ -1850,3 +1850,283 @@ def incremental_neardup_dedup(
         return b.filter(pa.array(mask))
 
     return ds.map_batches(keep_fresh, batch_format="pyarrow"), hits
+
+
+# ---------------------------------------------------------------------------
+# Persisted embedding ledger — incremental embedding-cosine near-dup dedup
+#
+# Third member of the ledger family (exact fingerprints, MinHash text
+# near-dups, embedding near-dups): corpus vectors live bucket-partitioned by
+# their hyperplane-LSH signature (signature % B), one atomically-swapped
+# part per build. A new batch computes ITS signatures with the SAME pinned
+# planes (dim / n_planes / seed recorded at first build), shuffles only its
+# own rows, and each reduce group probes just its bucket's index files:
+# candidates are equal-signature rows, verified by exact cosine. Identical
+# vectors share their signature deterministically (recall 1.0); the
+# near-but-not-identical regime carries the standard (1-θ/π)^p single-band
+# bound — the same contract embedding_neardup_pairs documents and tests.
+# ---------------------------------------------------------------------------
+
+
+def build_embedding_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    part: str = "base",
+    n_planes: int = 12,
+    seed: int = 5,
+    num_buckets: int = 64,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> dict:
+    """Build (or extend, with a new ``part``) the embedding ledger — one
+    map-only LSH pass, partitioned write, atomic part swap. The hyperplane
+    set is pinned by the FIRST build (meta.json records dim/n_planes/seed)
+    so every part and every probe bucket identically."""
+    import json
+    import os
+    import shutil
+
+    os.makedirs(index_dir, exist_ok=True)
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    else:
+        first = ds.take(1)
+        if not first:
+            raise ValueError("cannot build an embedding ledger from an empty dataset")
+        meta = {
+            "dim": len(first[0][vec_col]),
+            "n_planes": int(n_planes),
+            "seed": int(seed),
+            "num_buckets": int(num_buckets),
+            "key_col": key_col,
+            "vec_col": vec_col,
+        }
+    nb = int(meta["num_buckets"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        sig = b.column("bucket").to_numpy(zero_copy_only=False)
+        ebk = (sig.astype(np.int64).view(np.uint64) % np.uint64(nb)).astype(np.int32)
+        return b.append_column("ebk", pa.array(ebk))
+
+    exploded = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={
+            "dim": int(meta["dim"]),
+            "n_planes": int(meta["n_planes"]),
+            "seed": int(meta["seed"]),
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=0.5,
+    ).map_batches(add_bucket, batch_format="pyarrow")
+
+    part_dir = os.path.join(index_dir, "parts", part)
+    tmp_dir = part_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    exploded.write_parquet(tmp_dir, partition_cols=["ebk"])
+    shutil.rmtree(part_dir, ignore_errors=True)
+    os.replace(tmp_dir, part_dir)
+
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def embedding_bucket_paths(index_dir: str, bucket: int) -> list[str]:
+    """Committed part files for ONE signature bucket (``.tmp`` parts are
+    in-progress builds, never read)."""
+    import os
+
+    parts_dir = os.path.join(index_dir, "parts")
+    if not os.path.isdir(parts_dir):
+        return []
+    out: list[str] = []
+    for p in sorted(os.listdir(parts_dir)):
+        if p.endswith(".tmp"):
+            continue
+        d = os.path.join(parts_dir, p, f"ebk={bucket}")
+        if os.path.isdir(d):
+            out.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def _embdup_probe_block(
+    g: pa.Table,
+    index_dir: str,
+    threshold: float,
+    key_col: str,
+    vec_col: str,
+    max_per_sig: int,
+) -> pd.DataFrame:
+    """One bucket group of incoming LSH rows vs that bucket's corpus rows:
+    candidates are equal-signature rows (searchsorted range match), verified
+    by exact cosine; corpus rows beyond ``max_per_sig`` per signature are
+    skipped and counted."""
+    import pyarrow.parquet as pq
+
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=object),
+            "corpus_id": pd.Series([], dtype=object),
+            "cosine": pd.Series([], dtype=np.float64),
+            "n_capped": pd.Series([], dtype=np.int64),
+        }
+    )
+    if g.num_rows == 0:
+        return empty
+    bucket = int(g.column("ebk")[0].as_py())
+    paths = embedding_bucket_paths(index_dir, bucket)
+    if not paths:
+        return empty
+    corpus = pa.concat_tables(
+        pq.read_table(p, columns=["bucket", key_col, vec_col]) for p in paths
+    )
+    if corpus.num_rows == 0:
+        return empty
+
+    def unit(vectors) -> np.ndarray:
+        m = np.stack(vectors).astype(np.float64)
+        norm = np.linalg.norm(m, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        return m / norm
+
+    c_sig = corpus.column("bucket").to_numpy(zero_copy_only=False)
+    order = np.argsort(c_sig, kind="stable")
+    c_sig = c_sig[order]
+    c_keys = corpus.column(key_col).to_numpy(zero_copy_only=False)[order]
+    c_emb = unit(corpus.column(vec_col).to_numpy(zero_copy_only=False)[order])
+
+    i_sig = g.column("bucket").to_numpy(zero_copy_only=False)
+    lo = np.searchsorted(c_sig, i_sig, side="left")
+    hi = np.searchsorted(c_sig, i_sig, side="right")
+    capped = np.maximum(hi - lo - max_per_sig, 0)
+    hi = np.minimum(hi, lo + max_per_sig)
+    counts = hi - lo
+    if counts.sum() == 0:
+        return empty
+    inc_i = np.repeat(np.arange(len(i_sig)), counts)
+    corp_j = _grouped_arange(counts) + np.repeat(lo, counts)
+    i_emb = unit(g.column(vec_col).to_numpy(zero_copy_only=False))
+    cos = np.einsum("ij,ij->i", i_emb[inc_i], c_emb[corp_j])
+    keep = cos >= threshold
+    i_keys = g.column(key_col).to_numpy(zero_copy_only=False)
+    out = pd.DataFrame(
+        {
+            "doc_id": i_keys[inc_i[keep]],
+            "corpus_id": c_keys[corp_j[keep]],
+            "cosine": np.round(cos[keep], 6),
+            "n_capped": np.int64(0),
+        }
+    )
+    if not len(out):
+        out = empty
+    n_capped = int(capped.sum())
+    if n_capped:
+        _LOG.warning(
+            "embedding ledger bucket %d: %d corpus candidates over the "
+            "per-signature cap (%d) skipped",
+            bucket,
+            n_capped,
+            max_per_sig,
+        )
+        out = pd.concat(
+            [
+                out,
+                pd.DataFrame(
+                    {
+                        "doc_id": [None],
+                        "corpus_id": [None],
+                        "cosine": [np.nan],
+                        "n_capped": [np.int64(n_capped)],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+    return out
+
+
+def incremental_embdup_dedup(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    threshold: float = 0.95,
+    key_col: str = "vec_id",
+    max_per_sig: int = 512,
+) -> tuple[ray.data.Dataset, pd.DataFrame]:
+    """(survivors, hits) of ``ds`` cosine-near-dup-checked AGAINST the
+    embedding ledger: hits = (doc_id, corpus_id, cosine) deduplicated by max
+    cosine with over-cap drops in ``hits.attrs['capped']``; survivors = ds
+    minus hit ids (broadcast NOT-IN — hit lists are driver-small by the
+    family's standing assumption). The corpus is only touched through
+    bucket-pruned index reads."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    nb = int(meta["num_buckets"])
+    vec_col = meta["vec_col"]
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        sig = b.column("bucket").to_numpy(zero_copy_only=False)
+        ebk = (sig.astype(np.int64).view(np.uint64) % np.uint64(nb)).astype(np.int32)
+        return b.append_column("ebk", pa.array(ebk))
+
+    exploded = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={
+            "dim": int(meta["dim"]),
+            "n_planes": int(meta["n_planes"]),
+            "seed": int(meta["seed"]),
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=0.5,
+    ).map_batches(add_bucket, batch_format="pyarrow")
+
+    raw = (
+        exploded.groupby("ebk")
+        .map_groups(
+            lambda g: _embdup_probe_block(
+                g, index_dir, threshold, key_col, vec_col, max_per_sig
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if len(raw) == 0 or "doc_id" not in raw.columns:
+        raw = pd.DataFrame(
+            {"doc_id": [], "corpus_id": [], "cosine": [], "n_capped": []}
+        )
+    capped = int(raw["n_capped"].fillna(0).sum()) if len(raw) else 0
+    hits = raw[raw["doc_id"].notna()].drop(columns=["n_capped"])
+    if len(hits):
+        hits = (
+            hits.groupby(["doc_id", "corpus_id"], as_index=False)["cosine"]
+            .max()
+            .sort_values(["doc_id", "corpus_id"])
+            .reset_index(drop=True)
+        )
+    hits.attrs["capped"] = capped
+    dup_ids = set(hits["doc_id"].tolist())
+
+    def keep_fresh(b: pa.Table) -> pa.Table:
+        if not dup_ids or b.num_rows == 0:
+            return b
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        mask = ~np.isin(keys, np.array(sorted(dup_ids), dtype=keys.dtype))
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep_fresh, batch_format="pyarrow"), hits
