@@ -1393,20 +1393,50 @@ def _keepmin_counts(
     return take, n.astype(np.int64)
 
 
-def _fp_meta_path(index_dir: str) -> str:
+# Shared ledger plumbing (fingerprint / MinHash / embedding ledgers): a
+# ledger is meta.json (parameters pinned by the FIRST build) plus additive
+# `parts/<name>/` directories of bucket-partitioned parquet, each committed
+# by tmp-write + atomic dir swap so a rebuild after a partial failure can
+# never leave stale or duplicate files for a probe to read.
+
+
+def _ledger_meta(index_dir: str, default: dict) -> dict:
+    """Load the pinned meta if the ledger exists, else adopt ``default``
+    (the first build's parameters win for every later part and probe)."""
+    import json
     import os
 
-    return os.path.join(index_dir, "meta.json")
+    path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return default
 
 
-def read_fingerprint_meta(index_dir: str) -> dict:
+def _ledger_commit(
+    index_dir: str, part: str, ds: ray.data.Dataset, bucket_col: str, meta: dict
+) -> None:
+    """Write one part (partitioned by ``bucket_col``) and the meta, both
+    atomically."""
     import json
+    import os
+    import shutil
 
-    with open(_fp_meta_path(index_dir)) as f:
-        return json.load(f)
+    part_dir = os.path.join(index_dir, "parts", part)
+    tmp_dir = part_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    ds.write_parquet(tmp_dir, partition_cols=[bucket_col])
+    shutil.rmtree(part_dir, ignore_errors=True)
+    os.replace(tmp_dir, part_dir)
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
 
 
-def fingerprint_bucket_paths(index_dir: str, bucket: int) -> list[str]:
+def _ledger_bucket_paths(index_dir: str, bucket_col: str, bucket: int) -> list[str]:
     """Every committed part's files for ONE bucket — the only files a reduce
     group for that bucket ever opens (``.tmp`` part dirs are in-progress
     builds and are never read)."""
@@ -1419,7 +1449,7 @@ def fingerprint_bucket_paths(index_dir: str, bucket: int) -> list[str]:
     for part in sorted(os.listdir(parts_dir)):
         if part.endswith(".tmp"):
             continue
-        d = os.path.join(parts_dir, part, f"fpb={bucket}")
+        d = os.path.join(parts_dir, part, f"{bucket_col}={bucket}")
         if os.path.isdir(d):
             out.extend(
                 os.path.join(d, f)
@@ -1427,6 +1457,23 @@ def fingerprint_bucket_paths(index_dir: str, bucket: int) -> list[str]:
                 if f.endswith(".parquet")
             )
     return out
+
+
+def read_ledger_meta(index_dir: str) -> dict:
+    """The pinned parameters of any ledger (fingerprint/MinHash/embedding)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        return json.load(f)
+
+
+# backwards-compatible name for the fingerprint ledger's reader
+read_fingerprint_meta = read_ledger_meta
+
+
+def fingerprint_bucket_paths(index_dir: str, bucket: int) -> list[str]:
+    return _ledger_bucket_paths(index_dir, "fpb", bucket)
 
 
 def _bucket_fingerprints(index_dir: str, bucket: int) -> np.ndarray:
@@ -1501,16 +1548,14 @@ def build_fingerprint_index(
     with a new crawl's survivors is just ``part="epoch-N"``. ``num_buckets``
     is fixed by the FIRST build (recorded in meta.json) so every part and
     every incremental read buckets identically."""
-    import json
     import os
-    import shutil
 
     os.makedirs(index_dir, exist_ok=True)
-    if os.path.exists(_fp_meta_path(index_dir)):
-        meta = read_fingerprint_meta(index_dir)
-        nb = int(meta["num_buckets"])
-    else:
-        nb = int(num_buckets)
+    meta = _ledger_meta(
+        index_dir,
+        {"num_buckets": int(num_buckets), "key_col": key_col, "text_col": text_col},
+    )
+    nb = int(meta["num_buckets"])
 
     combined = (
         ds.map_batches(
@@ -1520,18 +1565,7 @@ def build_fingerprint_index(
         .groupby("fpb")
         .map_groups(lambda g: _fp_combine(g, key_col), batch_format="pyarrow")
     )
-    part_dir = os.path.join(index_dir, "parts", part)
-    tmp_dir = part_dir + ".tmp"
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    combined.write_parquet(tmp_dir, partition_cols=["fpb"])
-    shutil.rmtree(part_dir, ignore_errors=True)
-    os.replace(tmp_dir, part_dir)
-
-    meta = {"num_buckets": nb, "key_col": key_col, "text_col": text_col}
-    tmp = _fp_meta_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _fp_meta_path(index_dir))
+    _ledger_commit(index_dir, part, combined, "fpb", meta)
     return meta
 
 
@@ -1610,24 +1644,30 @@ def build_minhash_index(
     the corpus, partitioned write, atomic part swap. LSH parameters are
     pinned by the FIRST build (meta.json); later parts and every probe use
     the recorded values so banding stays identical across epochs."""
-    import json
     import os
-    import shutil
 
     os.makedirs(index_dir, exist_ok=True)
-    meta_path = os.path.join(index_dir, "meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-    else:
-        meta = {
+    meta = _ledger_meta(
+        index_dir,
+        {
             "num_perm": int(num_perm),
             "bands": int(bands),
             "shingle_k": int(shingle_k),
             "num_buckets": int(num_buckets),
             "key_col": key_col,
             "text_col": text_col,
-        }
+        },
+    )
+    exploded = _minhash_band_rows(ds, meta, text_col, meta["key_col"])
+    _ledger_commit(index_dir, part, exploded, "bkb", meta)
+    return meta
+
+
+def _minhash_band_rows(
+    ds: ray.data.Dataset, meta: dict, text_col: str, key_col: str
+) -> ray.data.Dataset:
+    """(band, band_hash, key, sig, bkb) rows under the ledger's pinned LSH
+    parameters — the shared head of both the build and the probe."""
     nb = int(meta["num_buckets"])
 
     def add_bucket(b: pa.Table) -> pa.Table:
@@ -1635,54 +1675,23 @@ def build_minhash_index(
         bkb = (bh.view(np.uint64) % np.uint64(nb)).astype(np.int32)
         return b.append_column("bkb", pa.array(bkb))
 
-    exploded = ds.map_batches(
+    return ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={
             "num_perm": int(meta["num_perm"]),
             "bands": int(meta["bands"]),
             "shingle_k": int(meta["shingle_k"]),
             "text_col": text_col,
-            "key_col": meta["key_col"],
+            "key_col": key_col,
         },
         batch_format="pyarrow",
         concurrency=2,
         num_cpus=0.5,
     ).map_batches(add_bucket, batch_format="pyarrow")
 
-    part_dir = os.path.join(index_dir, "parts", part)
-    tmp_dir = part_dir + ".tmp"
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    exploded.write_parquet(tmp_dir, partition_cols=["bkb"])
-    shutil.rmtree(part_dir, ignore_errors=True)
-    os.replace(tmp_dir, part_dir)
-
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
-    return meta
-
 
 def minhash_bucket_paths(index_dir: str, bucket: int) -> list[str]:
-    """Every committed part's files for ONE band-hash bucket (``.tmp`` parts
-    are in-progress builds, never read)."""
-    import os
-
-    parts_dir = os.path.join(index_dir, "parts")
-    if not os.path.isdir(parts_dir):
-        return []
-    out: list[str] = []
-    for p in sorted(os.listdir(parts_dir)):
-        if p.endswith(".tmp"):
-            continue
-        d = os.path.join(parts_dir, p, f"bkb={bucket}")
-        if os.path.isdir(d):
-            out.extend(
-                os.path.join(d, f)
-                for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
-    return out
+    return _ledger_bucket_paths(index_dir, "bkb", bucket)
 
 
 def _neardup_probe_block(
@@ -1789,31 +1798,8 @@ def incremental_neardup_dedup(
     concern (``minhash_lsh_pairs`` on the survivors). The incoming data is
     hashed and shuffled once; the corpus is only touched through
     bucket-pruned index reads."""
-    import json
-    import os
-
-    with open(os.path.join(index_dir, "meta.json")) as f:
-        meta = json.load(f)
-    nb = int(meta["num_buckets"])
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        bh = b.column("band_hash").to_numpy(zero_copy_only=False)
-        bkb = (bh.view(np.uint64) % np.uint64(nb)).astype(np.int32)
-        return b.append_column("bkb", pa.array(bkb))
-
-    exploded = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "num_perm": int(meta["num_perm"]),
-            "bands": int(meta["bands"]),
-            "shingle_k": int(meta["shingle_k"]),
-            "text_col": text_col,
-            "key_col": key_col,
-        },
-        batch_format="pyarrow",
-        concurrency=2,
-        num_cpus=0.5,
-    ).map_batches(add_bucket, batch_format="pyarrow")
+    meta = read_ledger_meta(index_dir)
+    exploded = _minhash_band_rows(ds, meta, text_col, key_col)
 
     raw = (
         exploded.groupby("bkb")
@@ -1883,20 +1869,15 @@ def build_embedding_index(
     map-only LSH pass, partitioned write, atomic part swap. The hyperplane
     set is pinned by the FIRST build (meta.json records dim/n_planes/seed)
     so every part and every probe bucket identically."""
-    import json
     import os
-    import shutil
 
     os.makedirs(index_dir, exist_ok=True)
     meta_path = os.path.join(index_dir, "meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-    else:
+    if not os.path.exists(meta_path):
         first = ds.take(1)
         if not first:
             raise ValueError("cannot build an embedding ledger from an empty dataset")
-        meta = {
+        default = {
             "dim": len(first[0][vec_col]),
             "n_planes": int(n_planes),
             "seed": int(seed),
@@ -1904,6 +1885,19 @@ def build_embedding_index(
             "key_col": key_col,
             "vec_col": vec_col,
         }
+    else:
+        default = {}
+    meta = _ledger_meta(index_dir, default)
+    exploded = _embedding_sig_rows(ds, meta, vec_col)
+    _ledger_commit(index_dir, part, exploded, "ebk", meta)
+    return meta
+
+
+def _embedding_sig_rows(
+    ds: ray.data.Dataset, meta: dict, vec_col: str
+) -> ray.data.Dataset:
+    """(key, vector, bucket=LSH signature, ebk) rows under the ledger's
+    pinned planes — the shared head of the build and the probe."""
     nb = int(meta["num_buckets"])
 
     def add_bucket(b: pa.Table) -> pa.Table:
@@ -1911,7 +1905,7 @@ def build_embedding_index(
         ebk = (sig.astype(np.int64).view(np.uint64) % np.uint64(nb)).astype(np.int32)
         return b.append_column("ebk", pa.array(ebk))
 
-    exploded = ds.map_batches(
+    return ds.map_batches(
         HyperplaneLSH,
         fn_constructor_kwargs={
             "dim": int(meta["dim"]),
@@ -1924,40 +1918,9 @@ def build_embedding_index(
         num_cpus=0.5,
     ).map_batches(add_bucket, batch_format="pyarrow")
 
-    part_dir = os.path.join(index_dir, "parts", part)
-    tmp_dir = part_dir + ".tmp"
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    exploded.write_parquet(tmp_dir, partition_cols=["ebk"])
-    shutil.rmtree(part_dir, ignore_errors=True)
-    os.replace(tmp_dir, part_dir)
-
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
-    return meta
-
 
 def embedding_bucket_paths(index_dir: str, bucket: int) -> list[str]:
-    """Committed part files for ONE signature bucket (``.tmp`` parts are
-    in-progress builds, never read)."""
-    import os
-
-    parts_dir = os.path.join(index_dir, "parts")
-    if not os.path.isdir(parts_dir):
-        return []
-    out: list[str] = []
-    for p in sorted(os.listdir(parts_dir)):
-        if p.endswith(".tmp"):
-            continue
-        d = os.path.join(parts_dir, p, f"ebk={bucket}")
-        if os.path.isdir(d):
-            out.extend(
-                os.path.join(d, f)
-                for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
-    return out
+    return _ledger_bucket_paths(index_dir, "ebk", bucket)
 
 
 def _embdup_probe_block(
@@ -2070,31 +2033,9 @@ def incremental_embdup_dedup(
     minus hit ids (broadcast NOT-IN — hit lists are driver-small by the
     family's standing assumption). The corpus is only touched through
     bucket-pruned index reads."""
-    import json
-    import os
-
-    with open(os.path.join(index_dir, "meta.json")) as f:
-        meta = json.load(f)
-    nb = int(meta["num_buckets"])
+    meta = read_ledger_meta(index_dir)
     vec_col = meta["vec_col"]
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        sig = b.column("bucket").to_numpy(zero_copy_only=False)
-        ebk = (sig.astype(np.int64).view(np.uint64) % np.uint64(nb)).astype(np.int32)
-        return b.append_column("ebk", pa.array(ebk))
-
-    exploded = ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs={
-            "dim": int(meta["dim"]),
-            "n_planes": int(meta["n_planes"]),
-            "seed": int(meta["seed"]),
-            "vec_col": vec_col,
-        },
-        batch_format="pyarrow",
-        concurrency=2,
-        num_cpus=0.5,
-    ).map_batches(add_bucket, batch_format="pyarrow")
+    exploded = _embedding_sig_rows(ds, meta, vec_col)
 
     raw = (
         exploded.groupby("ebk")
