@@ -373,6 +373,14 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--limit", type=int, default=20)
 
     sp = sub.add_parser(
+        "compact-ledger",
+        help="merge a dedup ledger's epoch parts into one (manifest-ordered: "
+             "compacted part first, atomic switch, old dirs removed last)",
+    )
+    sp.add_argument("--index", required=True, help="ledger directory")
+    sp.add_argument("--into", default="compacted", help="compacted part name")
+
+    sp = sub.add_parser(
         "index-tokens",
         help="build or incrementally refresh a BM25 token index over a "
              "committed table (re-derives ONLY partitions whose file "
@@ -1006,6 +1014,18 @@ def _run(argv: list[str] | None = None) -> int:
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
         print(hits.head(args.limit).to_string(index=False))
+        return 0
+
+    if args.cmd == "compact-ledger":
+        from .functions.dedup import compact_ledger
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        out = compact_ledger(args.index, into=args.into)
+        print(json.dumps({
+            "index": args.index, **out,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
         return 0
 
     if args.cmd == "query":

@@ -1413,11 +1413,38 @@ def _ledger_meta(index_dir: str, default: dict) -> dict:
     return default
 
 
+def _ledger_parts(index_dir: str, meta: dict | None = None) -> list[str]:
+    """The LIVE part names: meta.json's ``parts`` manifest when present
+    (written by every commit since compaction landed — a part dir not in the
+    manifest is an orphan from a crashed compaction and is invisible), else
+    a directory listing (pre-manifest ledgers)."""
+    import os
+
+    if meta is None:
+        meta = _ledger_meta(index_dir, {})
+    if "parts" in meta:
+        return list(meta["parts"])
+    parts_dir = os.path.join(index_dir, "parts")
+    if not os.path.isdir(parts_dir):
+        return []
+    return sorted(p for p in os.listdir(parts_dir) if not p.endswith(".tmp"))
+
+
 def _ledger_commit(
-    index_dir: str, part: str, ds: ray.data.Dataset, bucket_col: str, meta: dict
-) -> None:
-    """Write one part (partitioned by ``bucket_col``) and the meta, both
-    atomically."""
+    index_dir: str,
+    part: str,
+    ds: ray.data.Dataset,
+    bucket_col: str,
+    meta: dict,
+    *,
+    replace_parts: list[str] | None = None,
+) -> dict:
+    """Write one part (partitioned by ``bucket_col``), then the meta with
+    its updated ``parts`` manifest — both atomic, in that order, so readers
+    switch from the old part set to the new one in one step and a crash
+    in between leaves only an invisible orphan directory.
+    ``replace_parts`` (compaction) makes the manifest exactly that list
+    instead of adding ``part`` to it."""
     import json
     import os
     import shutil
@@ -1429,27 +1456,29 @@ def _ledger_commit(
     shutil.rmtree(part_dir, ignore_errors=True)
     os.replace(tmp_dir, part_dir)
 
+    if replace_parts is not None:
+        parts = sorted(replace_parts)
+    else:
+        parts = sorted(set(_ledger_parts(index_dir, meta)) | {part})
+    meta = {**meta, "parts": parts}
     meta_path = os.path.join(index_dir, "meta.json")
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, meta_path)
+    return meta
 
 
 def _ledger_bucket_paths(index_dir: str, bucket_col: str, bucket: int) -> list[str]:
-    """Every committed part's files for ONE bucket — the only files a reduce
+    """Every LIVE part's files for ONE bucket — the only files a reduce
     group for that bucket ever opens (``.tmp`` part dirs are in-progress
-    builds and are never read)."""
+    builds, manifest-absent dirs are crashed-compaction orphans; neither is
+    ever read)."""
     import os
 
-    parts_dir = os.path.join(index_dir, "parts")
-    if not os.path.isdir(parts_dir):
-        return []
     out: list[str] = []
-    for part in sorted(os.listdir(parts_dir)):
-        if part.endswith(".tmp"):
-            continue
-        d = os.path.join(parts_dir, part, f"{bucket_col}={bucket}")
+    for part in _ledger_parts(index_dir):
+        d = os.path.join(index_dir, "parts", part, f"{bucket_col}={bucket}")
         if os.path.isdir(d):
             out.extend(
                 os.path.join(d, f)
@@ -1457,6 +1486,84 @@ def _ledger_bucket_paths(index_dir: str, bucket_col: str, bucket: int) -> list[s
                 if f.endswith(".parquet")
             )
     return out
+
+
+_LEDGER_BUCKET_COLS = {"fingerprint": "fpb", "minhash": "bkb", "embedding": "ebk"}
+
+
+def ledger_kind(meta: dict) -> str:
+    """Which ledger a meta describes (the three kinds share one layout)."""
+    if "vec_col" in meta:
+        return "embedding"
+    if "num_perm" in meta:
+        return "minhash"
+    return "fingerprint"
+
+
+def compact_ledger(index_dir: str, into: str = "compacted") -> dict:
+    """Merge every live part into ONE (probes over a many-epoch ledger open
+    one file set per bucket again). Fingerprint rows re-combine exactly
+    (min key, summed copy counts); MinHash/embedding rows deduplicate on
+    (key, band)/(key) per bucket — a doc indexed in several parts keeps one
+    row. Crash-safe in the manifest order: the compacted part is written
+    first, the manifest switch is atomic, and old part directories are
+    removed only afterwards (a crash leaves invisible orphans, never a
+    double-counted or half-missing ledger)."""
+    import os
+    import shutil
+
+    meta = read_ledger_meta(index_dir)
+    kind = ledger_kind(meta)
+    bucket_col = _LEDGER_BUCKET_COLS[kind]
+    old = _ledger_parts(index_dir, meta)
+    if len(old) <= 1:
+        return {**meta, "compacted": False, "parts_before": len(old)}
+
+    files = [
+        os.path.join(root, f)
+        for p in old
+        for root, _, names in os.walk(os.path.join(index_dir, "parts", p))
+        for f in sorted(names)
+        if f.endswith(".parquet")
+    ]
+    # the bucket is a pure function of row data — recompute it rather than
+    # trusting hive-parsed partition values/dtypes
+    hash_col = {"fingerprint": "fingerprint", "minhash": "band_hash",
+                "embedding": "bucket"}[kind]
+    nb = int(meta["num_buckets"])
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        if bucket_col in b.column_names:
+            # the reader hive-parses the partition value back (as string);
+            # recompute it typed instead
+            b = b.drop_columns([bucket_col])
+        h = b.column(hash_col).to_numpy(zero_copy_only=False)
+        v = (h.astype(np.int64).view(np.uint64) % np.uint64(nb)).astype(np.int32)
+        return b.append_column(bucket_col, pa.array(v))
+
+    ds = ray.data.read_parquet(files).map_batches(rebucket, batch_format="pyarrow")
+    key_col = meta["key_col"]
+    if kind == "fingerprint":
+        merged = ds.groupby(bucket_col).map_groups(
+            lambda g: _fp_combine(g, key_col), batch_format="pyarrow"
+        )
+    else:
+        subset = [key_col, "band"] if kind == "minhash" else [key_col]
+
+        def distinct(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(subset=subset, keep="first")
+
+        merged = ds.groupby(bucket_col).map_groups(distinct, batch_format="pandas")
+
+    # the partition column comes back hive-parsed; recompute nothing, just
+    # let the partitioned write re-split it
+    meta = _ledger_commit(
+        index_dir, into, merged, bucket_col, meta, replace_parts=[into]
+    )
+    for p in old:
+        if p != into:
+            shutil.rmtree(os.path.join(index_dir, "parts", p), ignore_errors=True)
+    return {**meta, "compacted": True, "parts_before": len(old)}
 
 
 def read_ledger_meta(index_dir: str) -> dict:
