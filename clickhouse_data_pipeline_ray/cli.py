@@ -381,6 +381,19 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--into", default="compacted", help="compacted part name")
 
     sp = sub.add_parser(
+        "export-shuffled",
+        help="deterministic seeded global shuffle of a parquet input into N "
+             "training shards (one map pass + one exchange; (shard, order) "
+             "is a pure hash of key and seed)",
+    )
+    sp.add_argument("--input", required=True,
+                    help="parquet file or directory to shuffle")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--num-shards", type=int, default=64)
+    sp.add_argument("--seed", type=int, default=1)
+    sp.add_argument("--key-col", default="doc_id")
+
+    sp = sub.add_parser(
         "index-tokens",
         help="build or incrementally refresh a BM25 token index over a "
              "committed table (re-derives ONLY partitions whose file "
@@ -1014,6 +1027,23 @@ def _run(argv: list[str] | None = None) -> int:
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
         print(hits.head(args.limit).to_string(index=False))
+        return 0
+
+    if args.cmd == "export-shuffled":
+        from .pipelines.export import export_shuffled
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        meta = export_shuffled(
+            rd.read_parquet(args.input), args.output,
+            num_shards=args.num_shards, seed=args.seed, key_col=args.key_col,
+        )
+        print(json.dumps({
+            "output": args.output, **meta,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
         return 0
 
     if args.cmd == "compact-ledger":

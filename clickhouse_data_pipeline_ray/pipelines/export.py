@@ -396,3 +396,104 @@ def read_zorder_box(out_dir: str, box: dict) -> ray.data.Dataset:
     return ray.data.read_parquet(
         paths, filter=_to_expression(filters) if filters else None
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shuffled export — training shards
+# ---------------------------------------------------------------------------
+
+LEHMER_M = 2147483647  # 2^31 - 1 (Park–Miller modulus, shared with the SQL
+LEHMER_A = 48271  # sampling oracle in pipelines/queries.py)
+
+
+def _shuffle_pos(keys: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random position for each key: a Lehmer step of
+    ``key + seed`` for integer keys (SQL-reproducible: the sample_documents
+    oracle's hash), a hashed equivalent for strings. Position is a pure
+    function of (key, seed) — independent of partitioning, block order, or
+    cluster size, so a shuffle is reproducible bit-for-bit anywhere."""
+    if keys.dtype.kind in "iu":
+        k = keys.astype(np.int64)
+    else:
+        from pandas.util import hash_array
+
+        k = (hash_array(keys.astype(object)) % np.uint64(1 << 62)).astype(np.int64)
+    return ((k + np.int64(seed)) * np.int64(LEHMER_A)) % np.int64(LEHMER_M)
+
+
+def export_shuffled(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    num_shards: int = 64,
+    seed: int = 1,
+    key_col: str = "doc_id",
+) -> dict:
+    """Globally shuffle ``ds`` into ``num_shards`` training shards,
+    deterministically from ``seed``.
+
+    Training loaders want i.i.d.-ish order without paying a full
+    ``random_shuffle`` of row IDENTITY state: here every row's (shard,
+    position) is a pure hash of its key, so the plan is one map pass + ONE
+    groupby exchange (the unavoidable data movement of any global shuffle),
+    each shard sorted by position vectorized in its reduce group and written
+    directly from the worker. Rows keep a ``_shuffle_pos`` column so a
+    shard split across several files (Ray's dynamic block splitting) is
+    still totally ordered — ``read_shard`` re-sorts, which is cheap and
+    shard-local. Epoch N+1's order = a different seed, no data rewrite
+    needed for single-epoch consumers that re-shard."""
+    import shutil
+
+    nsh = int(num_shards)
+
+    def assign(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        pos = _shuffle_pos(keys, seed)
+        b = b.append_column("_shuffle_pos", pa.array(pos))
+        return b.append_column(
+            "shard", pa.array((pos % nsh).astype(np.int32))
+        )
+
+    def sort_shard(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("_shuffle_pos", "ascending"), (key_col, "ascending")]
+        )
+        return g.take(idx)
+
+    shuffled = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(sort_shard, batch_format="pyarrow")
+    )
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shuffled.write_parquet(tmp, partition_cols=["shard"])
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    meta = {"num_shards": nsh, "seed": int(seed), "key_col": key_col}
+    with open(os.path.join(out_dir, "_shuffle.json.tmp"), "w") as f:
+        json.dump(meta, f)
+    os.replace(
+        os.path.join(out_dir, "_shuffle.json.tmp"),
+        os.path.join(out_dir, "_shuffle.json"),
+    )
+    return meta
+
+
+def read_shard(out_dir: str, shard: int) -> pa.Table:
+    """One shard, in its deterministic shuffled order (driver-side latency
+    path — a shard is one training worker's slice, not the corpus)."""
+    d = os.path.join(out_dir, f"shard={shard}")
+    if not os.path.isdir(d):
+        return None
+    t = pa.concat_tables(
+        pq.read_table(os.path.join(d, f))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    )
+    with open(os.path.join(out_dir, "_shuffle.json")) as f:
+        key_col = json.load(f)["key_col"]
+    idx = pc.sort_indices(
+        t, sort_keys=[("_shuffle_pos", "ascending"), (key_col, "ascending")]
+    )
+    return t.take(idx).drop_columns(["_shuffle_pos"])
