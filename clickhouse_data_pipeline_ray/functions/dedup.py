@@ -1672,8 +1672,7 @@ def build_fingerprint_index(
         .groupby("fpb")
         .map_groups(lambda g: _fp_combine(g, key_col), batch_format="pyarrow")
     )
-    _ledger_commit(index_dir, part, combined, "fpb", meta)
-    return meta
+    return _ledger_commit(index_dir, part, combined, "fpb", meta)
 
 
 def incremental_dedup(
@@ -1766,8 +1765,7 @@ def build_minhash_index(
         },
     )
     exploded = _minhash_band_rows(ds, meta, text_col, meta["key_col"])
-    _ledger_commit(index_dir, part, exploded, "bkb", meta)
-    return meta
+    return _ledger_commit(index_dir, part, exploded, "bkb", meta)
 
 
 def _minhash_band_rows(
@@ -1996,8 +1994,7 @@ def build_embedding_index(
         default = {}
     meta = _ledger_meta(index_dir, default)
     exploded = _embedding_sig_rows(ds, meta, vec_col)
-    _ledger_commit(index_dir, part, exploded, "ebk", meta)
-    return meta
+    return _ledger_commit(index_dir, part, exploded, "ebk", meta)
 
 
 def _embedding_sig_rows(

@@ -47,7 +47,12 @@ def _oracle(base_texts: list[str], inc: pd.DataFrame) -> pd.DataFrame:
 
 def test_build_layout_and_meta(ray_session, tmp_path):
     idx, meta = _base(tmp_path)
-    assert meta == {"num_buckets": 8, "key_col": "doc_id", "text_col": "text"}
+    assert meta == {
+        "num_buckets": 8,
+        "key_col": "doc_id",
+        "text_col": "text",
+        "parts": ["base"],
+    }
     assert read_fingerprint_meta(idx) == meta
     parts = os.listdir(os.path.join(idx, "parts"))
     assert parts == ["base"]
