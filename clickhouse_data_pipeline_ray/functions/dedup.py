@@ -1799,6 +1799,20 @@ def minhash_bucket_paths(index_dir: str, bucket: int) -> list[str]:
     return _ledger_bucket_paths(index_dir, "bkb", bucket)
 
 
+def _sig_matrix(col) -> np.ndarray:
+    """(n, num_perm) signature matrix from a list<int64> column — flatten +
+    reshape on the Arrow values buffer, never a Python-object ``np.stack``
+    (which copies row-by-row and dominated the probe's profile). Also
+    accepts Ray's tensor-extension encoding (what a pandas-stage rewrite,
+    e.g. ledger compaction, produces) and the object-array fallback."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), -1)
+    v = arr.to_numpy(zero_copy_only=False)
+    return np.stack(v) if v.dtype == object else np.asarray(v)
+
+
 def _neardup_probe_block(
     g: pa.Table,
     index_dir: str,
@@ -1810,7 +1824,14 @@ def _neardup_probe_block(
     corpus band rows: candidates are equal band_hash values (searchsorted
     range match against the sorted corpus — vectorized, no Python pairs),
     verified by exact signature overlap. Corpus rows beyond ``max_per_hash``
-    per band_hash are skipped (hot-bucket cap, counted in ``n_capped``)."""
+    per band_hash are skipped (hot-bucket cap, counted in ``n_capped``).
+
+    Two-phase index read: a cheap (band_hash, key)-only scan finds which
+    hashes collide at all, then ONLY those rows' (bands× duplicated, wide)
+    signatures are read back through a parquet `in` filter — on a mostly-
+    fresh increment this cuts the bucket read from every signature in the
+    bucket to just the colliding ones (measured ~10× fewer bytes at a 10%
+    dup rate)."""
     import pyarrow.parquet as pq
 
     empty = pd.DataFrame(
@@ -1827,16 +1848,30 @@ def _neardup_probe_block(
     paths = minhash_bucket_paths(index_dir, bucket)
     if not paths:
         return empty
-    corpus = pa.concat_tables(
-        pq.read_table(p, columns=["band_hash", key_col, "sig"]) for p in paths
+    i_bh_all = g.column("band_hash").to_numpy(zero_copy_only=False)
+    head = pa.concat_tables(
+        pq.read_table(p, columns=["band_hash"]) for p in paths
     )
+    matched = np.intersect1d(
+        np.unique(i_bh_all), head.column("band_hash").to_numpy(zero_copy_only=False)
+    )
+    if len(matched) == 0:
+        return empty
+    cols = ["band_hash", key_col, "sig"]
+    if len(matched) <= 50_000:
+        flt = [("band_hash", "in", matched.tolist())]
+        corpus = pa.concat_tables(
+            pq.read_table(p, columns=cols, filters=flt) for p in paths
+        )
+    else:  # pathological all-dup increment: the filter costs more than it saves
+        corpus = pa.concat_tables(pq.read_table(p, columns=cols) for p in paths)
     if corpus.num_rows == 0:
         return empty
     c_bh = corpus.column("band_hash").to_numpy(zero_copy_only=False)
     order = np.argsort(c_bh, kind="stable")
     c_bh = c_bh[order]
     c_keys = corpus.column(key_col).to_numpy(zero_copy_only=False)[order]
-    c_sigs = np.stack(corpus.column("sig").to_numpy(zero_copy_only=False)[order])
+    c_sigs = _sig_matrix(corpus.column("sig"))[order]
 
     i_bh = g.column("band_hash").to_numpy(zero_copy_only=False)
     lo = np.searchsorted(c_bh, i_bh, side="left")
@@ -1849,7 +1884,7 @@ def _neardup_probe_block(
     inc_i = np.repeat(np.arange(len(i_bh)), counts)
     # flat corpus indices for each (incoming row, matched corpus row) pair
     corp_j = _grouped_arange(counts) + np.repeat(lo, counts)
-    i_sigs = np.stack(g.column("sig").to_numpy(zero_copy_only=False))
+    i_sigs = _sig_matrix(g.column("sig"))
     est = (i_sigs[inc_i] == c_sigs[corp_j]).mean(axis=1)
     keep = est >= threshold
     i_keys = g.column(key_col).to_numpy(zero_copy_only=False)
@@ -2038,7 +2073,9 @@ def _embdup_probe_block(
     """One bucket group of incoming LSH rows vs that bucket's corpus rows:
     candidates are equal-signature rows (searchsorted range match), verified
     by exact cosine; corpus rows beyond ``max_per_sig`` per signature are
-    skipped and counted."""
+    skipped and counted. Same two-phase index read as the MinHash probe: a
+    signature-only scan finds colliding signatures, then only those rows'
+    (wide) vectors are read back through a parquet `in` filter."""
     import pyarrow.parquet as pq
 
     empty = pd.DataFrame(
@@ -2055,9 +2092,21 @@ def _embdup_probe_block(
     paths = embedding_bucket_paths(index_dir, bucket)
     if not paths:
         return empty
-    corpus = pa.concat_tables(
-        pq.read_table(p, columns=["bucket", key_col, vec_col]) for p in paths
+    head = pa.concat_tables(pq.read_table(p, columns=["bucket"]) for p in paths)
+    matched = np.intersect1d(
+        np.unique(g.column("bucket").to_numpy(zero_copy_only=False)),
+        head.column("bucket").to_numpy(zero_copy_only=False),
     )
+    if len(matched) == 0:
+        return empty
+    cols = ["bucket", key_col, vec_col]
+    if len(matched) <= 50_000:
+        flt = [("bucket", "in", matched.tolist())]
+        corpus = pa.concat_tables(
+            pq.read_table(p, columns=cols, filters=flt) for p in paths
+        )
+    else:
+        corpus = pa.concat_tables(pq.read_table(p, columns=cols) for p in paths)
     if corpus.num_rows == 0:
         return empty
 
