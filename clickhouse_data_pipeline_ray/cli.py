@@ -276,6 +276,24 @@ def _run(argv: list[str] | None = None) -> int:
                     help="write the sampled rows to this directory as parquet")
 
     sp = sub.add_parser(
+        "decontaminate",
+        help="n-gram-hash test-set decontamination: flag corpus docs "
+             "sharing any k-word window with the benchmark snippets (one "
+             "map-only pass, cost independent of snippet count)",
+    )
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--snippets", required=True,
+                    help="parquet file/dir with a text column of benchmark "
+                         "snippets (each must have at least k words)")
+    sp.add_argument("--k", type=int, default=8,
+                    help="shingle width in words (GPT-3 used 13)")
+    sp.add_argument("--min-hits", type=int, default=1,
+                    help="flag docs with at least this many distinct "
+                         "contaminated shingles")
+    sp.add_argument("--output", default=None,
+                    help="write flagged rows to this directory as parquet")
+
+    sp = sub.add_parser(
         "index-text",
         help="build a persisted BM25 inverted index (term-hash-bucketed "
              "postings + corpus stats; idempotent tmp+rename build)",
@@ -867,6 +885,50 @@ def _run(argv: list[str] | None = None) -> int:
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
         print(pdf.to_string(index=False))
+        return 0
+
+    if args.cmd == "decontaminate":
+        from .functions.textstats import ngram_decontaminate
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        snippets = (
+            pq.read_table(args.snippets, columns=["text"])
+            .column("text")
+            .to_pylist()
+        )
+        ds = rd.read_parquet(
+            os.path.join(args.sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        out = ngram_decontaminate(
+            ds, snippets, k=args.k, min_hits=args.min_hits
+        )
+        if args.output:
+            if os.path.isdir(args.output) and any(
+                f.endswith(".parquet") for f in os.listdir(args.output)
+            ):
+                raise ValueError(
+                    f"output dir {args.output} already holds parquet files; "
+                    "point --output at an empty or new directory"
+                )
+            out.write_parquet(args.output)
+            out = rd.read_parquet(args.output)
+        # contamination is rare by nature — the flagged set is small; show
+        # the worst offenders, never the whole corpus
+        hits = out.to_pandas().sort_values(
+            ["n_contaminated", "doc_id"], ascending=[False, True]
+        )
+        print(json.dumps({
+            "snippets": len(snippets), "k": args.k,
+            "min_hits": args.min_hits, "flagged_docs": len(hits),
+            "output": args.output,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        print(hits.head(20).to_string(index=False))
         return 0
 
     if args.cmd == "index-text":

@@ -391,3 +391,160 @@ class Decontaminate:
                 "n_hits": pa.array(n_hits[keep]),
             }
         )
+
+
+def snippet_shingle_hashes(snippets: list[str], k: int = 8) -> np.ndarray:
+    """Sorted unique word-``k``-gram hashes of the benchmark snippets.
+
+    The driver-side half of n-gram-hash decontamination: hash every
+    ``k``-word window of every snippet with the SAME rolling kernel the
+    corpus side uses (``dedup._batch_shingle_hashes``), so membership is an
+    integer comparison. Snippets shorter than ``k`` words are rejected
+    loudly — their k-gram set is empty, so silently accepting them would
+    report "decontaminated" while never matching anything; route tiny
+    snippets to the exact-substring ``Decontaminate`` stage instead.
+    """
+    from .dedup import _batch_shingle_hashes
+
+    snippets = [s for s in snippets if s is not None]
+    short = [s for s in snippets if len(s.split()) < k]
+    if short:
+        raise ValueError(
+            f"{len(short)} snippet(s) have fewer than k={k} words and can "
+            f"never match a {k}-gram (first: {short[0]!r}); lower k or use "
+            "the substring Decontaminate stage for tiny snippets"
+        )
+    if not snippets:
+        return np.empty(0, np.uint64)
+    flat, _ = _batch_shingle_hashes(snippets, k)
+    u = np.unique(flat)
+    return u[u != 0]  # 0 is the empty-doc sentinel, never a real shingle
+
+
+class NgramDecontaminate:
+    """N-gram-HASH test-set decontamination — the whole-benchmark-suite
+    scale path (GPT-3's 13-gram overlap check, Brown et al. 2020 App. C;
+    the PaLM/Llama pretraining-decontamination shape).
+
+    ``Decontaminate`` above matches exact substrings with one RE2
+    alternation pass per ~256 snippets — right for a handful of strings,
+    but still O(corpus × snippets/256) as the benchmark suite grows, and
+    blind to near-verbatim overlap (whitespace drift, a changed word 20
+    tokens in). This stage instead hashes every ``k``-word window of every
+    document ONCE (the vectorized rolling-polynomial tiling shared with
+    ``segment_dedup``) and tests membership against the benchmark's shingle
+    hashes by binary search: **one pass over the corpus, cost independent
+    of benchmark size**, and any k-consecutive-word overlap is caught no
+    matter how the surrounding text differs.
+
+    Scale shape: map-only (NO shuffle); the sorted hash array (8 bytes per
+    benchmark shingle — MBs for every public benchmark combined, however
+    big the corpus) ships once per actor via ``fn_constructor_kwargs``;
+    per batch it is one tiling pass + one ``searchsorted``. Reference
+    analog: the defensive row-filtering discipline of
+    stream_etl/core/processor.py:186-217, as for ``Decontaminate``.
+
+    Per-doc output counts DISTINCT shingles (a snippet repeated in a doc
+    counts once): ``n_shingles`` distinct k-grams in the doc (docs shorter
+    than ``k`` words fall back to distinct word hashes — they can never
+    match a k-gram hash, so they always report 0 hits), ``n_contaminated``
+    of them present in the benchmark set, and their ratio
+    ``contam_frac``.
+    """
+
+    def __init__(
+        self,
+        bench_hashes: np.ndarray,
+        k: int = 8,
+        text_col: str = "text",
+        key_col: str = "doc_id",
+    ):
+        self.bench = np.ascontiguousarray(
+            np.asarray(bench_hashes, dtype=np.uint64)
+        )
+        self.k, self.text_col, self.key_col = int(k), text_col, key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import _batch_shingle_hashes, _segment_unique
+
+        n = batch.num_rows
+        texts = [
+            t if t is not None else ""
+            for t in batch.column(self.text_col).to_pylist()
+        ]
+        flat, offsets = _batch_shingle_hashes(texts, self.k)
+        fu, off_u = _segment_unique(flat, offsets)
+        n_shingles = np.diff(off_u)
+        seg0 = np.repeat(np.arange(n, dtype=np.int64), n_shingles)
+        # empty docs carry a single 0-sentinel "shingle" from the tiling
+        # kernel — not a real k-gram; drop it from the denominator
+        n_shingles = n_shingles - np.bincount(seg0[fu == 0], minlength=n)
+        if len(self.bench) and len(fu):
+            pos = np.searchsorted(self.bench, fu)
+            pos[pos == len(self.bench)] = 0
+            hit = (self.bench[pos] == fu) & (fu != 0)
+        else:
+            hit = np.zeros(len(fu), dtype=bool)
+        n_contam = np.bincount(seg0[hit], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                self.key_col: batch.column(self.key_col),
+                "n_shingles": pa.array(n_shingles, pa.int64()),
+                "n_contaminated": pa.array(n_contam, pa.int64()),
+                "contam_frac": pa.array(
+                    n_contam / np.maximum(n_shingles, 1), pa.float64()
+                ),
+            }
+        )
+
+
+def ngram_decontaminate(
+    ds,
+    snippets: list[str],
+    k: int = 8,
+    min_hits: int = 1,
+    min_frac: float = 0.0,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    concurrency: int = 4,
+    emit: str = "hits",
+):
+    """N-gram-hash decontamination over a documents Dataset.
+
+    Hashes the benchmark snippets once on the driver
+    (:func:`snippet_shingle_hashes` — KBs of state however big the corpus),
+    ships the sorted hash array once per actor, and streams the corpus
+    through :class:`NgramDecontaminate` — map-only, no shuffle, cost
+    independent of how many snippets the benchmark suite holds.
+
+    ``emit="hits"`` (default) returns only contaminated docs
+    (``n_contaminated >= min_hits`` and ``contam_frac >= min_frac``) — the
+    rows a cleaning pipeline anti-joins away; ``emit="all"`` returns every
+    doc's contamination stats (for threshold tuning).
+    """
+    if emit not in ("hits", "all"):
+        raise ValueError(f"emit must be 'hits' or 'all', got {emit!r}")
+    bench = snippet_shingle_hashes(snippets, k)
+    out = ds.map_batches(
+        NgramDecontaminate,
+        fn_constructor_kwargs={
+            "bench_hashes": bench,
+            "k": k,
+            "text_col": text_col,
+            "key_col": key_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    if emit == "all":
+        return out
+    mh, mf = int(min_hits), float(min_frac)
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(b.column("n_contaminated"), mh),
+            pc.greater_equal(b.column("contam_frac"), mf),
+        )
+        return b.filter(m)
+
+    return out.map_batches(keep, batch_format="pyarrow")
