@@ -185,7 +185,9 @@ def _run(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "mv-register",
-        help="register an incremental materialized view on an append table",
+        help="register an incremental materialized view (append tables: "
+             "WAL-folding ticks; upsert tables: changed-partition partial "
+             "recompute)",
     )
     sp.add_argument("--table", required=True)
     sp.add_argument("--name", required=True)
@@ -198,8 +200,9 @@ def _run(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "mv-refresh",
-        help="fold WAL events since the MV watermark into its state "
-             "(all registered MVs unless --name)",
+        help="one MV maintenance tick: fold WAL events since the MV "
+             "watermark (append) or recompute changed partitions' partials "
+             "(upsert); all registered MVs unless --name",
     )
     sp.add_argument("--table", required=True)
     sp.add_argument("--wal", required=True)

@@ -25,10 +25,20 @@ integer convention (``CAST(FLOOR(x * scale + 0.5) AS BIGINT)`` on both
 engines), so incremental maintenance and a full recompute agree bit-for-bit
 regardless of fold order.
 
-Append-only restriction: updates/deletes would need retractions (the OLD
-row's values, which the change stream does not carry) — the same reason
-ClickHouse SummingMergeTree MVs only see inserts. Registering an MV on an
-upsert table is rejected loudly.
+Upsert (LWW) tables are supported through a DIFFERENT maintenance scheme:
+WAL folding cannot work there (an update/delete would need the OLD row's
+values — a retraction the change stream does not carry; the same reason
+ClickHouse SummingMergeTree MVs only see inserts). Instead the MV persists
+ONE grouped partial aggregate per table partition and each tick recomputes
+only the partitions whose manifest file chain changed since the last tick
+(the ``table_diff`` pruning contract: identical chain ⇒ provably identical
+state) — O(changed partitions), never O(table). The view is the sum of the
+partials; updates and tombstoned deletes are handled by construction
+because each partial is recomputed from the partition's merged LWW state.
+Fixed-point integer sums make partial replacement exact — incremental
+maintenance and a full recompute agree bit-for-bit. Dim enrichment is NOT
+supported on upsert MVs: a dim change would silently stale every fact
+partial without touching the fact table's chains.
 
 WAL-retention contract: a refresh needs the WAL back to the MV's watermark.
 ``truncate_wal`` keyed to the TABLE watermark can outrun a lagging MV; the
@@ -96,11 +106,13 @@ def register_mv(
     values (the LEFT JOIN convention).
     """
     man = load_manifest(table_dir)
-    if man.mode != "append":
+    if man.mode not in ("append", "upsert"):
+        raise ValueError(f"unsupported table mode {man.mode!r} for an MV")
+    if man.mode == "upsert" and enrich:
         raise ValueError(
-            f"materialized views require an append-mode table (got mode="
-            f"{man.mode!r}): LWW updates/deletes would need retractions the "
-            "change stream does not carry"
+            "dim enrichment is not supported on upsert-table MVs: a dim "
+            "change would stale every fact partial without touching the "
+            "fact table's file chains — join at read time instead"
         )
     schema_names = set(man.schema.names)
     derived = {"event_date"} if date_from else set()
@@ -124,6 +136,7 @@ def register_mv(
         raise ValueError(f"date_from column {date_from!r} not in table schema")
     spec = {
         "name": name,
+        "table_mode": man.mode,
         "group_keys": list(group_keys),
         "sums": [
             {"col": s["col"], "scale": float(s.get("scale", 1.0)),
@@ -137,6 +150,16 @@ def register_mv(
         "state_file": None,
         "updated_at": 0.0,
     }
+    if man.mode == "upsert":
+        spec.update(
+            {
+                "num_partitions": man.num_partitions,
+                "partition_spec": man.partition_spec,
+                "pid_chains": {},
+                "pid_partials": {},
+                "watermark_epoch": -1,
+            }
+        )
     d = _mv_dir(table_dir, name)
     spec_path = os.path.join(d, SPEC_NAME)
     if os.path.exists(spec_path):
@@ -201,12 +224,41 @@ def _group_key_types(table_dir: str, spec: dict) -> dict[str, pa.DataType]:
 
 
 def read_mv(table_dir: str, name: str) -> pa.Table:
-    """Current committed MV state (empty-but-typed before the first tick)."""
+    """Current committed MV state (empty-but-typed before the first tick).
+
+    Upsert-table MVs: the view is the fold of the per-partition partials —
+    O(partitions × groups) driver work on group-cardinality-sized rows,
+    never a table read."""
     spec = load_mv(table_dir, name)
-    if spec["state_file"]:
-        return pq.read_table(os.path.join(_mv_dir(table_dir, name), spec["state_file"]))
+    d = _mv_dir(table_dir, name)
+    keys = spec["group_keys"]
+    agg_cols = [s["name"] for s in spec["sums"]] + [spec["count_col"]]
+    if spec.get("table_mode", "append") == "upsert":
+        files = sorted((spec.get("pid_partials") or {}).values())
+        parts = [
+            pq.read_table(os.path.join(d, f)) for f in files
+        ]
+        parts = [p for p in parts if p.num_rows]
+        if parts:
+            merged = pa.concat_tables(
+                parts, promote_options="default"
+            ).to_pandas()
+            out = merged.groupby(keys, as_index=False, dropna=False)[
+                agg_cols
+            ].sum()
+            for c in agg_cols:
+                out[c] = out[c].astype("int64")
+            out = out.sort_values(keys).reset_index(drop=True)
+            # canonical column order: keys, sums, count — the order the
+            # append-MV state parquet uses (groupby(keys)[agg_cols])
+            return pa.Table.from_pandas(
+                out[keys + agg_cols], preserve_index=False
+            )
+        # fall through to the typed empty state
+    elif spec["state_file"]:
+        return pq.read_table(os.path.join(d, spec["state_file"]))
     key_types = _group_key_types(table_dir, spec)
-    fields = [pa.field(k, key_types[k]) for k in spec["group_keys"]]
+    fields = [pa.field(k, key_types[k]) for k in keys]
     fields.append(pa.field(spec["count_col"], pa.int64()))
     fields += [pa.field(s["name"], pa.int64()) for s in spec["sums"]]
     return pa.table({f.name: pa.array([], f.type) for f in fields})
@@ -232,50 +284,76 @@ def _tick_columns(spec: dict) -> list[str]:
     return sorted(need)
 
 
-def _read_dim_columns(table_dir: str, cols: list[str]) -> pa.Table:
-    """Merged dim snapshot restricted to ``cols`` — column-pruned parquet
-    reads (the wide ``tokens`` payload is never decoded). Respects the dim
-    table's mode like ``read_partition`` does: upsert chains LWW-merge
-    (keyed on the physical ``doc_id`` key column, which the narrow schema
-    always carries), append chains plain-concat — an append dim must never
-    lose legal duplicate rows to an LWW pass. Replaces the full
-    ``snapshot_table`` read (a tests/small-tables API) on the enrichment
-    path."""
+def _narrow_schema(man, cols: list[str]) -> pa.Schema:
+    """Projection schema for a column-pruned merged read: the requested
+    columns plus (for upsert chains) the physical key/version columns the
+    LWW kernel needs."""
+    need = list(cols)
+    if man.mode != "append":
+        # the LWW kernel keys on the physical doc_id column; version is lsn
+        need += [c for c in ("doc_id", "lsn") if c not in need]
+    return pa.schema([man.schema.field(c) for c in need])
+
+
+def _read_chain_columns(
+    table_dir: str, files: list[str], narrow: pa.Schema, mode: str
+) -> pa.Table:
+    """One partition's merged state restricted to ``narrow`` — column-pruned
+    parquet reads (the wide ``tokens`` payload is never decoded). Respects
+    the table's mode like ``read_partition`` does: upsert chains LWW-merge,
+    append chains plain-concat — an append table must never lose legal
+    duplicate rows to an LWW pass."""
     from ..schemas import cast_table
     from ..stages.merge import merge_file_tables
 
-    man = load_manifest(table_dir)
-    is_append = man.mode == "append"
-    need = list(cols)
-    if not is_append:
-        # the LWW kernel keys on the physical doc_id column; version is lsn
-        need += [c for c in ("doc_id", "lsn") if c not in need]
-    narrow = pa.schema([man.schema.field(c) for c in need])
     want = set(narrow.names) | {"op"}
+    tables = []
+    for f in files:
+        path = os.path.join(table_dir, f)
+        present = [c for c in pq.ParquetFile(path).schema_arrow.names if c in want]
+        tables.append(pq.read_table(path, columns=present))
+    if not tables:
+        return narrow.empty_table()
+    if mode == "append":
+        parts = [cast_table(t, narrow) for t in tables if t.num_rows]
+        if not parts:
+            return narrow.empty_table()
+        return pa.concat_tables(parts, promote_options="none")
+    return merge_file_tables(tables, narrow)
+
+
+def _read_dim_columns(table_dir: str, cols: list[str]) -> pa.Table:
+    """Merged table snapshot restricted to ``cols`` across all partitions.
+    Replaces the full ``snapshot_table`` read (a tests/small-tables API) on
+    the enrichment path."""
+    man = load_manifest(table_dir)
+    narrow = _narrow_schema(man, cols)
     parts = []
     for pid in sorted(man.partitions, key=int):
         files = man.partitions[pid].get("files") or []
-        tables = []
-        for f in files:
-            path = os.path.join(table_dir, f)
-            present = [c for c in pq.ParquetFile(path).schema_arrow.names if c in want]
-            tables.append(pq.read_table(path, columns=present))
-        if not tables:
+        if not files:
             continue
-        if is_append:
-            parts.extend(cast_table(t, narrow) for t in tables if t.num_rows)
-        else:
-            parts.append(merge_file_tables(tables, narrow))
+        t = _read_chain_columns(table_dir, files, narrow, man.mode)
+        if t.num_rows:
+            parts.append(t)
     if not parts:
         return narrow.empty_table()
     return pa.concat_tables(parts, promote_options="none")
 
 
-def _tick_partial(spec: dict, lo: int, hi: int, enrich_map: tuple | None = None):
+def _tick_partial(
+    spec: dict,
+    lo: int | None = None,
+    hi: int | None = None,
+    enrich_map: tuple | None = None,
+):
     """Per-batch combiner: fixed-point measures + derived date key + dim
     enrichment, then an Arrow group_by — only (keys, sums) rows leave the
     batch. ``enrich_map`` = (dim key array, {col: dim value array}) captured
-    once per tick (broadcast-small dim assumption)."""
+    once per tick (broadcast-small dim assumption). ``lo``/``hi`` bound the
+    folded LSN window (append-table WAL ticks); ``lo=None`` folds every row
+    (upsert-table partition partials, where the input is already the
+    partition's merged live state)."""
     keys = spec["group_keys"]
     sums = spec["sums"]
     count_col = spec["count_col"]
@@ -283,10 +361,14 @@ def _tick_partial(spec: dict, lo: int, hi: int, enrich_map: tuple | None = None)
     enrich = spec.get("enrich")
 
     def partial(b: pa.Table) -> pa.Table:
-        lsn = b.column("lsn")
-        b = b.filter(
-            pc.and_(pc.greater(lsn, pa.scalar(lo)), pc.less_equal(lsn, pa.scalar(hi)))
-        )
+        if lo is not None:
+            lsn = b.column("lsn")
+            b = b.filter(
+                pc.and_(
+                    pc.greater(lsn, pa.scalar(lo)),
+                    pc.less_equal(lsn, pa.scalar(hi)),
+                )
+            )
         enriched = {}
         if enrich and enrich_map is not None:
             dim_keys, dim_cols = enrich_map
@@ -315,12 +397,154 @@ def _tick_partial(spec: dict, lo: int, hi: int, enrich_map: tuple | None = None)
     return partial
 
 
-def refresh_mv(table_dir: str, wal_dir: str, name: str) -> dict | None:
-    """One maintenance tick: fold WAL events in (mv watermark, table
-    watermark] into the persisted state. Returns tick stats, or None when
-    the MV is caught up with the table. Ray must already be initialized."""
+def refresh_mv(table_dir: str, wal_dir: str | None, name: str) -> dict | None:
+    """One maintenance tick. Append tables: fold WAL events in (mv
+    watermark, table watermark] into the persisted state. Upsert tables:
+    recompute the grouped partial of every partition whose file chain
+    changed since the last tick (``wal_dir`` unused). Returns tick stats, or
+    None when the MV is caught up. Ray must already be initialized."""
     with table_lock(table_dir):
+        spec = load_mv(table_dir, name)
+        if spec.get("table_mode", "append") == "upsert":
+            return _refresh_upsert_mv_locked(table_dir, name)
         return _refresh_mv_locked(table_dir, wal_dir, name)
+
+
+def _refresh_upsert_mv_locked(table_dir: str, name: str) -> dict | None:
+    """Partition-incremental maintenance for an upsert-table MV.
+
+    Plan (the ``changed_partitions`` contract from pipelines/diff.py): a
+    partition whose manifest file chain equals the chain recorded at the
+    last tick is provably unchanged — its persisted partial stays. Every
+    changed partition's partial is recomputed from the partition's merged
+    LWW state (column-pruned read: group keys + measures + key/lsn only)
+    and atomically replaced; the spec swap commits the tick. Updates and
+    deletes need no retractions — the recompute sees only live rows.
+
+    A repartition (partition count / spec change) invalidates every pid's
+    chain, so the next tick is a clean full rebuild — correct, just not
+    incremental for that one tick.
+    """
+    t0 = time.perf_counter()
+    spec = load_mv(table_dir, name)
+    man = load_manifest(table_dir)
+    repartitioned = (
+        man.num_partitions != spec.get("num_partitions")
+        or man.partition_spec != spec.get("partition_spec")
+    )
+    old_chains = {} if repartitioned else dict(spec.get("pid_chains") or {})
+    cur_chains = {
+        pid: (man.partitions[pid].get("files") or []) for pid in man.partitions
+    }
+    changed = [
+        pid for pid, files in cur_chains.items() if files != old_chains.get(pid)
+    ]
+    dropped = [pid for pid in (spec.get("pid_partials") or {}) if pid not in cur_chains]
+    if not changed and not dropped:
+        if man.epoch == spec.get("watermark_epoch"):
+            return None
+        spec.update({"watermark_epoch": man.epoch, "updated_at": time.time()})
+        _atomic_json(os.path.join(_mv_dir(table_dir, name), SPEC_NAME), spec)
+        return {
+            "mv": name, "epoch": man.epoch, "changed_pids": 0,
+            "groups": int(read_mv(table_dir, name).num_rows),
+            "wall_s": round(time.perf_counter() - t0, 4),
+        }
+
+    keys = spec["group_keys"]
+    agg_cols = [s["name"] for s in spec["sums"]] + [spec["count_col"]]
+    # columns a partial needs: non-derived group keys + measure sources +
+    # the date_from source (never the wide payload)
+    tick_cols = [c for c in _tick_columns(spec) if c != "lsn"]
+    narrow = _narrow_schema(man, tick_cols)
+    partial_fn = _tick_partial(spec)
+    changed_rows = sum(int(man.partitions[pid].get("rows") or 0) for pid in changed)
+
+    def pid_partial(pid: str) -> pa.Table:
+        t = _read_chain_columns(table_dir, cur_chains[pid], narrow, man.mode)
+        return partial_fn(t)
+
+    if changed_rows <= SMALL_TICK_EVENTS:
+        # latency fast path, same rationale as the append tick: recomputing
+        # a few small partials driver-side beats a Ray execution's ~1 s
+        # fixed cost; identical results (one shared combiner)
+        partials = {pid: pid_partial(pid) for pid in changed}
+    else:
+        import ray as _ray
+        import ray.data as rd
+
+        mode, nar, chains = man.mode, narrow, dict(cur_chains)
+
+        def one(b: pa.Table) -> pa.Table:
+            out = []
+            for pid in b.column("pid").to_pylist():
+                t = _read_chain_columns(table_dir, chains[pid], nar, mode)
+                p = partial_fn(t)
+                out.append(
+                    p.append_column("__pid", pa.array([pid] * p.num_rows))
+                )
+            if not out:
+                return pa.table({"__pid": pa.array([], pa.string())})
+            return pa.concat_tables(out, promote_options="default")
+
+        refs = (
+            rd.from_arrow(pa.table({"pid": pa.array(changed, pa.string())}))
+            .repartition(len(changed))
+            .map_batches(one, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        blocks = [t for t in _ray.get(refs) if t.num_rows]
+        got = (
+            pa.concat_tables(blocks, promote_options="default")
+            if blocks
+            else None
+        )
+        partials = {}
+        for pid in changed:
+            if got is not None:
+                m = pc.equal(got.column("__pid"), pid)
+                partials[pid] = got.filter(m).drop_columns(["__pid"])
+            else:
+                partials[pid] = partial_fn(narrow.empty_table())
+
+    # ---- commit: every changed partial (tmp + rename), then spec swap ----
+    d = _mv_dir(table_dir, name)
+    pid_partials = {} if repartitioned else dict(spec.get("pid_partials") or {})
+    for pid in dropped:
+        pid_partials.pop(pid, None)
+    for pid in changed:
+        fname = f"partial-p{int(pid):05d}-e{man.epoch:012d}.parquet"
+        tmp = os.path.join(d, f"{fname}.tmp.{os.getpid()}")
+        pq.write_table(partials[pid], tmp, compression="zstd")
+        os.replace(tmp, os.path.join(d, fname))
+        pid_partials[pid] = fname
+    spec.update(
+        {
+            "pid_chains": cur_chains,
+            "pid_partials": pid_partials,
+            "num_partitions": man.num_partitions,
+            "partition_spec": man.partition_spec,
+            "watermark_epoch": man.epoch,
+            "updated_at": time.time(),
+        }
+    )
+    _atomic_json(os.path.join(d, SPEC_NAME), spec)
+    # GC: anything not referenced by the committed spec (replaced partials,
+    # crash orphans) — safe under the table lock, spec is the source of truth
+    live = set(pid_partials.values())
+    for f in os.listdir(d):
+        if f.startswith("partial-") and f.endswith(".parquet") and f not in live:
+            try:
+                os.remove(os.path.join(d, f))
+            except FileNotFoundError:
+                pass
+    return {
+        "mv": name,
+        "epoch": man.epoch,
+        "changed_pids": len(changed),
+        "groups": int(read_mv(table_dir, name).num_rows),
+        "wall_s": round(time.perf_counter() - t0, 4),
+    }
 
 
 def _refresh_mv_locked(table_dir: str, wal_dir: str, name: str) -> dict | None:

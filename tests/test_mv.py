@@ -104,11 +104,183 @@ def test_lagging_mv_catches_up_in_one_tick(ray_session, tmp_path):
     assert _mv_df(table).values.tolist() == _oracle(wal, 2_000).values.tolist()
 
 
-def test_upsert_table_rejected(ray_session, tmp_path):
+# ---------------------------------------------------------------------------
+# Upsert-table MVs: partition-incremental maintenance (recompute only the
+# partitions whose manifest file chain changed; the view = sum of partials).
+# Updates and tombstoned deletes fold correctly by construction — every
+# partial is recomputed from its partition's merged LWW state.
+# ---------------------------------------------------------------------------
+
+UP_SUMS = [{"col": "n_tok", "scale": 1, "name": "sum_n_tok"}]
+
+
+def _up_make(tmp_path, n_events=2_000, per_seg=400, num_partitions=8,
+             mix=(0.2, 0.6, 0.2)):
+    from clickhouse_data_pipeline_ray.sources.gen import GenParams, generate_wal
+
+    wal = str(tmp_path / "uwal")
+    generate_wal(
+        wal,
+        GenParams(
+            total_events=n_events, base_events=min(400, n_events),
+            events_per_segment=per_seg, mix=mix,
+        ),
+    )
+    table = str(tmp_path / "ut")
+    create_table(table, num_partitions=num_partitions)  # default upsert/docs
+    register_mv(
+        table, "by_source", group_keys=["source"], sums=UP_SUMS,
+        count_col="n_docs",
+    )
+    return table, wal
+
+
+def _up_oracle(wal, upto_lsn):
+    return duckdb.sql(
+        f"""
+        WITH ev AS (SELECT * FROM read_parquet('{wal}/seg-*.parquet')
+                    WHERE lsn <= {upto_lsn}),
+        r AS (SELECT doc_id, arg_max(source, lsn) AS source,
+                     arg_max(n_tok, lsn) AS n_tok, arg_max(op, lsn) AS op
+              FROM ev GROUP BY doc_id)
+        SELECT source, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM r WHERE op != 'd' GROUP BY source ORDER BY source
+        """
+    ).df()
+
+
+def _up_mv_df(table):
+    df = read_mv(table, "by_source").to_pandas()
+    return df[["source", "sum_n_tok", "n_docs"]]
+
+
+def test_upsert_mv_incremental_equals_recompute_every_tick(ray_session, tmp_path):
+    from clickhouse_data_pipeline_ray.state.manifest import load_manifest
+
+    table, wal = _up_make(tmp_path)
+    cfg = ApplyConfig(max_segments=1)
+    ticks = 0
+    while apply_once(table, wal, cfg) is not None:
+        tick = refresh_mv(table, wal, "by_source")
+        assert tick is not None and tick["changed_pids"] >= 1
+        wm = load_manifest(table).watermark
+        got = _up_mv_df(table)
+        want = _up_oracle(wal, wm)
+        assert got.values.tolist() == want.values.tolist(), f"tick {ticks}"
+        ticks += 1
+    assert ticks >= 4
+
+
+def test_upsert_mv_prunes_unchanged_partitions(ray_session, tmp_path, monkeypatch):
+    """A one-event epoch changes exactly one partition's chain — the tick
+    must recompute exactly that one partial (the others are never read)."""
+    import clickhouse_data_pipeline_ray.pipelines.mv as mv_mod
+
+    table, wal = _up_make(tmp_path, n_events=201, per_seg=200,
+                          mix=(0.0, 1.0, 0.0))
+    cfg = ApplyConfig(max_segments=1)
+    assert apply_once(table, wal, cfg) is not None  # 200-insert base segment
+    assert refresh_mv(table, wal, "by_source")["changed_pids"] >= 1
+
+    assert apply_once(table, wal, cfg) is not None  # the single update
+    calls = []
+    real = mv_mod._read_chain_columns
+
+    def spy(table_dir, files, narrow, mode):
+        calls.append(files)
+        return real(table_dir, files, narrow, mode)
+
+    monkeypatch.setattr(mv_mod, "_read_chain_columns", spy)
+    tick = refresh_mv(table, wal, "by_source")
+    assert tick["changed_pids"] == 1
+    assert len(calls) == 1
+    from clickhouse_data_pipeline_ray.state.manifest import load_manifest
+
+    wm = load_manifest(table).watermark
+    assert _up_mv_df(table).values.tolist() == _up_oracle(wal, wm).values.tolist()
+    # caught up: a further refresh with no table change is a no-op
+    assert refresh_mv(table, wal, "by_source") is None
+
+
+def test_upsert_mv_distributed_path_identical(ray_session, tmp_path, monkeypatch):
+    import clickhouse_data_pipeline_ray.pipelines.mv as mv_mod
+
+    table, wal = _up_make(tmp_path, n_events=1_000, per_seg=1_000)
+    replay(table, wal, ApplyConfig(), final_compact=False)
+    monkeypatch.setattr(mv_mod, "SMALL_TICK_EVENTS", 0)  # force the Ray path
+    tick = refresh_mv(table, wal, "by_source")
+    assert tick["changed_pids"] >= 1
+    from clickhouse_data_pipeline_ray.state.manifest import load_manifest
+
+    wm = load_manifest(table).watermark
+    assert _up_mv_df(table).values.tolist() == _up_oracle(wal, wm).values.tolist()
+
+
+def test_upsert_mv_survives_compaction_and_repartition(ray_session, tmp_path):
+    from clickhouse_data_pipeline_ray.pipelines.apply import (
+        compact_table,
+        repartition_table,
+    )
+    from clickhouse_data_pipeline_ray.state.manifest import load_manifest
+
+    table, wal = _up_make(tmp_path, n_events=1_200, per_seg=300)
+    replay(table, wal, ApplyConfig(max_segments=2), final_compact=False)
+    refresh_mv(table, wal, "by_source")
+    wm = load_manifest(table).watermark
+    want = _up_oracle(wal, wm).values.tolist()
+    assert _up_mv_df(table).values.tolist() == want
+
+    # compaction rewrites chains but not state: ticks re-fold, same answer
+    compact_table(table)
+    tick = refresh_mv(table, wal, "by_source")
+    assert tick is not None
+    assert _up_mv_df(table).values.tolist() == want
+
+    # repartition invalidates the pid space: the next tick is a clean full
+    # rebuild (changed = every new partition) with the same answer
+    repartition_table(table, 5)
+    tick = refresh_mv(table, wal, "by_source")
+    assert tick["changed_pids"] == 5
+    assert _up_mv_df(table).values.tolist() == want
+
+
+def test_upsert_mv_orphan_partials_invisible_and_gcd(ray_session, tmp_path):
+    import os
+
+    table, wal = _up_make(tmp_path, n_events=600, per_seg=300)
+    assert apply_once(table, wal, ApplyConfig(max_segments=1)) is not None
+    refresh_mv(table, wal, "by_source")
+    before = _up_mv_df(table).values.tolist()
+    d = os.path.join(table, "mv", "by_source")
+    orphan = os.path.join(d, "partial-p99999-e000000000099.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(read_mv(table, "by_source"), orphan)
+    # a crashed tick's stray partial is invisible (spec lists the live set)
+    assert _up_mv_df(table).values.tolist() == before
+    # ... and the next committing tick garbage-collects it
+    replay(table, wal, ApplyConfig(), final_compact=False)
+    assert refresh_mv(table, wal, "by_source") is not None
+    assert not os.path.exists(orphan)
+
+
+def test_upsert_mv_enrich_rejected_and_empty_state_typed(ray_session, tmp_path):
     table = str(tmp_path / "t")
     create_table(table, num_partitions=4)  # default upsert/docs
-    with pytest.raises(ValueError, match="append-mode"):
-        register_mv(table, "daily", group_keys=["source"], sums=[])
+    with pytest.raises(ValueError, match="enrich"):
+        register_mv(
+            table, "bad", group_keys=["source"], sums=UP_SUMS,
+            enrich={"table": table, "on": "doc_id", "add": ["source"]},
+        )
+    register_mv(table, "by_source", group_keys=["source"], sums=UP_SUMS,
+                count_col="n_docs")
+    empty = read_mv(table, "by_source")
+    assert empty.num_rows == 0
+    assert set(empty.column_names) == {"source", "sum_n_tok", "n_docs"}
+    import pyarrow as pa
+
+    assert empty.schema.field("source").type == pa.string()
 
 
 def test_reregistration_rules(ray_session, tmp_path):
