@@ -197,6 +197,14 @@ def _run(argv: list[str] | None = None) -> int:
                          "value:1000:sum_value_milli")
     sp.add_argument("--date-from", default=None,
                     help="timestamp column to derive an event_date group key")
+    sp.add_argument("--mins", default="",
+                    help="comma-separated col:outname exact-min measures")
+    sp.add_argument("--maxs", default="",
+                    help="comma-separated col:outname exact-max measures")
+    sp.add_argument("--distincts", default="",
+                    help="comma-separated col:p:outname approximate "
+                         "COUNT(DISTINCT) measures (HLL with 2^p registers "
+                         "per group; uniqState/uniqMerge analog)")
 
     sp = sub.add_parser(
         "mv-refresh",
@@ -614,13 +622,38 @@ def _run(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 return 1
             sums.append({"col": parts[0], "scale": float(parts[1]), "name": parts[2]})
+        def _pairs(raw, what):
+            out = []
+            for item in filter(None, raw.split(",")):
+                parts = item.split(":")
+                if len(parts) != 2:
+                    raise ValueError(
+                        f"--{what} entry {item!r} must be col:outname"
+                    )
+                out.append({"col": parts[0], "name": parts[1]})
+            return out
+
+        distincts = []
+        for item in filter(None, args.distincts.split(",")):
+            parts = item.split(":")
+            if len(parts) != 3:
+                print(f"error: --distincts entry {item!r} must be "
+                      "col:p:outname", file=sys.stderr)
+                return 1
+            distincts.append(
+                {"col": parts[0], "p": int(parts[1]), "name": parts[2]}
+            )
         spec = register_mv(
             args.table, args.name,
             group_keys=[k for k in args.group_keys.split(",") if k],
             sums=sums, date_from=args.date_from,
+            mins=_pairs(args.mins, "mins"), maxs=_pairs(args.maxs, "maxs"),
+            distincts=distincts,
         )
         print(json.dumps({"mv": spec["name"], "group_keys": spec["group_keys"],
-                          "sums": spec["sums"], "watermark_lsn": spec["watermark_lsn"]}))
+                          "sums": spec["sums"], "mins": spec["mins"],
+                          "maxs": spec["maxs"], "distincts": spec["distincts"],
+                          "watermark_lsn": spec["watermark_lsn"]}))
         return 0
 
     if args.cmd == "mv-read":

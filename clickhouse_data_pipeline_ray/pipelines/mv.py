@@ -52,6 +52,7 @@ import json
 import os
 import time
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -86,6 +87,9 @@ def register_mv(
     count_col: str = "n_events",
     date_from: str | None = None,
     enrich: dict | None = None,
+    mins: list[dict] | None = None,
+    maxs: list[dict] | None = None,
+    distincts: list[dict] | None = None,
 ) -> dict:
     """Register an incremental MV on an append table (idempotent: an
     identical re-registration returns the existing spec; a conflicting one
@@ -104,6 +108,21 @@ def register_mv(
     reference's dim assumption) and maps fact keys vectorized
     (``index_in``/``take``); facts whose key misses the dim get NULL group
     values (the LEFT JOIN convention).
+
+    ``mins`` / ``maxs``: [{"col", "name"}] — EXACT extrema measures. Safe in
+    both modes: append-only folding is monotone (an extremum never needs
+    retraction when rows are only added), and upsert partials are full
+    per-partition recomputes.
+
+    ``distincts``: [{"col", "name", "p": 12}] — approximate COUNT(DISTINCT)
+    measures, the reference's own MV semantics (kpi_views.sql:20-22 counts
+    DISTINCT impression/click ids) and the ClickHouse AggregatingMergeTree
+    ``uniqState``/``uniqMerge`` analog: the state holds 2^p HyperLogLog
+    registers per group (``functions/sketch.py``), merged by elementwise max
+    — associative + commutative, so incremental ticks produce BIT-IDENTICAL
+    registers to a one-shot fold regardless of tick boundaries. ~0.8-1.6 %
+    standard error at p=14-12; 2^p bytes of state per group per measure.
+    NULLs don't count (the SQL convention).
     """
     man = load_manifest(table_dir)
     if man.mode not in ("append", "upsert"):
@@ -132,8 +151,24 @@ def register_mv(
     for s in sums:
         if s["col"] not in schema_names:
             raise ValueError(f"sum column {s['col']!r} not in table schema")
+    for kind, lst in (("min", mins), ("max", maxs), ("distinct", distincts)):
+        for m in lst or []:
+            if m["col"] not in schema_names:
+                raise ValueError(
+                    f"{kind} column {m['col']!r} not in table schema"
+                )
+    for d in distincts or []:
+        p = int(d.get("p", 12))
+        if not 4 <= p <= 18:
+            raise ValueError(f"distinct {d['col']!r}: p={p} out of [4, 18]")
     if date_from and date_from not in schema_names:
         raise ValueError(f"date_from column {date_from!r} not in table schema")
+    out_names = [s.get("name", f"sum_{s['col']}") for s in sums] + [count_col]
+    out_names += [m.get("name", f"min_{m['col']}") for m in mins or []]
+    out_names += [m.get("name", f"max_{m['col']}") for m in maxs or []]
+    out_names += [d.get("name", f"uniq_{d['col']}") for d in distincts or []]
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(f"duplicate measure output names in {out_names}")
     spec = {
         "name": name,
         "table_mode": man.mode,
@@ -142,6 +177,19 @@ def register_mv(
             {"col": s["col"], "scale": float(s.get("scale", 1.0)),
              "name": s.get("name", f"sum_{s['col']}")}
             for s in sums
+        ],
+        "mins": [
+            {"col": m["col"], "name": m.get("name", f"min_{m['col']}")}
+            for m in mins or []
+        ],
+        "maxs": [
+            {"col": m["col"], "name": m.get("name", f"max_{m['col']}")}
+            for m in maxs or []
+        ],
+        "distincts": [
+            {"col": d["col"], "name": d.get("name", f"uniq_{d['col']}"),
+             "p": int(d.get("p", 12))}
+            for d in distincts or []
         ],
         "count_col": count_col,
         "date_from": date_from,
@@ -166,8 +214,10 @@ def register_mv(
         with open(spec_path) as f:
             existing = json.load(f)
         same = all(
-            existing.get(k) == spec[k]
-            for k in ("group_keys", "sums", "count_col", "date_from", "enrich")
+            # `or None` folds [] against a pre-extension spec's missing key
+            (existing.get(k) or None) == (spec[k] or None)
+            for k in ("group_keys", "sums", "count_col", "date_from",
+                      "enrich", "mins", "maxs", "distincts")
         )
         if not same:
             raise ValueError(
@@ -223,45 +273,90 @@ def _group_key_types(table_dir: str, spec: dict) -> dict[str, pa.DataType]:
     return out
 
 
-def read_mv(table_dir: str, name: str) -> pa.Table:
-    """Current committed MV state (empty-but-typed before the first tick).
+def _public_columns(spec: dict) -> list[str]:
+    """Canonical read_mv column order: keys, sums, count, mins, maxs, uniqs."""
+    return (
+        list(spec["group_keys"])
+        + [s["name"] for s in spec["sums"]]
+        + [spec["count_col"]]
+        + [m["name"] for m in spec.get("mins") or []]
+        + [m["name"] for m in spec.get("maxs") or []]
+        + [d["name"] for d in spec.get("distincts") or []]
+    )
 
-    Upsert-table MVs: the view is the fold of the per-partition partials —
-    O(partitions × groups) driver work on group-cardinality-sized rows,
-    never a table read."""
-    spec = load_mv(table_dir, name)
+
+def _state_to_public(state: pd.DataFrame, spec: dict) -> pa.Table:
+    """Committed state → the public view: HLL register blobs become rounded
+    ``uniq`` estimates (int64), internal columns are dropped."""
+    from ..functions.sketch import HyperLogLog
+
+    out = state.copy()
+    for d in spec.get("distincts") or []:
+        p = int(d.get("p", 12))
+        out[d["name"]] = [
+            int(round(HyperLogLog(p, np.frombuffer(b, np.uint8).copy()).estimate()))
+            for b in out[_regs_col(d["name"])]
+        ]
+        out[d["name"]] = out[d["name"]].astype("int64")
+    return pa.Table.from_pandas(
+        out[_public_columns(spec)], preserve_index=False
+    )
+
+
+def _empty_state(table_dir: str, spec: dict, raw: bool):
+    """Typed pre-first-tick state: raw=True → DataFrame with register blob
+    columns (the refresh fold input); raw=False → the public Arrow table."""
+    key_types = _group_key_types(table_dir, spec)
+    man = load_manifest(table_dir)
+    fields = [pa.field(k, key_types[k]) for k in spec["group_keys"]]
+    fields += [pa.field(s["name"], pa.int64()) for s in spec["sums"]]
+    fields.append(pa.field(spec["count_col"], pa.int64()))
+    for m in (spec.get("mins") or []) + (spec.get("maxs") or []):
+        fields.append(pa.field(m["name"], man.schema.field(m["col"]).type))
+    empty = pa.table({f.name: pa.array([], f.type) for f in fields})
+    if not raw:
+        for d in spec.get("distincts") or []:
+            empty = empty.append_column(d["name"], pa.array([], pa.int64()))
+        return empty
+    df = empty.to_pandas()
+    for d in spec.get("distincts") or []:
+        df[_regs_col(d["name"])] = pd.Series([], dtype=object)
+    return df
+
+
+def _state_raw(table_dir: str, name: str, spec: dict | None = None) -> pd.DataFrame:
+    """Committed state INCLUDING internal register-blob columns — the
+    refresh fold input. Upsert MVs: the fold of the per-partition partials
+    (O(partitions × groups) driver work on group-cardinality rows, never a
+    table read)."""
+    spec = spec or load_mv(table_dir, name)
     d = _mv_dir(table_dir, name)
-    keys = spec["group_keys"]
-    agg_cols = [s["name"] for s in spec["sums"]] + [spec["count_col"]]
     if spec.get("table_mode", "append") == "upsert":
         files = sorted((spec.get("pid_partials") or {}).values())
-        parts = [
-            pq.read_table(os.path.join(d, f)) for f in files
-        ]
-        parts = [p for p in parts if p.num_rows]
-        if parts:
-            merged = pa.concat_tables(
-                parts, promote_options="default"
-            ).to_pandas()
-            out = merged.groupby(keys, as_index=False, dropna=False)[
-                agg_cols
-            ].sum()
-            for c in agg_cols:
-                out[c] = out[c].astype("int64")
-            out = out.sort_values(keys).reset_index(drop=True)
-            # canonical column order: keys, sums, count — the order the
-            # append-MV state parquet uses (groupby(keys)[agg_cols])
-            return pa.Table.from_pandas(
-                out[keys + agg_cols], preserve_index=False
-            )
-        # fall through to the typed empty state
-    elif spec["state_file"]:
-        return pq.read_table(os.path.join(d, spec["state_file"]))
-    key_types = _group_key_types(table_dir, spec)
-    fields = [pa.field(k, key_types[k]) for k in keys]
-    fields.append(pa.field(spec["count_col"], pa.int64()))
-    fields += [pa.field(s["name"], pa.int64()) for s in spec["sums"]]
-    return pa.table({f.name: pa.array([], f.type) for f in fields})
+        parts = [pq.read_table(os.path.join(d, f)) for f in files]
+        frames = [p.to_pandas() for p in parts if p.num_rows]
+        if frames:
+            return _combine_states(frames, spec)
+        return _empty_state(table_dir, spec, raw=True)
+    if spec["state_file"]:
+        return pq.read_table(os.path.join(d, spec["state_file"])).to_pandas()
+    return _empty_state(table_dir, spec, raw=True)
+
+
+def read_mv(table_dir: str, name: str) -> pa.Table:
+    """Current committed MV state (empty-but-typed before the first tick).
+    Distinct measures surface as rounded HLL estimates; the register blobs
+    stay internal."""
+    spec = load_mv(table_dir, name)
+    if (
+        spec.get("table_mode", "append") != "upsert"
+        and not spec["state_file"]
+    ):
+        return _empty_state(table_dir, spec, raw=False)
+    state = _state_raw(table_dir, name, spec)
+    if not len(state):
+        return _empty_state(table_dir, spec, raw=False)
+    return _state_to_public(state, spec)
 
 
 def _tick_columns(spec: dict) -> list[str]:
@@ -277,11 +372,56 @@ def _tick_columns(spec: dict) -> list[str]:
             continue
         need.add(k)
     need.update(s["col"] for s in spec["sums"])
+    need.update(m["col"] for m in spec.get("mins") or [])
+    need.update(m["col"] for m in spec.get("maxs") or [])
+    need.update(d["col"] for d in spec.get("distincts") or [])
     if spec.get("date_from"):
         need.add(spec["date_from"])
     if enrich:
         need.add(enrich["on"])
     return sorted(need)
+
+
+def _regs_col(name: str) -> str:
+    """Internal state column holding a distinct measure's HLL registers."""
+    return f"__{name}_regs"
+
+
+def _agg_plan(spec: dict) -> dict:
+    """How each persisted state column combines across partials/ticks."""
+    plan = {s["name"]: "sum" for s in spec["sums"]}
+    plan[spec["count_col"]] = "sum"
+    plan.update({m["name"]: "min" for m in spec.get("mins") or []})
+    plan.update({m["name"]: "max" for m in spec.get("maxs") or []})
+    return plan
+
+
+def _merge_reg_blobs(blobs) -> bytes:
+    """Elementwise-max fold of HLL register blobs (associative/commutative —
+    tick boundaries can never change the result)."""
+    out = None
+    for b in blobs:
+        a = np.frombuffer(b, dtype=np.uint8)
+        out = a.copy() if out is None else np.maximum(out, a, out=out)
+    return out.tobytes()
+
+
+def _combine_states(frames: list[pd.DataFrame], spec: dict) -> pd.DataFrame:
+    """Fold state/partial frames into the canonical committed state: group
+    keys → summed/extremal measures + max-merged HLL registers, sorted by
+    key. dropna=False: a NULL group key (enrich miss / evolved column) is
+    real state."""
+    keys = spec["group_keys"]
+    plan = _agg_plan(spec)
+    agg = dict(plan)
+    for d in spec.get("distincts") or []:
+        agg[_regs_col(d["name"])] = _merge_reg_blobs
+    merged = pd.concat(frames, ignore_index=True)
+    out = merged.groupby(keys, as_index=False, dropna=False).agg(agg)
+    for s in spec["sums"]:
+        out[s["name"]] = out[s["name"]].astype("int64")
+    out[spec["count_col"]] = out[spec["count_col"]].astype("int64")
+    return out.sort_values(keys).reset_index(drop=True)
 
 
 def _narrow_schema(man, cols: list[str]) -> pa.Schema:
@@ -387,11 +527,46 @@ def _tick_partial(
         for s in sums:
             v = pc.multiply(b.column(s["col"]).cast(pa.float64()), s["scale"])
             cols[s["name"]] = pc.floor(pc.add(v, 0.5)).cast(pa.int64())
+        for m in spec.get("mins") or []:
+            cols[m["name"]] = b.column(m["col"])
+        for m in spec.get("maxs") or []:
+            cols[m["name"]] = b.column(m["col"])
+        distincts = spec.get("distincts") or []
+        for d_ in distincts:
+            cols[f"__{d_['name']}_src"] = b.column(d_["col"])
         t = pa.table(cols)
         t = t.append_column(count_col, pa.nulls(t.num_rows, pa.int64()).fill_null(1))
-        agg_cols = [s["name"] for s in sums] + [count_col]
-        agg = t.group_by(keys).aggregate([(c, "sum") for c in agg_cols])
-        names = {f"{c}_sum": c for c in agg_cols}
+        if distincts:
+            # HLL register blobs need raw per-group values — one pandas
+            # named-agg pass computes every measure AND the blobs in group
+            # lockstep (only distinct-measured MVs pay this; the pure-sum
+            # path below stays zero-copy Arrow)
+            from ..functions.sketch import HyperLogLog
+
+            agg_map: dict = dict(_agg_plan(spec))
+            renames = {}
+            for d_ in distincts:
+                p_ = int(d_.get("p", 12))
+
+                def blobfn(s, _p=p_):
+                    return (
+                        HyperLogLog(_p)
+                        .add_values(s.dropna().to_numpy())
+                        .registers.tobytes()
+                    )
+
+                agg_map[f"__{d_['name']}_src"] = blobfn
+                renames[f"__{d_['name']}_src"] = _regs_col(d_["name"])
+            df = t.to_pandas()
+            out = df.groupby(keys, as_index=False, dropna=False).agg(agg_map)
+            out = out.rename(columns=renames)
+            for s in sums:
+                out[s["name"]] = out[s["name"]].astype("int64")
+            out[count_col] = out[count_col].astype("int64")
+            return pa.Table.from_pandas(out, preserve_index=False)
+        plan = _agg_plan(spec)
+        agg = t.group_by(keys).aggregate(list(plan.items()))
+        names = {f"{c}_{how}": c for c, how in plan.items()}
         return agg.rename_columns([names.get(n, n) for n in agg.column_names])
 
     return partial
@@ -451,8 +626,6 @@ def _refresh_upsert_mv_locked(table_dir: str, name: str) -> dict | None:
             "wall_s": round(time.perf_counter() - t0, 4),
         }
 
-    keys = spec["group_keys"]
-    agg_cols = [s["name"] for s in spec["sums"]] + [spec["count_col"]]
     # columns a partial needs: non-derived group keys + measure sources +
     # the date_from source (never the wide payload)
     tick_cols = [c for c in _tick_columns(spec) if c != "lsn"]
@@ -578,8 +751,6 @@ def _refresh_mv_locked(table_dir: str, wal_dir: str, name: str) -> dict | None:
             {c: dim.column(c).combine_chunks() for c in e["add"]},
         )
 
-    keys = spec["group_keys"]
-    agg_cols = [s["name"] for s in spec["sums"]] + [spec["count_col"]]
     partial_fn = _tick_partial(spec, lo, hi, enrich_map)
     tick_cols = _tick_columns(spec)
     tick_events = sum(s.last_lsn - s.first_lsn + 1 for s in segs)
@@ -623,14 +794,10 @@ def _refresh_mv_locked(table_dir: str, wal_dir: str, name: str) -> dict | None:
             .map_batches(lambda b: partial_fn(conform(b)), batch_format="pyarrow")
             .to_pandas()
         )
-    prev = read_mv(table_dir, name).to_pandas()
-    merged = pd.concat([prev, parts], ignore_index=True)
-    # dropna=False: an enriched group key is NULL when the dim misses the
-    # fact's key (LEFT JOIN convention) — those groups are real state
-    out = merged.groupby(keys, as_index=False, dropna=False)[agg_cols].sum()
-    for c in agg_cols:
-        out[c] = out[c].astype("int64")
-    out = out.sort_values(keys).reset_index(drop=True)
+    prev = _state_raw(table_dir, name, spec)
+    # dropna=False inside: an enriched group key is NULL when the dim misses
+    # the fact's key (LEFT JOIN convention) — those groups are real state
+    out = _combine_states([prev, parts], spec)
 
     # ---- commit: state parquet (tmp + rename), then atomic spec swap ----
     d = _mv_dir(table_dir, name)

@@ -680,3 +680,134 @@ def test_mv_tick_spans_schema_evolution(ray_session, tmp_path):
         for c, n in zip(df["channel"], df["n_events"])
     }
     assert got == {None: 2, "web": 1, "app": 1}
+
+
+# ---------------------------------------------------------------------------
+# min/max and approximate-distinct (HLL) measures — the AggregatingMergeTree
+# uniqState/uniqMerge analog; the reference's own MVs count DISTINCT ids
+# (kpi_views.sql:20-22).
+# ---------------------------------------------------------------------------
+
+
+def _minmax_oracle(wal, upto_lsn):
+    return duckdb.sql(
+        f"""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(value) AS min_value, max(value) AS max_value,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS uniq_docs_true
+        FROM read_parquet('{wal}/seg-*.parquet')
+        WHERE lsn <= {upto_lsn}
+        GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+
+
+def test_append_mv_minmax_exact_and_uniq_bounded_every_tick(ray_session, tmp_path):
+    table, wal = _make(tmp_path, n_events=3_000)
+    register_mv(
+        table, "ext", group_keys=["event_type"], sums=[],
+        mins=[{"col": "value", "name": "min_value"}],
+        maxs=[{"col": "value", "name": "max_value"}],
+        distincts=[{"col": "doc_id", "name": "uniq_docs", "p": 12}],
+    )
+    cfg = ApplyConfig(max_segments=2)
+    ticks = 0
+    while apply_once(table, wal, cfg) is not None:
+        tick = refresh_mv(table, wal, "ext")
+        assert tick is not None
+        got = read_mv(table, "ext").to_pandas().sort_values("event_type")
+        want = _minmax_oracle(wal, tick["to_lsn"])
+        assert got["event_type"].tolist() == want["event_type"].tolist()
+        assert got["n_events"].tolist() == want["n_events"].tolist()
+        # extrema are EXACT (monotone under append-only folding)
+        assert got["min_value"].tolist() == want["min_value"].tolist()
+        assert got["max_value"].tolist() == want["max_value"].tolist()
+        # HLL estimate within 3 sigma (sigma = 1.04/sqrt(2^12) ~ 1.6%)
+        for est, true in zip(got["uniq_docs"], want["uniq_docs_true"]):
+            assert abs(est - true) <= max(3 * 0.0163 * true, 3.0)
+        ticks += 1
+    assert ticks >= 3
+
+
+def test_append_mv_uniq_registers_tick_boundary_invariant(ray_session, tmp_path):
+    """Max-merge associativity: N incremental ticks produce BIT-IDENTICAL
+    estimates to one catch-up fold of the same WAL."""
+    table, wal = _make(tmp_path, n_events=2_000)
+    kw = dict(group_keys=["event_type"], sums=[],
+              distincts=[{"col": "doc_id", "name": "uniq_docs", "p": 12}])
+    register_mv(table, "inc", **kw)
+    cfg = ApplyConfig(max_segments=1)
+    while apply_once(table, wal, cfg) is not None:
+        refresh_mv(table, wal, "inc")
+    register_mv(table, "oneshot", **kw)
+    refresh_mv(table, wal, "oneshot")  # single tick over the whole WAL
+    a = read_mv(table, "inc").to_pandas().sort_values("event_type")
+    b = read_mv(table, "oneshot").to_pandas().sort_values("event_type")
+    assert a["uniq_docs"].tolist() == b["uniq_docs"].tolist()
+    assert a["n_events"].tolist() == b["n_events"].tolist()
+
+
+def test_upsert_mv_minmax_and_uniq(ray_session, tmp_path):
+    from clickhouse_data_pipeline_ray.state.manifest import load_manifest
+
+    table, wal = _up_make(tmp_path, n_events=1_500, per_seg=500)
+    register_mv(
+        table, "ext", group_keys=["source"], sums=[], count_col="n_docs",
+        mins=[{"col": "n_tok", "name": "min_tok"}],
+        maxs=[{"col": "n_tok", "name": "max_tok"}],
+        distincts=[{"col": "doc_id", "name": "uniq_docs", "p": 12}],
+    )
+    cfg = ApplyConfig(max_segments=1)
+    while apply_once(table, wal, cfg) is not None:
+        refresh_mv(table, wal, "ext")
+    wm = load_manifest(table).watermark
+    want = duckdb.sql(
+        f"""
+        WITH ev AS (SELECT * FROM read_parquet('{wal}/seg-*.parquet')
+                    WHERE lsn <= {wm}),
+        r AS (SELECT doc_id, arg_max(source, lsn) AS source,
+                     arg_max(n_tok, lsn) AS n_tok, arg_max(op, lsn) AS op
+              FROM ev GROUP BY doc_id)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS uniq_true
+        FROM r WHERE op != 'd' GROUP BY source ORDER BY source
+        """
+    ).df()
+    got = read_mv(table, "ext").to_pandas().sort_values("source")
+    assert got["source"].tolist() == want["source"].tolist()
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    # exact on an upsert table BECAUSE partials are full recomputes: a
+    # deleted/updated row's old extremum never lingers
+    assert got["min_tok"].tolist() == want["min_tok"].tolist()
+    assert got["max_tok"].tolist() == want["max_tok"].tolist()
+    for est, true in zip(got["uniq_docs"], want["uniq_true"]):
+        assert abs(est - true) <= max(3 * 0.0163 * true, 3.0)
+
+
+def test_mv_measure_validation(ray_session, tmp_path):
+    table, _ = _make(tmp_path, n_events=500)
+    with pytest.raises(ValueError, match="min column"):
+        register_mv(table, "bad1", group_keys=["event_type"], sums=[],
+                    mins=[{"col": "nope"}])
+    with pytest.raises(ValueError, match="out of"):
+        register_mv(table, "bad2", group_keys=["event_type"], sums=[],
+                    distincts=[{"col": "doc_id", "p": 25}])
+    with pytest.raises(ValueError, match="duplicate measure"):
+        register_mv(table, "bad3", group_keys=["event_type"],
+                    sums=[{"col": "value", "name": "x"}],
+                    maxs=[{"col": "value", "name": "x"}])
+    # pre-extension specs (no mins/maxs/distincts keys) re-register cleanly
+    register_mv(table, "plain", group_keys=["event_type"], sums=MV_SUMS)
+    import json
+    import os
+    p = os.path.join(table, "mv", "plain", "mvspec.json")
+    with open(p) as f:
+        legacy = json.load(f)
+    for k in ("mins", "maxs", "distincts"):
+        legacy.pop(k, None)
+    with open(p, "w") as f:
+        json.dump(legacy, f)
+    assert register_mv(table, "plain", group_keys=["event_type"],
+                       sums=MV_SUMS)["name"] == "plain"
