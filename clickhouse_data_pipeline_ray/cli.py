@@ -650,9 +650,12 @@ def _run(argv: list[str] | None = None) -> int:
             mins=_pairs(args.mins, "mins"), maxs=_pairs(args.maxs, "maxs"),
             distincts=distincts,
         )
+        # .get(): an idempotent re-registration returns the EXISTING spec,
+        # which may predate the mins/maxs/distincts extension
         print(json.dumps({"mv": spec["name"], "group_keys": spec["group_keys"],
-                          "sums": spec["sums"], "mins": spec["mins"],
-                          "maxs": spec["maxs"], "distincts": spec["distincts"],
+                          "sums": spec["sums"], "mins": spec.get("mins", []),
+                          "maxs": spec.get("maxs", []),
+                          "distincts": spec.get("distincts", []),
                           "watermark_lsn": spec["watermark_lsn"]}))
         return 0
 
@@ -928,6 +931,7 @@ def _run(argv: list[str] | None = None) -> int:
 
         _init_ray(args.num_cpus)
         t0 = time.perf_counter()
+        import pandas as pd
         import pyarrow.parquet as pq
         import ray.data as rd
 
@@ -943,6 +947,18 @@ def _run(argv: list[str] | None = None) -> int:
         out = ngram_decontaminate(
             ds, snippets, k=args.k, min_hits=args.min_hits
         )
+        # contamination is rare by nature — the flagged set is small
+        # (driver-safe) however big the corpus; materialize it once, then
+        # write, so a zero-hit run still has a typed frame to report
+        hits = out.to_pandas()
+        if hits.empty:
+            hits = pd.DataFrame(
+                columns=["doc_id", "n_shingles", "n_contaminated",
+                         "contam_frac"]
+            )
+        hits = hits.sort_values(
+            ["n_contaminated", "doc_id"], ascending=[False, True]
+        )
         if args.output:
             if os.path.isdir(args.output) and any(
                 f.endswith(".parquet") for f in os.listdir(args.output)
@@ -951,13 +967,13 @@ def _run(argv: list[str] | None = None) -> int:
                     f"output dir {args.output} already holds parquet files; "
                     "point --output at an empty or new directory"
                 )
-            out.write_parquet(args.output)
-            out = rd.read_parquet(args.output)
-        # contamination is rare by nature — the flagged set is small; show
-        # the worst offenders, never the whole corpus
-        hits = out.to_pandas().sort_values(
-            ["n_contaminated", "doc_id"], ascending=[False, True]
-        )
+            os.makedirs(args.output, exist_ok=True)
+            import pyarrow as pa_
+
+            pq.write_table(
+                pa_.Table.from_pandas(hits, preserve_index=False),
+                os.path.join(args.output, "part-00000.parquet"),
+            )
         print(json.dumps({
             "snippets": len(snippets), "k": args.k,
             "min_hits": args.min_hits, "flagged_docs": len(hits),
@@ -1253,11 +1269,23 @@ def _run(argv: list[str] | None = None) -> int:
             doc["event_time_watermark_us"] = man.event_time_watermark_us
         mvs = list_mvs(args.table)
         if mvs:
-            wms = {n: load_mv(args.table, n)["watermark_lsn"] for n in mvs}
-            doc["mvs"] = {
-                n: {"watermark_lsn": wm, "lag_events": man.watermark - wm}
-                for n, wm in wms.items()
-            }
+            doc["mvs"] = {}
+            for n in mvs:
+                mspec = load_mv(args.table, n)
+                if mspec.get("table_mode", "append") == "upsert":
+                    # upsert MVs track progress by EPOCH (partition-partial
+                    # maintenance), not WAL lsn — lag is epochs behind
+                    we = mspec.get("watermark_epoch", -1)
+                    doc["mvs"][n] = {
+                        "watermark_epoch": we,
+                        "lag_epochs": man.epoch - we,
+                    }
+                else:
+                    wm = mspec["watermark_lsn"]
+                    doc["mvs"][n] = {
+                        "watermark_lsn": wm,
+                        "lag_events": man.watermark - wm,
+                    }
         print(json.dumps(doc))
         return 0
     return 1

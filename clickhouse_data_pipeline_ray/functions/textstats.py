@@ -415,7 +415,13 @@ def snippet_shingle_hashes(snippets: list[str], k: int = 8) -> np.ndarray:
             "the substring Decontaminate stage for tiny snippets"
         )
     if not snippets:
-        return np.empty(0, np.uint64)
+        # an accidentally empty/all-null snippets source would otherwise
+        # report every doc "clean" — the silent false negative this
+        # function exists to prevent
+        raise ValueError(
+            "no snippets provided (empty or all-null benchmark set); "
+            "refusing to report a trivially-clean corpus"
+        )
     flat, _ = _batch_shingle_hashes(snippets, k)
     u = np.unique(flat)
     return u[u != 0]  # 0 is the empty-doc sentinel, never a real shingle
@@ -534,7 +540,9 @@ def ngram_decontaminate(
             "key_col": key_col,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        # autoscaling pool (min 1): a fixed pool of N actors reserves N
+        # CPUs up front and can starve the upstream read on small sessions
+        concurrency=(1, concurrency),
     )
     if emit == "all":
         return out

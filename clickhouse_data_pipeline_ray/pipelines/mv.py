@@ -532,38 +532,73 @@ def _tick_partial(
         for m in spec.get("maxs") or []:
             cols[m["name"]] = b.column(m["col"])
         distincts = spec.get("distincts") or []
-        for d_ in distincts:
-            cols[f"__{d_['name']}_src"] = b.column(d_["col"])
         t = pa.table(cols)
         t = t.append_column(count_col, pa.nulls(t.num_rows, pa.int64()).fill_null(1))
         if distincts:
             # HLL register blobs need raw per-group values — one pandas
             # named-agg pass computes every measure AND the blobs in group
             # lockstep (only distinct-measured MVs pay this; the pure-sum
-            # path below stays zero-copy Arrow)
+            # path below stays zero-copy Arrow).
+            #
+            # Hashes are computed from the ARROW column BEFORE the pandas
+            # conversion: to_pandas turns int-with-nulls into float64, and
+            # hash_array(float64) != hash_array(int64) for the same value —
+            # a batch's null content must never change which register a
+            # value lands in (the tick-boundary-invariance contract).
+            from pandas.util import hash_array
+
             from ..functions.sketch import HyperLogLog
 
+            hash_cols = {}
+            for d_ in distincts:
+                a = b.column(d_["col"]).combine_chunks()
+                valid = pc.is_valid(a).to_numpy(zero_copy_only=False)
+                if pa.types.is_integer(a.type):
+                    vals = a.fill_null(0).cast(pa.int64()).to_numpy()
+                elif pa.types.is_floating(a.type):
+                    vals = a.fill_null(0.0).cast(pa.float64()).to_numpy()
+                else:
+                    vals = a.cast(pa.string()).fill_null("").to_numpy(
+                        zero_copy_only=False
+                    ).astype(object)
+                h = hash_array(vals, categorize=False).astype(np.uint64)
+                ser = pd.array(h, dtype="UInt64")
+                ser[~valid] = pd.NA
+                hash_cols[_regs_col(d_["name"])] = ser
             agg_map: dict = dict(_agg_plan(spec))
-            renames = {}
             for d_ in distincts:
                 p_ = int(d_.get("p", 12))
 
                 def blobfn(s, _p=p_):
                     return (
                         HyperLogLog(_p)
-                        .add_values(s.dropna().to_numpy())
+                        .add_hashed(s.dropna().to_numpy(dtype=np.uint64))
                         .registers.tobytes()
                     )
 
-                agg_map[f"__{d_['name']}_src"] = blobfn
-                renames[f"__{d_['name']}_src"] = _regs_col(d_["name"])
+                agg_map[_regs_col(d_["name"])] = blobfn
             df = t.to_pandas()
+            for c, arr in hash_cols.items():
+                df[c] = arr
             out = df.groupby(keys, as_index=False, dropna=False).agg(agg_map)
-            out = out.rename(columns=renames)
-            for s in sums:
-                out[s["name"]] = out[s["name"]].astype("int64")
-            out[count_col] = out[count_col].astype("int64")
-            return pa.Table.from_pandas(out, preserve_index=False)
+            # pandas degrades int-with-nulls to float64 — restore every
+            # column's ARROW type so partials are schema-stable across
+            # batches/segments regardless of null content
+            target = pa.schema(
+                [t.schema.field(k) for k in keys]
+                + [pa.field(c, pa.int64()) for c in
+                   [s["name"] for s in sums] + [count_col]]
+                + [pa.field(m["name"], t.schema.field(m["name"]).type)
+                   for m in (spec.get("mins") or []) + (spec.get("maxs") or [])]
+                + [pa.field(_regs_col(d_["name"]), pa.binary())
+                   for d_ in distincts]
+            )
+            for f in target:
+                if pa.types.is_integer(f.type) and out[f.name].dtype.kind == "f":
+                    out[f.name] = out[f.name].astype("Int64")
+            return pa.Table.from_pandas(
+                out[target.names], schema=target, preserve_index=False
+            )
         plan = _agg_plan(spec)
         agg = t.group_by(keys).aggregate(list(plan.items()))
         names = {f"{c}_{how}": c for c, how in plan.items()}
@@ -620,9 +655,10 @@ def _refresh_upsert_mv_locked(table_dir: str, name: str) -> dict | None:
             return None
         spec.update({"watermark_epoch": man.epoch, "updated_at": time.time()})
         _atomic_json(os.path.join(_mv_dir(table_dir, name), SPEC_NAME), spec)
+        # no partial changed — don't pay a state fold just for a log field
         return {
             "mv": name, "epoch": man.epoch, "changed_pids": 0,
-            "groups": int(read_mv(table_dir, name).num_rows),
+            "groups": None,
             "wall_s": round(time.perf_counter() - t0, 4),
         }
 

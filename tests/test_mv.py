@@ -811,3 +811,43 @@ def test_mv_measure_validation(ray_session, tmp_path):
         json.dump(legacy, f)
     assert register_mv(table, "plain", group_keys=["event_type"],
                        sums=MV_SUMS)["name"] == "plain"
+
+
+def test_tick_partial_distinct_null_stability(ray_session):
+    """Two review-found defects, pinned: (1) a nullable int measure column
+    must not flip a partial's schema int64→double (ArrowInvalid on the
+    cross-segment concat); (2) a value's HLL register must not depend on
+    whether its batch happened to contain a null (int→float pandas
+    conversion used to change the hash)."""
+    import pyarrow as pa
+
+    from clickhouse_data_pipeline_ray.pipelines.mv import _regs_col, _tick_partial
+
+    spec = {
+        "group_keys": ["g"], "sums": [], "count_col": "n",
+        "date_from": None, "enrich": None,
+        "mins": [{"col": "v", "name": "min_v"}], "maxs": [],
+        "distincts": [{"col": "u", "name": "uniq_u", "p": 8}],
+    }
+    fn = _tick_partial(spec)
+    batch_nonull = pa.table({
+        "g": ["a", "a"], "v": pa.array([5, 7], pa.int64()),
+        "u": pa.array([5, 7], pa.int64()),
+    })
+    batch_null = pa.table({
+        "g": ["a", "a", "a"], "v": pa.array([5, 7, None], pa.int64()),
+        "u": pa.array([5, 7, None], pa.int64()),
+    })
+    p1, p2 = fn(batch_nonull), fn(batch_null)
+    # (1) schema-stable: int measure stays int64 with or without nulls
+    assert p1.schema.field("min_v").type == pa.int64()
+    assert p2.schema.field("min_v").type == pa.int64()
+    merged = pa.concat_tables([p1, p2])  # used to raise ArrowInvalid
+    assert merged.num_rows == 2
+    # (2) null-invariant hashing: same values -> bit-identical registers
+    assert (
+        p1.column(_regs_col("uniq_u")).to_pylist()
+        == p2.column(_regs_col("uniq_u")).to_pylist()
+    )
+    # NULLs don't count toward the distinct estimate's input
+    assert p2.column("n").to_pylist() == [3]

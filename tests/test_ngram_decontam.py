@@ -156,3 +156,42 @@ def test_dataset_pipeline_hits_and_all(ray_session):
     )
     with pytest.raises(ValueError, match="emit"):
         ngram_decontaminate(ds, snippets, k=K, emit="bogus")
+
+
+def test_empty_snippet_set_rejected():
+    """An accidentally empty/all-null benchmark source must fail loudly,
+    never report a trivially-clean corpus (review finding)."""
+    with pytest.raises(ValueError, match="no snippets"):
+        snippet_shingle_hashes([], k=4)
+    with pytest.raises(ValueError, match="no snippets"):
+        snippet_shingle_hashes([None, None], k=4)
+
+
+def test_cli_zero_hits_reports_cleanly(ray_session, tmp_path, capsys):
+    """The decontaminate CLI with --output and ZERO flagged docs must print
+    the summary, not crash on an empty write-back (review finding)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_data_pipeline_ray.cli import main
+
+    docs = tmp_path / "sf"
+    docs.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": ["aa bb cc dd ee", "ff gg hh ii jj"]}),
+        str(docs / "documents.parquet"),
+    )
+    snips = tmp_path / "snips.parquet"
+    pq.write_table(pa.table({"text": ["zz yy xx ww vv uu tt ss"]}), str(snips))
+    out = tmp_path / "hits"
+    rc = main([
+        "decontaminate", "--sf-dir", str(docs), "--snippets", str(snips),
+        "--k", "4", "--output", str(out),
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.splitlines()[0])
+    assert summary["flagged_docs"] == 0
+    got = pq.read_table(str(out / "part-00000.parquet"))
+    assert got.num_rows == 0
