@@ -314,6 +314,37 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--num-buckets", type=int, default=64)
 
     sp = sub.add_parser(
+        "index-pq",
+        help="build a persisted IVFADC index (coarse centroids + residual "
+             "product-quantization codes, m bytes/vector; idempotent "
+             "tmp+rename build)",
+    )
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--n-centroids", type=int, default=16)
+    sp.add_argument("--m", type=int, default=8,
+                    help="PQ subspaces = bytes per stored vector")
+    sp.add_argument("--ksub", type=int, default=256)
+    sp.add_argument("--refine-iters", type=int, default=0)
+
+    sp = sub.add_parser(
+        "search-pq",
+        help="ADC top-k over a persisted IVFADC index (opens only the "
+             "nprobe probed buckets' code files)",
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--query-ids", required=True,
+                    help="comma-separated vec_ids from the embeddings table "
+                         "to use as queries")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--nprobe", type=int, default=4)
+    sp.add_argument("--rerank", type=int, default=0,
+                    help="exact-rescore this many ADC candidates per query "
+                         "against the original vectors (one key-filtered "
+                         "read of the embeddings parquet)")
+
+    sp = sub.add_parser(
         "index-fingerprints",
         help="build or extend the exact-dedup fingerprint ledger over a "
              "parquet input (one atomically-swapped part per build)",
@@ -999,6 +1030,58 @@ def _run(argv: list[str] | None = None) -> int:
             "output": args.output, **meta,
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
+        return 0
+
+    if args.cmd == "index-pq":
+        from .functions.similarity import build_pq_index
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        ds = rd.read_parquet(
+            os.path.join(args.sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        meta = build_pq_index(
+            ds, args.output, n_centroids=args.n_centroids, m=args.m,
+            ksub=args.ksub, refine_iters=args.refine_iters,
+        )
+        print(json.dumps({
+            "output": args.output, **meta,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "search-pq":
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from .functions.similarity import pq_index_topk
+
+        t0 = time.perf_counter()
+        qids = [int(s) for s in args.query_ids.split(",") if s]
+        qt = pq.read_table(
+            os.path.join(args.sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "in", qids)],
+        )
+        order = {int(v): i for i, v in enumerate(qt.column("vec_id").to_pylist())}
+        emb = np.stack(
+            [qt.column("embedding")[order[q]].as_py() for q in qids]
+        )
+        res = pq_index_topk(
+            args.index, emb, qids, k=args.k, nprobe=args.nprobe,
+            rerank=args.rerank,
+            source=os.path.join(args.sf_dir, "embeddings.parquet")
+            if args.rerank else None,
+        )
+        print(json.dumps({
+            "index": args.index, "k": args.k, "nprobe": args.nprobe,
+            "rerank": args.rerank, "rows": len(res),
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        print(res.to_string(index=False))
         return 0
 
     if args.cmd == "index-fingerprints":

@@ -614,3 +614,343 @@ def nearest_centroid_confusion(
         )
     out["n_vecs"] = out["n_vecs"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVFADC) — the vector-COMPRESSION scale path
+# (Jegou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011). Vectors become m uint8 codes (m bytes vs 4·dim —
+# 32-512x smaller), searched via per-query ADC lookup tables; combined with
+# the IVF coarse quantizer, a query reads only its nprobe buckets' CODES.
+# At 100 TB of raw embeddings the code layout is the only thing that still
+# fits a cache tier. Distances are squared-L2 over unit vectors (the same
+# ordering as cosine: ||a-b||^2 = 2 - 2cos); scores surface as the
+# cosine-equivalent 1 - d2/2 so results align with brute_force_topk's.
+# ---------------------------------------------------------------------------
+
+
+def _subspace_kmeans(
+    x: np.ndarray, ksub: int, iters: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Plain (L2) Lloyd on one subspace of the training sample. Empty
+    clusters keep their previous centroid (the kmeans_lloyd convention)."""
+    k = min(ksub, len(x))
+    cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = (
+            (x**2).sum(1)[:, None]
+            - 2.0 * x @ cents.T
+            + (cents**2).sum(1)[None, :]
+        )
+        assign = np.argmin(d, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def train_pq(
+    residuals: np.ndarray,
+    m: int = 8,
+    ksub: int = 256,
+    iters: int = 10,
+    seed: int = 17,
+) -> np.ndarray:
+    """Train per-subspace codebooks on a driver-side residual sample.
+
+    Returns (m, k, dsub) float64 — the PQ model, KBs however big the
+    corpus (like IVF centroids, it ships once per actor). dim must divide
+    evenly into m subspaces. k may be < ksub on tiny samples."""
+    x = np.asarray(residuals, dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = [
+        _subspace_kmeans(x[:, j * dsub : (j + 1) * dsub], ksub, iters, rng)
+        for j in range(m)
+    ]
+    k = min(len(b) for b in books)
+    return np.stack([b[:k] for b in books])
+
+
+def pq_encode(x: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Vectorized encoding: (n, dim) residuals -> (n, m) uint8 codes."""
+    m, _, dsub = codebooks.shape
+    n = len(x)
+    codes = np.empty((n, m), np.uint8)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cb = codebooks[j]
+        d = (
+            (sub**2).sum(1)[:, None]
+            - 2.0 * sub @ cb.T
+            + (cb**2).sum(1)[None, :]
+        )
+        codes[:, j] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_decode(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Reconstruct (n, dim) vectors from codes (the quantized approximation)."""
+    m, _, dsub = codebooks.shape
+    return np.concatenate(
+        [codebooks[j][codes[:, j]] for j in range(m)], axis=1
+    )
+
+
+def pq_adc_dists(
+    residual_q: np.ndarray, codes: np.ndarray, codebooks: np.ndarray
+) -> np.ndarray:
+    """Asymmetric distance computation: exact squared-L2 between the query
+    residual and each code's RECONSTRUCTION, via one (m, k) lookup table —
+    never decoding the corpus. Identity pinned by tests:
+    adc(q, c) == ||q - decode(c)||^2 up to fp summation order."""
+    m, _, dsub = codebooks.shape
+    lut = np.stack(
+        [
+            ((codebooks[j] - residual_q[j * dsub : (j + 1) * dsub]) ** 2).sum(1)
+            for j in range(m)
+        ]
+    )  # (m, k)
+    return lut[np.arange(m)[None, :], codes].sum(axis=1)
+
+
+def _codes_to_arrow(codes: np.ndarray) -> pa.Array:
+    n, m = codes.shape
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(m), n, [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())]
+    )
+
+
+def _codes_from_arrow(col: pa.ChunkedArray, m: int) -> np.ndarray:
+    arr = col.combine_chunks()
+    if len(arr) == 0:
+        return np.empty((0, m), np.uint8)
+    return np.frombuffer(
+        arr.buffers()[1], dtype=np.uint8, count=len(arr) * m,
+        offset=arr.offset * m,
+    ).reshape(len(arr), m)
+
+
+class PQEncode:
+    """Actor-pool stage: coarse-assign each vector, encode its RESIDUAL
+    (x - centroid) with the broadcast codebooks. Residual encoding is what
+    makes IVFADC beat flat PQ: within a bucket the residual energy is a
+    fraction of the vector's, so 8 bits/subspace go much further."""
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        codebooks: np.ndarray,
+        vec_col: str = "embedding",
+        key_col: str = "vec_id",
+    ):
+        self.cents = np.asarray(centroids, dtype=np.float64)
+        self.books = np.asarray(codebooks, dtype=np.float64)
+        self.vec_col, self.key_col = vec_col, key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.books.shape[0]
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    self.key_col: batch.column(self.key_col),
+                    "ivf_bucket": pa.array([], pa.int32()),
+                    "codes": _codes_to_arrow(np.empty((0, m), np.uint8)),
+                }
+            )
+        emb = _normalize(_to_matrix(batch.column(self.vec_col)))
+        assign = np.argmax(emb @ self.cents.T, axis=1)
+        codes = pq_encode(emb - self.cents[assign], self.books)
+        return pa.table(
+            {
+                self.key_col: batch.column(self.key_col),
+                "ivf_bucket": pa.array(assign.astype(np.int32)),
+                "codes": _codes_to_arrow(codes),
+            }
+        )
+
+
+def build_pq_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    sample_rows: int = 4096,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int | tuple = 2,
+    refine_iters: int = 0,
+) -> dict:
+    """One-time persisted IVFADC index: coarse centroids + residual PQ
+    codebooks + a bucket-partitioned parquet layout of (key, codes) — the
+    corpus is scanned once; every vector persists as m BYTES. Same
+    idempotent tmp+rename commit as build_ivf_index."""
+    import json
+    import os
+    import shutil
+
+    cents = kmeans_centroids(
+        ds, n_centroids=n_centroids, sample_rows=sample_rows, vec_col=vec_col
+    )
+    if refine_iters > 0:
+        cents, _ = kmeans_lloyd(ds, cents, iters=refine_iters, vec_col=vec_col)
+    sample = (
+        ds.slice(0, sample_rows).to_pandas()
+        if isinstance(ds, pa.Table)
+        else ds.limit(sample_rows).to_pandas()
+    )
+    x = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    books = train_pq(
+        x - cents[np.argmax(x @ cents.T, axis=1)], m=m, ksub=ksub
+    )
+    coded = ds.map_batches(
+        PQEncode,
+        fn_constructor_kwargs={
+            "centroids": cents, "codebooks": books,
+            "vec_col": vec_col, "key_col": key_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    code_dir = os.path.join(index_dir, "codes")
+    tmp_dir = code_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    coded.write_parquet(tmp_dir, partition_cols=["ivf_bucket"])
+    shutil.rmtree(code_dir, ignore_errors=True)
+    os.replace(tmp_dir, code_dir)
+    for name, arr in (("centroids", cents), ("codebooks", books)):
+        np.save(os.path.join(index_dir, f"{name}.npy.tmp.npy"), arr)
+        os.replace(
+            os.path.join(index_dir, f"{name}.npy.tmp.npy"),
+            os.path.join(index_dir, f"{name}.npy"),
+        )
+    meta = {
+        "n_centroids": int(len(cents)),
+        "dim": int(cents.shape[1]),
+        "m": int(books.shape[0]),
+        "ksub": int(books.shape[1]),
+        "key_col": key_col,
+        "vec_col": vec_col,
+        "bytes_per_vector": int(books.shape[0]),
+    }
+    with open(os.path.join(index_dir, "meta.json.tmp"), "w") as f:
+        json.dump(meta, f)
+    os.replace(
+        os.path.join(index_dir, "meta.json.tmp"),
+        os.path.join(index_dir, "meta.json"),
+    )
+    return meta
+
+
+def pq_index_topk(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 0,
+    source: str | None = None,
+) -> pd.DataFrame:
+    """Search a persisted IVFADC index: open ONLY the nprobe probed buckets'
+    code files (m bytes/vector), score by ADC lookup tables, merge top-k.
+
+    Driver-side by design — the probed code slices are tiny (the whole
+    point of PQ); a 10M-vector bucket at m=8 is 80 MB. Scores are the
+    cosine-equivalent 1 - d2/2 of the QUANTIZED corpus vectors, so they
+    approximate brute_force_topk's to within the quantization error.
+
+    ``rerank=R`` with ``source=<parquet of the original vectors>``: the ADC
+    pass generates R candidates per query, then ONE key-filtered parquet
+    read fetches just those originals (Q × R rows however big the corpus —
+    the FAISS IVFPQR / DiskANN refinement shape) and exact cosine re-scores
+    them. On near-tie corpora this lifts recall@5 from ~0.5 to ~1.0 at
+    R=10k's cost of a point lookup; scores become TRUE cosines."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq_
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    m = books.shape[0]
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    bucket_cache: dict[int, tuple] = {}
+
+    def load_bucket(b: int):
+        if b not in bucket_cache:
+            d = os.path.join(index_dir, "codes", f"ivf_bucket={b}")
+            if not os.path.isdir(d):
+                bucket_cache[b] = (np.array([], object), np.empty((0, m), np.uint8))
+            else:
+                t = pa.concat_tables(
+                    pq_.read_table(os.path.join(d, f),
+                                   columns=[meta["key_col"], "codes"])
+                    for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+                )
+                bucket_cache[b] = (
+                    t.column(meta["key_col"]).to_numpy(zero_copy_only=False),
+                    _codes_from_arrow(t.column("codes"), m),
+                )
+        return bucket_cache[b]
+
+    if rerank and not source:
+        raise ValueError("rerank needs source=<parquet of original vectors>")
+    per_query: list[tuple] = []
+    for qi, q in enumerate(qn):
+        cand_keys, cand_d = [], []
+        for b in probe[qi]:
+            keys, codes = load_bucket(int(b))
+            if not len(keys):
+                continue
+            d2 = pq_adc_dists(q - cents[int(b)], codes, books)
+            cand_keys.append(keys)
+            cand_d.append(d2)
+        if not cand_keys:
+            per_query.append((np.array([], object), np.array([])))
+            continue
+        keys = np.concatenate(cand_keys)
+        d2 = np.concatenate(cand_d)
+        score = 1.0 - d2 / 2.0
+        # deterministic tie-break: score desc, neighbor id asc (the
+        # _final_topk convention)
+        order = np.lexsort((keys, -score.round(6)))[: max(k, rerank)]
+        per_query.append((keys[order], score[order]))
+
+    if rerank:
+        wanted = sorted(
+            {key for keys, _ in per_query for key in keys.tolist()}
+        )
+        src = pq_.read_table(
+            source,
+            columns=[meta["key_col"], meta["vec_col"]],
+            filters=[(meta["key_col"], "in", wanted)],
+        )
+        src_keys = src.column(meta["key_col"]).to_numpy(zero_copy_only=False)
+        src_vecs = _normalize(_to_matrix(src.column(meta["vec_col"])))
+        pos = {key: i for i, key in enumerate(src_keys.tolist())}
+        rescored = []
+        for qi, (keys, _) in enumerate(per_query):
+            present = np.array([key in pos for key in keys.tolist()], bool)
+            keys = keys[present]
+            idx = np.array([pos[key] for key in keys.tolist()], np.int64)
+            score = src_vecs[idx] @ qn[qi] if len(idx) else np.array([])
+            rescored.append((keys, score))
+        per_query = rescored
+
+    rows = []
+    for qi, (keys, score) in enumerate(per_query):
+        order = np.lexsort((keys, -score.round(6)))[:k] if len(keys) else []
+        for rank, idx in enumerate(order, 1):
+            rows.append((query_ids[qi], rank, keys[idx], float(score[idx])))
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "neighbor_id", "score"]
+    )
