@@ -345,6 +345,32 @@ def _run(argv: list[str] | None = None) -> int:
                          "read of the embeddings parquet)")
 
     sp = sub.add_parser(
+        "index-ann",
+        help="build or incrementally refresh an IVF vector index over a "
+             "committed table (re-derives ONLY partitions whose file chains "
+             "changed since the indexed epoch)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--output", required=True, help="index directory")
+    sp.add_argument("--n-centroids", type=int, default=16)
+    sp.add_argument("--vec-col", default="embedding")
+
+    sp = sub.add_parser(
+        "search-ann",
+        help="cosine top-k over a table ANN index (opens only the nprobe "
+             "probed buckets; exact within the probe — raw vectors)",
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--table", required=True,
+                    help="the indexed table (query vectors are looked up "
+                         "here by key)")
+    sp.add_argument("--keys", required=True,
+                    help="comma-separated doc_ids whose vectors are the "
+                         "queries")
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--nprobe", type=int, default=4)
+
+    sp = sub.add_parser(
         "index-fingerprints",
         help="build or extend the exact-dedup fingerprint ledger over a "
              "parquet input (one atomically-swapped part per build)",
@@ -1079,6 +1105,56 @@ def _run(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "index": args.index, "k": args.k, "nprobe": args.nprobe,
             "rerank": args.rerank, "rows": len(res),
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        print(res.to_string(index=False))
+        return 0
+
+    if args.cmd == "index-ann":
+        from .functions.similarity import refresh_table_ann_index
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        meta = refresh_table_ann_index(
+            args.table, args.output, n_centroids=args.n_centroids,
+            vec_col=args.vec_col,
+        )
+        print(json.dumps({
+            "table": args.table, "output": args.output,
+            "indexed_epoch": meta["indexed_epoch"],
+            "refreshed_pids": meta["refreshed_pids"],
+            "n_centroids": meta["n_centroids"], "dim": meta["dim"],
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "search-ann":
+        import json as _json
+
+        import numpy as np
+
+        from .functions.similarity import ann_table_index_topk
+        from .pipelines.lookup import lookup_keys
+
+        t0 = time.perf_counter()
+        with open(os.path.join(args.index, "meta.json")) as f:
+            imeta = _json.load(f)
+        keys = [s for s in args.keys.split(",") if s]
+        rows = lookup_keys(args.table, keys)
+        found = rows.column(imeta["key_col"]).to_pylist()
+        missing = sorted(set(keys) - set(found))
+        if missing:
+            raise ValueError(f"query keys not in table: {missing}")
+        emb = np.stack(
+            [np.asarray(v, dtype=np.float64)
+             for v in rows.column(imeta["vec_col"]).to_pylist()]
+        )
+        res = ann_table_index_topk(
+            args.index, emb, found, k=args.k, nprobe=args.nprobe
+        )
+        print(json.dumps({
+            "index": args.index, "k": args.k, "nprobe": args.nprobe,
+            "rows": len(res),
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
         print(res.to_string(index=False))

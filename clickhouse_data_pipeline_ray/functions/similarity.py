@@ -13,6 +13,8 @@ centroid buckets (a filter, not a shuffle).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -953,4 +955,210 @@ def pq_index_topk(
             rows.append((query_ids[qi], rank, keys[idx], float(score[idx])))
     return pd.DataFrame(
         rows, columns=["query_id", "rank", "neighbor_id", "score"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index over a COMMITTED table — the derived-artifact
+# maintenance shape retrieval.refresh_table_token_index established for
+# BM25, applied to vectors: the index lives next to the table, and a
+# refresh re-derives ONLY the partitions whose manifest file chains changed
+# since the indexed epoch (the epoch-diff pruning contract). Updates and
+# deletes are handled for free because each partition's slice is REPLACED
+# from its current merged LWW snapshot.
+# ---------------------------------------------------------------------------
+
+
+def refresh_table_ann_index(
+    table_dir: str,
+    index_dir: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+) -> dict:
+    """Build — or incrementally refresh — a persisted IVF index over a
+    committed table's merged snapshot.
+
+    Layout: ``vectors/bucket=B/pid=P/*.parquet`` (key + raw vector) +
+    ``centroids.npy`` + ``meta.json`` holding ``indexed_epoch``. The coarse
+    centroids are trained ONCE at the first build and PINNED: retraining on
+    a refresh would silently re-bucket the unchanged partitions' vectors
+    without rewriting them (stale layout). A full rebuild (layout change,
+    un-retained epoch, different n_centroids/vec_col) retrains.
+
+    Crash safety: per-partition dir swap via os.replace, ``meta.json``
+    commits LAST — a crash mid-swap leaves the old meta and the next
+    refresh re-derives the same changed partitions (idempotent)."""
+    import json
+    import shutil
+
+    from ..state.manifest import load_manifest
+
+    man = load_manifest(table_dir)
+    key_col = man.key_col
+    os.makedirs(index_dir, exist_ok=True)
+    meta_path = os.path.join(index_dir, "meta.json")
+    old = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = json.load(f)
+    all_pids = sorted(man.partitions, key=int)
+    pids: list[str] = all_pids
+    if (
+        old
+        and old.get("n_centroids") == n_centroids
+        and old.get("vec_col") == vec_col
+    ):
+        try:
+            from ..pipelines.diff import changed_partitions
+
+            changed = changed_partitions(table_dir, old["indexed_epoch"], man.epoch)
+            pids = [str(c["pid"]) for c in changed]
+        except Exception:
+            old = None  # layout change / un-retained epoch → full rebuild
+    else:
+        old = None
+
+    vec_dir = os.path.join(index_dir, "vectors")
+    cents_path = os.path.join(index_dir, "centroids.npy")
+    if old is None:
+        pids = all_pids
+        shutil.rmtree(vec_dir, ignore_errors=True)
+        # train the pinned coarse model on a snapshot sample
+        from ..pipelines.mv import _narrow_schema, _read_chain_columns
+
+        narrow = _narrow_schema(man, [key_col, vec_col])
+        sample_parts, seen = [], 0
+        for p in all_pids:
+            files = man.partitions[p].get("files") or []
+            if not files:
+                continue
+            t = _read_chain_columns(table_dir, files, narrow, man.mode)
+            sample_parts.append(t)
+            seen += t.num_rows
+            if seen >= sample_rows:
+                break
+        if not sample_parts or seen == 0:
+            raise ValueError(
+                f"table {table_dir} holds no rows to train centroids on"
+            )
+        sample = pa.concat_tables(sample_parts).slice(0, sample_rows)
+        cents = kmeans_centroids(
+            sample, n_centroids=n_centroids, sample_rows=sample_rows,
+            vec_col=vec_col,
+        )
+        np.save(cents_path + ".tmp.npy", cents)
+        os.replace(cents_path + ".tmp.npy", cents_path)
+    else:
+        cents = np.load(cents_path)
+
+    if pids:
+        files_by_pid = {p: (man.partitions[p].get("files") or []) for p in pids}
+        schema_names = [key_col, vec_col]
+        mode = man.mode
+
+        def derive(batch: pa.Table) -> pa.Table:
+            from ..pipelines.mv import _narrow_schema, _read_chain_columns
+            from ..state.manifest import load_manifest as _lm
+
+            m_ = _lm(table_dir)
+            narrow = _narrow_schema(m_, schema_names)
+            out = []
+            for pid in batch.column("pid").to_pylist():
+                files = files_by_pid.get(str(pid)) or []
+                snap = (
+                    _read_chain_columns(table_dir, files, narrow, mode)
+                    if files
+                    else narrow.empty_table()
+                )
+                snap = snap.select([key_col, vec_col])
+                if snap.num_rows:
+                    emb = _normalize(_to_matrix(snap.column(vec_col)))
+                    assign = np.argmax(emb @ cents.T, axis=1).astype(np.int32)
+                else:
+                    assign = np.empty(0, np.int32)
+                out.append(
+                    snap.append_column("bucket", pa.array(assign))
+                    .append_column(
+                        "pid",
+                        pa.array(np.full(snap.num_rows, int(pid), np.int64)),
+                    )
+                )
+            return pa.concat_tables(out)
+
+        tmp_dir = vec_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        ray.data.from_items([{"pid": int(p)} for p in pids]).map_batches(
+            derive, batch_format="pyarrow", batch_size=1
+        ).write_parquet(tmp_dir, partition_cols=["bucket", "pid"])
+
+        os.makedirs(vec_dir, exist_ok=True)
+        refreshed = set(pids)
+        for bdir in os.listdir(vec_dir):
+            bpath = os.path.join(vec_dir, bdir)
+            for pdir in os.listdir(bpath):
+                if pdir.split("=", 1)[-1] in refreshed:
+                    shutil.rmtree(os.path.join(bpath, pdir))
+        for bdir in sorted(os.listdir(tmp_dir)):
+            dst_b = os.path.join(vec_dir, bdir)
+            os.makedirs(dst_b, exist_ok=True)
+            for pdir in os.listdir(os.path.join(tmp_dir, bdir)):
+                dst = os.path.join(dst_b, pdir)
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(os.path.join(tmp_dir, bdir, pdir), dst)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    meta = {
+        "n_centroids": int(n_centroids),
+        "dim": int(cents.shape[1]),
+        "vec_col": vec_col,
+        "key_col": key_col,
+        "indexed_epoch": man.epoch,
+    }
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
+    return {**meta, "refreshed_pids": sorted(pids, key=int)}
+
+
+def ann_table_index_topk(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 5,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """Cosine top-k over a table ANN index: opens only the ``nprobe`` probed
+    coarse buckets' files (across all table partitions) — EXACT within the
+    probed buckets (raw vectors, no quantization)."""
+    import json
+
+    import pyarrow.parquet as pq_
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(b) for row in probe for b in row})
+    paths = [
+        os.path.join(pd_, name)
+        for b in wanted
+        if os.path.isdir(bd := os.path.join(index_dir, "vectors", f"bucket={b}"))
+        for pdir in sorted(os.listdir(bd))
+        if os.path.isdir(pd_ := os.path.join(bd, pdir))
+        for name in sorted(os.listdir(pd_))
+        if name.endswith(".parquet")
+    ]
+    if not paths:
+        return pd.DataFrame(
+            {"query_id": [], "rank": [], "neighbor_id": [], "score": []}
+        )
+    tbl = pa.concat_tables(
+        pq_.read_table(p, columns=[meta["key_col"], meta["vec_col"]])
+        for p in paths
+    )
+    return brute_force_topk(
+        tbl, queries, query_ids, k=k,
+        key_col=meta["key_col"], vec_col=meta["vec_col"], exclude_self=False,
     )
