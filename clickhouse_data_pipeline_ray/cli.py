@@ -1093,6 +1093,11 @@ def _run(argv: list[str] | None = None) -> int:
             filters=[("vec_id", "in", qids)],
         )
         order = {int(v): i for i, v in enumerate(qt.column("vec_id").to_pylist())}
+        missing = sorted(set(qids) - set(order))
+        if missing:
+            raise ValueError(
+                f"query ids not in the embeddings table: {missing}"
+            )
         emb = np.stack(
             [qt.column("embedding")[order[q]].as_py() for q in qids]
         )

@@ -790,22 +790,26 @@ def build_pq_index(
 ) -> dict:
     """One-time persisted IVFADC index: coarse centroids + residual PQ
     codebooks + a bucket-partitioned parquet layout of (key, codes) — the
-    corpus is scanned once; every vector persists as m BYTES. Same
-    idempotent tmp+rename commit as build_ivf_index."""
+    corpus is scanned once; every vector persists as m BYTES.
+
+    Codes are only meaningful together with the EXACT model that produced
+    them (ADC decodes against the codebooks), so the model artifacts live
+    INSIDE the swapped codes directory (``codes/_model/``): one
+    ``os.replace`` commits codes + centroids + codebooks as a unit — a
+    crash mid-rebuild can never pair new codes with old codebooks."""
     import json
-    import os
     import shutil
 
+    # one driver-side sample feeds both the coarse centroids and the PQ
+    # residual training (identical leading rows either way)
+    sample = ds.limit(sample_rows).to_pandas()
+    sample_tbl = pa.Table.from_pandas(sample, preserve_index=False)
     cents = kmeans_centroids(
-        ds, n_centroids=n_centroids, sample_rows=sample_rows, vec_col=vec_col
+        sample_tbl, n_centroids=n_centroids, sample_rows=sample_rows,
+        vec_col=vec_col,
     )
     if refine_iters > 0:
         cents, _ = kmeans_lloyd(ds, cents, iters=refine_iters, vec_col=vec_col)
-    sample = (
-        ds.slice(0, sample_rows).to_pandas()
-        if isinstance(ds, pa.Table)
-        else ds.limit(sample_rows).to_pandas()
-    )
     x = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     books = train_pq(
         x - cents[np.argmax(x @ cents.T, axis=1)], m=m, ksub=ksub
@@ -824,14 +828,12 @@ def build_pq_index(
     tmp_dir = code_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     coded.write_parquet(tmp_dir, partition_cols=["ivf_bucket"])
+    model_dir = os.path.join(tmp_dir, "_model")
+    os.makedirs(model_dir, exist_ok=True)
+    np.save(os.path.join(model_dir, "centroids.npy"), cents)
+    np.save(os.path.join(model_dir, "codebooks.npy"), books)
     shutil.rmtree(code_dir, ignore_errors=True)
-    os.replace(tmp_dir, code_dir)
-    for name, arr in (("centroids", cents), ("codebooks", books)):
-        np.save(os.path.join(index_dir, f"{name}.npy.tmp.npy"), arr)
-        os.replace(
-            os.path.join(index_dir, f"{name}.npy.tmp.npy"),
-            os.path.join(index_dir, f"{name}.npy"),
-        )
+    os.replace(tmp_dir, code_dir)  # codes + model commit atomically
     meta = {
         "n_centroids": int(len(cents)),
         "dim": int(cents.shape[1]),
@@ -880,8 +882,11 @@ def pq_index_topk(
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
-    cents = np.load(os.path.join(index_dir, "centroids.npy"))
-    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    # the model lives inside the atomically-swapped codes dir — codes and
+    # the codebooks that decode them can never be from different builds
+    model_dir = os.path.join(index_dir, "codes", "_model")
+    cents = np.load(os.path.join(model_dir, "centroids.npy"))
+    books = np.load(os.path.join(model_dir, "codebooks.npy"))
     m = books.shape[0]
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
@@ -950,7 +955,10 @@ def pq_index_topk(
 
     rows = []
     for qi, (keys, score) in enumerate(per_query):
-        order = np.lexsort((keys, -score.round(6)))[:k] if len(keys) else []
+        # rounded scores, like _final_topk: ranking and the returned score
+        # agree, and output compares exactly against the other top-k paths
+        score = score.round(6) if len(score) else score
+        order = np.lexsort((keys, -score))[:k] if len(keys) else []
         for rank, idx in enumerate(order, 1):
             rows.append((query_ids[qi], rank, keys[idx], float(score[idx])))
     return pd.DataFrame(
@@ -1019,15 +1027,18 @@ def refresh_table_ann_index(
     else:
         old = None
 
-    vec_dir = os.path.join(index_dir, "vectors")
-    cents_path = os.path.join(index_dir, "centroids.npy")
-    if old is None:
-        pids = all_pids
-        shutil.rmtree(vec_dir, ignore_errors=True)
-        # train the pinned coarse model on a snapshot sample
-        from ..pipelines.mv import _narrow_schema, _read_chain_columns
+    from ..pipelines.mv import _narrow_schema, _read_chain_columns
 
-        narrow = _narrow_schema(man, [key_col, vec_col])
+    vec_dir = os.path.join(index_dir, "vectors")
+    cents_path = os.path.join(vec_dir, "_model", "centroids.npy")
+    if old is not None and not os.path.exists(cents_path):
+        old = None  # model missing/pre-relocation layout → full rebuild
+        pids = all_pids
+    full = old is None
+    narrow = _narrow_schema(man, [key_col, vec_col])
+    if full:
+        pids = all_pids
+        # train the pinned coarse model on a snapshot sample
         sample_parts, seen = [], 0
         for p in all_pids:
             files = man.partitions[p].get("files") or []
@@ -1047,22 +1058,17 @@ def refresh_table_ann_index(
             sample, n_centroids=n_centroids, sample_rows=sample_rows,
             vec_col=vec_col,
         )
-        np.save(cents_path + ".tmp.npy", cents)
-        os.replace(cents_path + ".tmp.npy", cents_path)
     else:
         cents = np.load(cents_path)
 
     if pids:
         files_by_pid = {p: (man.partitions[p].get("files") or []) for p in pids}
-        schema_names = [key_col, vec_col]
         mode = man.mode
 
         def derive(batch: pa.Table) -> pa.Table:
-            from ..pipelines.mv import _narrow_schema, _read_chain_columns
-            from ..state.manifest import load_manifest as _lm
-
-            m_ = _lm(table_dir)
-            narrow = _narrow_schema(m_, schema_names)
+            # `narrow`/`mode` captured from the DRIVER's manifest snapshot —
+            # re-loading the manifest in the worker could pair a concurrent
+            # commit's schema with this refresh's captured file chains
             out = []
             for pid in batch.column("pid").to_pylist():
                 files = files_by_pid.get(str(pid)) or []
@@ -1092,21 +1098,35 @@ def refresh_table_ann_index(
             derive, batch_format="pyarrow", batch_size=1
         ).write_parquet(tmp_dir, partition_cols=["bucket", "pid"])
 
-        os.makedirs(vec_dir, exist_ok=True)
-        refreshed = set(pids)
-        for bdir in os.listdir(vec_dir):
-            bpath = os.path.join(vec_dir, bdir)
-            for pdir in os.listdir(bpath):
-                if pdir.split("=", 1)[-1] in refreshed:
-                    shutil.rmtree(os.path.join(bpath, pdir))
-        for bdir in sorted(os.listdir(tmp_dir)):
-            dst_b = os.path.join(vec_dir, bdir)
-            os.makedirs(dst_b, exist_ok=True)
-            for pdir in os.listdir(os.path.join(tmp_dir, bdir)):
-                dst = os.path.join(dst_b, pdir)
-                shutil.rmtree(dst, ignore_errors=True)
-                os.replace(os.path.join(tmp_dir, bdir, pdir), dst)
-        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if full:
+            # the live layout stays searchable while the rebuild derives;
+            # centroids commit INSIDE the same swap as the vectors they
+            # bucketed (a crash can never pair new centroids with the old
+            # layout, or leave an empty index behind a live meta)
+            model_tmp = os.path.join(tmp_dir, "_model")
+            os.makedirs(model_tmp, exist_ok=True)
+            np.save(os.path.join(model_tmp, "centroids.npy"), cents)
+            shutil.rmtree(vec_dir, ignore_errors=True)
+            os.replace(tmp_dir, vec_dir)
+        else:
+            # incremental: per-pid swap inside the existing layout (the
+            # pinned model is untouched)
+            refreshed = set(pids)
+            for bdir in os.listdir(vec_dir):
+                if not bdir.startswith("bucket="):
+                    continue
+                bpath = os.path.join(vec_dir, bdir)
+                for pdir in os.listdir(bpath):
+                    if pdir.split("=", 1)[-1] in refreshed:
+                        shutil.rmtree(os.path.join(bpath, pdir))
+            for bdir in sorted(os.listdir(tmp_dir)):
+                dst_b = os.path.join(vec_dir, bdir)
+                os.makedirs(dst_b, exist_ok=True)
+                for pdir in os.listdir(os.path.join(tmp_dir, bdir)):
+                    dst = os.path.join(dst_b, pdir)
+                    shutil.rmtree(dst, ignore_errors=True)
+                    os.replace(os.path.join(tmp_dir, bdir, pdir), dst)
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
     meta = {
         "n_centroids": int(n_centroids),
@@ -1127,6 +1147,7 @@ def ann_table_index_topk(
     query_ids: list,
     k: int = 5,
     nprobe: int = 4,
+    small_bytes: int = 256 << 20,
 ) -> pd.DataFrame:
     """Cosine top-k over a table ANN index: opens only the ``nprobe`` probed
     coarse buckets' files (across all table partitions) — EXACT within the
@@ -1137,7 +1158,7 @@ def ann_table_index_topk(
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
-    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    cents = np.load(os.path.join(index_dir, "vectors", "_model", "centroids.npy"))
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
     wanted = sorted({int(b) for row in probe for b in row})
@@ -1154,11 +1175,23 @@ def ann_table_index_topk(
         return pd.DataFrame(
             {"query_id": [], "rank": [], "neighbor_id": [], "score": []}
         )
-    tbl = pa.concat_tables(
-        pq_.read_table(p, columns=[meta["key_col"], meta["vec_col"]])
-        for p in paths
+    # the probed slices are RAW vectors (unlike PQ codes) — past small_bytes
+    # take the distributed scan instead of a driver concat (the
+    # ivf_index_topk convention)
+    if sum(os.path.getsize(p) for p in paths) <= small_bytes:
+        tbl = pa.concat_tables(
+            pq_.read_table(p, columns=[meta["key_col"], meta["vec_col"]])
+            for p in paths
+        )
+        return brute_force_topk(
+            tbl, queries, query_ids, k=k,
+            key_col=meta["key_col"], vec_col=meta["vec_col"],
+            exclude_self=False,
+        )
+    pruned = ray.data.read_parquet(
+        paths, columns=[meta["key_col"], meta["vec_col"]]
     )
     return brute_force_topk(
-        tbl, queries, query_ids, k=k,
+        pruned, queries, query_ids, k=k,
         key_col=meta["key_col"], vec_col=meta["vec_col"], exclude_self=False,
     )

@@ -132,13 +132,17 @@ def test_pq_index_matches_reconstruction_oracle(ray_session, tmp_path):
     ds = rd.from_arrow(pa.table({"vec_id": ids.tolist(), "embedding": list(vecs)}))
     idx = str(tmp_path / "pq")
     build_pq_index(ds, idx, n_centroids=4, m=4, ksub=32, sample_rows=400)
-    cents = np.load(os.path.join(idx, "centroids.npy"))
-    books = np.load(os.path.join(idx, "codebooks.npy"))
+    # the model commits ATOMICALLY with the codes it produced (inside the
+    # swapped codes/ dir) — a crash can never pair codes with a stale model
+    cents = np.load(os.path.join(idx, "codes", "_model", "centroids.npy"))
+    books = np.load(os.path.join(idx, "codes", "_model", "codebooks.npy"))
 
     import pyarrow.parquet as pq_
 
     keys, recon = [], []
     for d in sorted(os.listdir(os.path.join(idx, "codes"))):
+        if not d.startswith("ivf_bucket="):
+            continue  # _model lives inside the codes dir
         b = int(d.split("=")[1])
         t = pa.concat_tables(
             pq_.read_table(os.path.join(idx, "codes", d, f))

@@ -105,7 +105,8 @@ def test_refresh_rederives_only_changed_partitions(emb_table, tmp_path):
     table, wal, base = emb_table
     idx = str(tmp_path / "ann")
     refresh_table_ann_index(table, idx, n_centroids=4)
-    cents_before = np.load(os.path.join(idx, "centroids.npy"))
+    cents_path = os.path.join(idx, "vectors", "_model", "centroids.npy")
+    cents_before = np.load(cents_path)
 
     # one update + one delete → at most two partitions change
     newvec = _normalize(np.ones((1, DIM)))[0]
@@ -117,7 +118,7 @@ def test_refresh_rederives_only_changed_partitions(emb_table, tmp_path):
     # centroids are PINNED across refreshes (unchanged partitions keep
     # their bucket layout)
     assert np.array_equal(
-        cents_before, np.load(os.path.join(idx, "centroids.npy"))
+        cents_before, np.load(cents_path)
     )
 
     q = np.stack([newvec, base[11]])
@@ -155,3 +156,40 @@ def test_incompatible_params_force_rebuild(emb_table, tmp_path):
     meta = refresh_table_ann_index(table, idx, n_centroids=8)
     assert len(meta["refreshed_pids"]) == 6
     assert meta["n_centroids"] == 8
+
+
+def test_failed_full_rebuild_leaves_old_index_searchable(emb_table, tmp_path, monkeypatch):
+    """A full rebuild derives into .tmp and swaps at the END — a failure
+    mid-derive must leave the previous index fully live (review finding:
+    the old code wiped vectors/ first, leaving silent empty results)."""
+    table, _, base = emb_table
+    idx = str(tmp_path / "ann")
+    refresh_table_ann_index(table, idx, n_centroids=4)
+    q = base[:2]
+    before = ann_table_index_topk(idx, q, ["a", "b"], k=5, nprobe=4)
+
+    import ray.data
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected derive failure")
+
+    monkeypatch.setattr(ray.data.Dataset, "write_parquet", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        # n_centroids change forces the full-rebuild path
+        refresh_table_ann_index(table, idx, n_centroids=8)
+    monkeypatch.undo()
+    after = ann_table_index_topk(idx, q, ["a", "b"], k=5, nprobe=4)
+    assert after.values.tolist() == before.values.tolist()
+
+
+def test_distributed_probe_path_identical(emb_table, tmp_path):
+    """Past small_bytes the probed buckets take the distributed scan — same
+    results as the driver concat (review finding: the guard was missing)."""
+    table, _, base = emb_table
+    idx = str(tmp_path / "ann")
+    refresh_table_ann_index(table, idx, n_centroids=4)
+    q = base[:3]
+    qids = ["a", "b", "c"]
+    driver = ann_table_index_topk(idx, q, qids, k=5, nprobe=4)
+    dist = ann_table_index_topk(idx, q, qids, k=5, nprobe=4, small_bytes=0)
+    assert dist.values.tolist() == driver.values.tolist()
