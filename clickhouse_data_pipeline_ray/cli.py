@@ -133,6 +133,15 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
 
     sp = sub.add_parser(
+        "ttl-expire",
+        help="drop rows whose timestamp column is before a cutoff (ClickHouse TTL)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--col", required=True, help="timestamp column rows expire by")
+    sp.add_argument("--cutoff", required=True,
+                    help="ISO timestamp; rows with col < cutoff are expired")
+
+    sp = sub.add_parser(
         "import", help="seed an EMPTY table from an existing parquet corpus (lsn=0)"
     )
     sp.add_argument("--table", required=True)
@@ -741,7 +750,7 @@ def _run(argv: list[str] | None = None) -> int:
             ray.shutdown()
         return 0
 
-    if args.cmd in ("apply", "compact", "repartition", "import", "kpi"):
+    if args.cmd in ("apply", "compact", "ttl-expire", "repartition", "import", "kpi"):
         ray = _init_ray(args.num_cpus)
         try:
             if args.cmd == "apply":
@@ -775,6 +784,11 @@ def _run(argv: list[str] | None = None) -> int:
 
                 stats = compact_table(args.table)
                 print(json.dumps(stats if stats else {"compacted": 0, "clean": True}))
+            elif args.cmd == "ttl-expire":
+                from .pipelines.apply import ttl_expire
+
+                stats = ttl_expire(args.table, args.col, args.cutoff)
+                print(json.dumps(stats if stats else {"rows_expired": 0, "clean": True}))
             elif args.cmd == "repartition":
                 from .pipelines.apply import repartition_table
 

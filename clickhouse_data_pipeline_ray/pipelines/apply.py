@@ -549,6 +549,167 @@ def _compact_table_locked(table_dir: str, concurrency: int | tuple) -> dict | No
     return epoch_stats
 
 
+def ttl_expire(
+    table_dir: str,
+    ttl_col: str,
+    cutoff,
+    concurrency: int | tuple = (1, 8),
+) -> dict | None:
+    """Expire rows whose ``ttl_col`` is strictly before ``cutoff`` — the
+    ClickHouse ``TTL <col>`` retention clause (rows past their TTL are
+    dropped when parts merge), run as an explicit exactly-once maintenance
+    epoch. ``cutoff`` is a naive datetime or ISO string (engine timestamps
+    are tz-naive ``timestamp[us]``). Null TTL values never expire.
+
+    Scale shape — the whole point of doing this manifest-first:
+
+    - time-partitioned tables whose partition column IS the TTL column
+      (the reference's fact layout, init.sql:40 ``PARTITION BY toYYYYMM``):
+      months entirely before the cutoff are DROPPED from the manifest
+      without reading a byte (ClickHouse's drop-whole-part TTL fast path);
+      only the single boundary month is a candidate for rewrite.
+    - everything else: per-partition parquet FOOTER min-statistics decide
+      (metadata-only driver read); a partition is rewritten only when some
+      file's min(ttl_col) crosses the cutoff. A 100-TB table where only the
+      oldest slice expires rewrites only that slice.
+
+    Returns the history entry, or None when nothing expired. Old epochs
+    remain time-travel readable until manifest retention ages them out.
+
+    Note for upsert tables: expiring a key erases its base row, so a later
+    WAL update to that key re-inserts it as new — the same contract as
+    ClickHouse TTL deleting a row a later INSERT re-creates.
+    """
+    import datetime as _dt
+    import json as _json
+
+    from ..stages.merge import TTLWorker
+    from ..stages.partition import yyyymm_of
+
+    if isinstance(cutoff, str):
+        cutoff = _dt.datetime.fromisoformat(cutoff)
+    if cutoff.tzinfo is not None:
+        cutoff = cutoff.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    cutoff_us = pa.scalar(cutoff, pa.timestamp("us")).value
+
+    with table_lock(table_dir):
+        man = load_manifest(table_dir)
+        if ttl_col not in man.schema.names:
+            raise ValueError(f"ttl column {ttl_col!r} not in table schema")
+        if not pa.types.is_timestamp(man.schema.field(ttl_col).type):
+            raise ValueError(f"ttl column {ttl_col!r} must be a timestamp column")
+        spec = man.spec
+        drop_pids: list[str] = []
+        candidates: list[str] = []
+        if spec.get("kind") == "time" and spec.get("col") == ttl_col:
+            cutoff_ym = yyyymm_of(cutoff)
+            for pid in man.partitions:
+                if int(pid) < cutoff_ym:
+                    drop_pids.append(pid)
+                elif int(pid) == cutoff_ym:
+                    candidates.append(pid)
+        else:
+            candidates = list(man.partitions)
+        # footer min-stat pruning: rewrite only partitions that provably (or
+        # unprovably — missing stats) hold rows before the cutoff
+        scan_pids: list[str] = []
+        for pid in candidates:
+            files = man.partitions[pid].get("files") or []
+            if not files:
+                continue
+            mn = _files_min_ts_us(table_dir, files, ttl_col)
+            if mn is None or mn < cutoff_us:
+                scan_pids.append(pid)
+        if not drop_pids and not scan_pids:
+            return None
+
+        t0 = time.perf_counter()
+        epoch = man.epoch + 1
+        rows_expired = 0
+        if scan_pids:
+            items = [{"pid": int(pid)} for pid in scan_pids]
+            stats = (
+                ray.data.from_items(items, override_num_blocks=len(items))
+                .map_batches(
+                    TTLWorker,
+                    fn_constructor_kwargs={
+                        "table_dir": table_dir,
+                        "epoch": epoch,
+                        "partitions": _worker_partitions(man.partitions),
+                        "snapshot_schema_b64": man.schema_b64,
+                        "ttl_col": ttl_col,
+                        "cutoff_us": cutoff_us,
+                        "mode": man.mode,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    concurrency=concurrency,
+                    num_cpus=1,
+                )
+                .take_all()
+            )
+            for row in stats:
+                pid = str(row["pid"])
+                promote_part(table_dir, row["new_file"])
+                man.partitions[pid].update(
+                    {
+                        "rows": int(row["rows"]),
+                        "exact_rows": True,
+                        "bytes": int(row["bytes"]),
+                        "files": _json.loads(row["files_json"]),
+                    }
+                )
+                rows_expired += int(row["deletes"])
+        if drop_pids:
+            # pin the resume floor before partitions vanish: the global
+            # watermark is min over partitions and must not move backwards
+            # (or fall to 0 if every partition drops)
+            man.watermark_floor = max(man.watermark_floor, man.watermark)
+            for pid in drop_pids:
+                rows_expired += int(man.partitions[pid]["rows"])
+                del man.partitions[pid]
+        out = {
+            "epoch": epoch,
+            "ttl": True,
+            "ttl_col": ttl_col,
+            "cutoff": cutoff.isoformat(),
+            "partitions_dropped": len(drop_pids),
+            "partitions_rewritten": len(scan_pids),
+            "rows_expired": rows_expired,
+            "wall_s": round(time.perf_counter() - t0, 4),
+        }
+        man.epoch = epoch
+        man.history.append(out)
+        commit_manifest(man)
+        gc_stale_files(man)
+        return out
+
+
+def _files_min_ts_us(table_dir: str, files: list[str], col: str) -> int | None:
+    """min(col) across a partition's parquet files from footer row-group
+    statistics only (no data pages read). None = some file/row-group lacks
+    stats for the column, i.e. the caller must treat the partition as
+    overlapping and scan it."""
+    mins: list[int] = []
+    for rel in files:
+        md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        idx = None
+        if md.num_row_groups:
+            rg0 = md.row_group(0)
+            for i in range(rg0.num_columns):
+                if rg0.column(i).path_in_schema == col:
+                    idx = i
+                    break
+            if idx is None:
+                return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mins.append(pa.scalar(st.min, pa.timestamp("us")).value)
+    return min(mins) if mins else None
+
+
 def import_base(
     table_dir: str,
     parquet_path: str,

@@ -548,6 +548,61 @@ class CompactWorker:
         return pa.concat_tables(out)
 
 
+class TTLWorker:
+    """TTL expiration rewrite: fold one partition's file chain (LWW-merged
+    for upsert tables, concatenated for append tables) and DROP rows whose
+    TTL column is strictly before the cutoff — the merge-time half of
+    ClickHouse's ``TTL <col>`` clause (rows past their TTL disappear when a
+    part is rewritten), run as an explicit maintenance pass. Null TTL values
+    never expire (ClickHouse semantics). Same tmp-write + driver-rename
+    commit protocol as MergeApply/CompactWorker; the driver handles the
+    cheap cases (whole-partition drops on time-partitioned tables, footer
+    min-stat pruning) so this worker only ever sees partitions that really
+    contain expired rows."""
+
+    def __init__(
+        self,
+        table_dir: str,
+        epoch: int,
+        partitions: dict[str, dict],
+        snapshot_schema_b64: str,
+        ttl_col: str,
+        cutoff_us: int,
+        mode: str = "upsert",
+    ):
+        self.table_dir = table_dir
+        self.epoch = epoch
+        self.partitions = partitions
+        self.snapshot_schema = schema_from_b64(snapshot_schema_b64)
+        self.ttl_col = ttl_col
+        self.cutoff_us = cutoff_us
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        kind = "append" if self.mode == "append" else "snapshot"
+        for pid in batch.column("pid").to_pylist():
+            t0 = time.perf_counter()
+            meta = self.partitions[str(pid)]
+            merged = read_partition(
+                self.table_dir, meta.get("files") or [], self.snapshot_schema, self.mode
+            )
+            col = merged.column(self.ttl_col)
+            cutoff = pa.scalar(self.cutoff_us, pa.timestamp("us")).cast(col.type)
+            # keep = ttl_col >= cutoff; nulls keep (never expire)
+            keep = pc.fill_null(pc.greater_equal(col, cutoff), True)
+            kept = merged.filter(keep)
+            expired = merged.num_rows - kept.num_rows
+            rel, nbytes = write_part_tmp(self.table_dir, pid, self.epoch, kind, kept)
+            out.append(
+                _stats_row(
+                    pid, kept.num_rows, True, nbytes,
+                    0, expired, int(meta["watermark_lsn"]), rel, [rel], t0,
+                )
+            )
+        return pa.concat_tables(out)
+
+
 class SnapshotWriter:
     """Write one pid group of already-merged snapshot rows as a clean
     snapshot file (used by table repartitioning, where rows arrive via a
