@@ -314,6 +314,38 @@ def _run(argv: list[str] | None = None) -> int:
                     help="write flagged rows to this directory as parquet")
 
     sp = sub.add_parser(
+        "train-classifier",
+        help="train a hashed-feature multinomial Naive Bayes text "
+             "classifier (fastText-classifier role) in one distributed "
+             "count-aggregation pass; persists the model tmp+rename",
+    )
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--label-col", default="lang")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--dim", type=int, default=1 << 18,
+                    help="hashed feature buckets (model size is C x dim, "
+                         "independent of corpus vocabulary)")
+    sp.add_argument("--alpha", type=float, default=1.0)
+    sp.add_argument("--no-bigrams", action="store_true")
+    sp.add_argument("--output", required=True, help="model directory")
+
+    sp = sub.add_parser(
+        "classify",
+        help="score a documents parquet with a trained classifier "
+             "(weights broadcast once via ray.put, actor-pool scoring); "
+             "optionally keep only rows past --min-prob of --positive",
+    )
+    sp.add_argument("--model", required=True, help="train-classifier output")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--positive", default=None,
+                    help="class whose probability is emitted as p_positive")
+    sp.add_argument("--min-prob", type=float, default=None,
+                    help="keep only rows with p_positive >= this")
+    sp.add_argument("--output", default=None,
+                    help="write scored rows to this directory as parquet")
+
+    sp = sub.add_parser(
         "index-text",
         help="build a persisted BM25 inverted index (term-hash-bucketed "
              "postings + corpus stats; idempotent tmp+rename build)",
@@ -1052,6 +1084,68 @@ def _run(argv: list[str] | None = None) -> int:
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
         print(hits.head(20).to_string(index=False))
+        return 0
+
+    if args.cmd == "train-classifier":
+        from .functions.classifier import train_nb
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        ds = rd.read_parquet(
+            os.path.join(args.sf_dir, "documents.parquet"),
+            columns=[args.text_col, args.label_col],
+        )
+        model = train_nb(
+            ds,
+            label_col=args.label_col,
+            text_col=args.text_col,
+            dim=args.dim,
+            alpha=args.alpha,
+            bigrams=not args.no_bigrams,
+        )
+        model.save(args.output)
+        print(json.dumps({
+            "classes": model.classes,
+            "doc_counts": model.doc_counts.tolist(),
+            "dim": model.dim, "bigrams": model.bigrams,
+            "model": args.output,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "classify":
+        from .functions.classifier import NBModel, classify as classify_ds
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        model = NBModel.load(args.model)
+        ds = rd.read_parquet(
+            os.path.join(args.sf_dir, "documents.parquet")
+        )
+        out = classify_ds(
+            ds, model,
+            text_col=args.text_col,
+            positive=args.positive,
+            min_prob=args.min_prob,
+        )
+        if args.output:
+            out.write_parquet(args.output)
+        scored = out if args.output is None else rd.read_parquet(args.output)
+        hist = scored.groupby("pred_label").count().to_pandas()
+        n = int(hist["count()"].sum()) if len(hist) else 0
+        print(json.dumps({
+            "model": args.model, "rows": n,
+            "per_class": {
+                r["pred_label"]: int(r["count()"]) for _, r in hist.iterrows()
+            },
+            "positive": args.positive, "min_prob": args.min_prob,
+            "output": args.output,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
         return 0
 
     if args.cmd == "index-text":
