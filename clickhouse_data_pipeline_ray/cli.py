@@ -330,13 +330,31 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--output", required=True, help="model directory")
 
     sp = sub.add_parser(
+        "classifier-refresh",
+        help="build/refresh the per-partition count partials of an NB "
+             "classifier over a committed table (changed-partition-only "
+             "refresh via the manifest diff; composes equal to a retrain)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--output", required=True, help="partials/model dir")
+    sp.add_argument("--label-col", default="source")
+    sp.add_argument("--feature-col", default="tokens")
+    sp.add_argument("--dim", type=int, default=1 << 18)
+    sp.add_argument("--alpha", type=float, default=1.0)
+    sp.add_argument("--no-bigrams", action="store_true")
+
+    sp = sub.add_parser(
         "classify",
         help="score a documents parquet with a trained classifier "
              "(weights broadcast once via ray.put, actor-pool scoring); "
              "optionally keep only rows past --min-prob of --positive",
     )
-    sp.add_argument("--model", required=True, help="train-classifier output")
+    sp.add_argument("--model", required=True,
+                    help="train-classifier or classifier-refresh output")
     sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--table", default=None,
+                    help="score this committed table's merged snapshot "
+                         "instead of --sf-dir documents")
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--positive", default=None,
                     help="class whose probability is emitted as p_positive")
@@ -1115,23 +1133,68 @@ def _run(argv: list[str] | None = None) -> int:
         }))
         return 0
 
+    if args.cmd == "classifier-refresh":
+        from .functions.classifier import refresh_table_classifier
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        meta = refresh_table_classifier(
+            args.table,
+            args.output,
+            label_col=args.label_col,
+            feature_col=args.feature_col,
+            dim=args.dim,
+            alpha=args.alpha,
+            bigrams=not args.no_bigrams,
+        )
+        print(json.dumps({
+            **{k: meta[k] for k in
+               ("indexed_epoch", "dim", "bigrams", "label_col", "feature_col")},
+            "refreshed_pids": meta["refreshed_pids"],
+            "output": args.output,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
     if args.cmd == "classify":
-        from .functions.classifier import NBModel, classify as classify_ds
+        from .functions.classifier import (
+            NBModel,
+            classify as classify_ds,
+            classify_table,
+            load_table_model,
+        )
 
         _init_ray(args.num_cpus)
         t0 = time.perf_counter()
         import ray.data as rd
 
-        model = NBModel.load(args.model)
-        ds = rd.read_parquet(
-            os.path.join(args.sf_dir, "documents.parquet")
-        )
-        out = classify_ds(
-            ds, model,
-            text_col=args.text_col,
-            positive=args.positive,
-            min_prob=args.min_prob,
-        )
+        if os.path.isdir(os.path.join(args.model, "partials")):
+            model = load_table_model(args.model)  # classifier-refresh output
+        else:
+            model = NBModel.load(args.model)
+        if args.table:
+            if args.min_prob is not None:
+                raise ValueError(
+                    "--min-prob filtering applies to --sf-dir scoring; "
+                    "table scoring reports scores for every committed row"
+                )
+            out = classify_table(
+                args.table, model,
+                feature_col=(
+                    args.text_col if args.text_col != "text" else "tokens"
+                ),
+                positive=args.positive,
+            )
+        else:
+            ds = rd.read_parquet(
+                os.path.join(args.sf_dir, "documents.parquet")
+            )
+            out = classify_ds(
+                ds, model,
+                text_col=args.text_col,
+                positive=args.positive,
+                min_prob=args.min_prob,
+            )
         if args.output:
             out.write_parquet(args.output)
         scored = out if args.output is None else rd.read_parquet(args.output)

@@ -87,6 +87,54 @@ def _featurize(
     return buckets, rows, lens
 
 
+def _featurize_token_lists(
+    col: pa.ChunkedArray | pa.Array, dim: int, bigrams: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Token-id featurizer for committed tables (``tokens: list<int32>`` —
+    the pre-tokenized training-sequence payload): same output contract as
+    the text featurizer. Buckets are a golden-ratio multiply of the token
+    id (+1 so token 0 doesn't map to the fixed point 0) — a full-avalanche
+    hash is unnecessary because the multiply already spreads consecutive
+    ids across the bucket space, and it keeps the kernel pure numpy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = (
+        pc.fill_null(pc.list_value_length(col), 0)
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    toks = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    h = (toks.astype(np.uint64) + np.uint64(1)) * _GOLDEN
+    buckets = (h % np.uint64(dim)).astype(np.int64)
+    if bigrams and len(h) > 1:
+        same_row = rows[1:] == rows[:-1]
+        bi = ((h[:-1] * _GOLDEN) ^ h[1:]) % np.uint64(dim)
+        buckets = np.concatenate([buckets, bi[same_row].astype(np.int64)])
+        rows = np.concatenate([rows, rows[1:][same_row]])
+    return buckets, rows, lens
+
+
+def _features_of(
+    col: pa.ChunkedArray | pa.Array, dim: int, bigrams: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dispatch by column type: string → word featurizer, list<int> →
+    token-id featurizer. The kind is also recorded on the trained model so
+    a tokens-trained model can never silently score a text column."""
+    typ = col.type
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        return _featurize_token_lists(col, dim, bigrams)
+    return _featurize(col, dim, bigrams)
+
+
+def _kind_of(typ: pa.DataType) -> str:
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        return "tokens"
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return "text"
+    raise ValueError(f"unsupported feature column type {typ}")
+
+
 @dataclass
 class NBModel:
     """Trained multinomial NB over hashed features. ``log_lik`` is float32
@@ -101,6 +149,7 @@ class NBModel:
     feature_counts: np.ndarray  # (C, dim) int64 — kept for exact-oracle tests
     log_prior: np.ndarray  # (C,) float64
     log_lik: np.ndarray  # (C, dim) float32
+    feature_kind: str = "text"  # "text" | "tokens" — guards scoring dispatch
 
     def save(self, path: str) -> None:
         """Persist under ``path`` with the repo-wide tmp+rename commit
@@ -119,6 +168,7 @@ class NBModel:
             "dim": self.dim,
             "alpha": self.alpha,
             "bigrams": self.bigrams,
+            "feature_kind": self.feature_kind,
             "n_docs": int(self.doc_counts.sum()),
         }
         with open(os.path.join(tmp, "meta.json"), "w") as f:
@@ -143,6 +193,7 @@ class NBModel:
             feature_counts=w["feature_counts"],
             log_prior=w["log_prior"],
             log_lik=w["log_lik"],
+            feature_kind=meta.get("feature_kind", "text"),
         )
 
     def payload(self) -> dict:
@@ -152,9 +203,46 @@ class NBModel:
             "classes": self.classes,
             "dim": self.dim,
             "bigrams": self.bigrams,
+            "feature_kind": self.feature_kind,
             "log_prior": self.log_prior,
             "log_lik": self.log_lik,
         }
+
+
+def _model_from_counts(
+    classes: list[str],
+    dim: int,
+    alpha: float,
+    bigrams: bool,
+    feature_kind: str,
+    doc_counts: np.ndarray,
+    feature_counts: np.ndarray,
+) -> NBModel:
+    """THE weight formula — one copy shared by the one-pass trainer and the
+    incremental table-model composer, so a composed model is bitwise equal
+    to a retrained one whenever the counts are equal."""
+    total = doc_counts.sum()
+    if total == 0:
+        raise ValueError("no training documents")
+    log_prior = np.log(doc_counts.astype(np.float64) / total)
+    denom = (
+        feature_counts.sum(axis=1, keepdims=True).astype(np.float64)
+        + alpha * dim
+    )
+    log_lik = np.log(
+        (feature_counts.astype(np.float64) + alpha) / denom
+    ).astype(np.float32)
+    return NBModel(
+        classes=classes,
+        dim=dim,
+        alpha=alpha,
+        bigrams=bigrams,
+        doc_counts=doc_counts,
+        feature_counts=feature_counts,
+        log_prior=log_prior,
+        log_lik=log_lik,
+        feature_kind=feature_kind,
+    )
 
 
 def _count_partial(
@@ -168,7 +256,7 @@ def _count_partial(
     width = dim + 1
     labels = batch.column(label_col).to_numpy(zero_copy_only=False).astype(object)
     cls = np.array([class_idx[l] for l in labels], dtype=np.int64)
-    buckets, rows, _ = _featurize(batch.column(text_col), dim, bigrams)
+    buckets, rows, _ = _features_of(batch.column(text_col), dim, bigrams)
     keys = cls[rows] * width + buckets
     # per-class doc counts ride along as bucket == dim
     keys = np.concatenate([keys, cls * width + dim])
@@ -226,23 +314,14 @@ def train_nb(
         ).to_numpy(zero_copy_only=False)
 
     mat = counts.reshape(C, width)
-    feature_counts = np.ascontiguousarray(mat[:, :dim])
-    doc_counts = np.ascontiguousarray(mat[:, dim])
-    total = doc_counts.sum()
-    log_prior = np.log(doc_counts.astype(np.float64) / total)
-    denom = feature_counts.sum(axis=1, keepdims=True).astype(np.float64) + alpha * dim
-    log_lik = np.log(
-        (feature_counts.astype(np.float64) + alpha) / denom
-    ).astype(np.float32)
-    return NBModel(
-        classes=classes,
-        dim=dim,
-        alpha=alpha,
-        bigrams=bigrams,
-        doc_counts=doc_counts,
-        feature_counts=feature_counts,
-        log_prior=log_prior,
-        log_lik=log_lik,
+    return _model_from_counts(
+        classes,
+        dim,
+        alpha,
+        bigrams,
+        _kind_of(dict(zip(ds.schema().names, ds.schema().types))[text_col]),
+        np.ascontiguousarray(mat[:, dim]),
+        np.ascontiguousarray(mat[:, :dim]),
     )
 
 
@@ -264,7 +343,7 @@ def score_table(
     empty doc under uniform priors) break to the lexicographically first
     class (argmax convention, classes are sorted)."""
     n = len(batch_text)
-    buckets, rows, _ = _featurize(batch_text, dim, bigrams)
+    buckets, rows, _ = _features_of(batch_text, dim, bigrams)
     C = len(classes)
     scores = np.empty((n, C), dtype=np.float64)
     for c in range(C):
@@ -309,12 +388,19 @@ class NBScorer:
         self.classes = list(payload["classes"])
         self.dim = int(payload["dim"])
         self.bigrams = bool(payload["bigrams"])
+        self.feature_kind = payload.get("feature_kind", "text")
         self.log_prior = payload["log_prior"]
         self.log_lik = payload["log_lik"]
         self.text_col = text_col
         self.positive = positive
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        got = _kind_of(batch.column(self.text_col).type)
+        if got != self.feature_kind:
+            raise ValueError(
+                f"model was trained on {self.feature_kind!r} features but "
+                f"column {self.text_col!r} is {got!r}"
+            )
         cols = score_table(
             batch.column(self.text_col),
             self.classes,
@@ -363,3 +449,262 @@ def classify(
             batch_format="pyarrow",
         )
     return out
+
+
+# --- incremental classifier over a committed table ------------------------
+#
+# NB counts are ADDITIVE across partitions, so the model over a committed
+# table decomposes into per-partition sparse count partials that can be
+# cached and refreshed partition-by-partition — the derived-artifact
+# maintenance contract the BM25 token index and the ANN index established
+# (changed-partition-only refresh via the manifest diff, per-pid dir swap,
+# meta.json commits last). Updates and deletes are handled for free because
+# a refreshed partition's partial is REPLACED from its current merged
+# snapshot. The composed model is bitwise equal to a full retrain at the
+# same epoch (pinned in tests) because both run the same count → weight
+# formula (`_model_from_counts`).
+
+
+def _pid_count_partial(
+    snap: pa.Table, pid: int, label_col: str, feature_col: str,
+    dim: int, bigrams: bool,
+) -> pa.Table:
+    """One partition's sparse (label, bucket, count) partial; bucket == -1
+    rows carry the per-label document count. Labels stay strings here (no
+    global class index exists during incremental maintenance — a refresh
+    may introduce a class no other partition has seen)."""
+    labels = (
+        snap.column(label_col).to_numpy(zero_copy_only=False).astype(object)
+    )
+    buckets, rows, _ = _features_of(snap.column(feature_col), dim, bigrams)
+    lab_feat = labels[rows]
+    all_lab = np.concatenate([lab_feat, labels])
+    all_bkt = np.concatenate(
+        [buckets, np.full(len(labels), -1, dtype=np.int64)]
+    )
+    import pandas as pd
+
+    g = (
+        pd.DataFrame({"label": all_lab, "bucket": all_bkt})
+        .groupby(["label", "bucket"], sort=False)
+        .size()
+        .reset_index(name="count")
+    )
+    return pa.table(
+        {
+            "label": pa.array(g["label"].astype(str)),
+            "bucket": pa.array(g["bucket"].to_numpy(), pa.int64()),
+            "count": pa.array(g["count"].to_numpy(), pa.int64()),
+            "pid": pa.array(np.full(len(g), pid), pa.int64()),
+        }
+    )
+
+
+def refresh_table_classifier(
+    table_dir: str,
+    model_dir: str,
+    label_col: str = "source",
+    feature_col: str = "tokens",
+    dim: int = DEFAULT_DIM,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+) -> dict:
+    """Build — or incrementally refresh — the per-partition count partials
+    of an NB classifier over a committed table's merged snapshot.
+
+    Layout: ``partials/pid=P/*.parquet`` + ``meta.json`` holding
+    ``indexed_epoch`` and the model hyperparameters. On refresh, partitions
+    whose manifest file chains are unchanged between the indexed epoch and
+    HEAD are never opened (``pipelines.diff.changed_partitions``); changed
+    ones re-derive from their merged snapshots. Falls back to a full
+    rebuild when the indexed epoch is no longer retained, the layout
+    changed (repartition), or any hyperparameter differs. Crash safety:
+    partial dirs swap via ``os.replace``; ``meta.json`` commits LAST."""
+    import shutil
+
+    from ..state.manifest import load_manifest
+
+    man = load_manifest(table_dir)
+    for col in (label_col, feature_col):
+        if col not in man.schema.names:
+            raise ValueError(f"column {col!r} not in table schema")
+    params = {
+        "label_col": label_col,
+        "feature_col": feature_col,
+        "feature_kind": _kind_of(man.schema.field(feature_col).type),
+        "dim": dim,
+        "alpha": alpha,
+        "bigrams": bigrams,
+    }
+    meta_path = os.path.join(model_dir, "meta.json")
+    old = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = json.load(f)
+    all_pids = sorted(man.partitions, key=int)
+    pids: list[str] = all_pids
+    if old and all(old.get(k) == v for k, v in params.items()):
+        try:
+            from ..pipelines.diff import changed_partitions
+
+            pids = [
+                str(c["pid"])
+                for c in changed_partitions(
+                    table_dir, old["indexed_epoch"], man.epoch
+                )
+            ]
+        except Exception:
+            old = None  # layout change / un-retained epoch → full rebuild
+    else:
+        old = None  # hyperparameters differ → a mixed model would be garbage
+
+    part_dir = os.path.join(model_dir, "partials")
+    if old is None:
+        # wipe everything: partials of partitions no longer in the manifest
+        # (post-repartition) must not survive as live counts
+        shutil.rmtree(part_dir, ignore_errors=True)
+    if pids:
+        files_by_pid = {
+            p: (man.partitions[p].get("files") or []) for p in pids
+        }
+        schema, mode = man.schema, man.mode
+
+        def derive(batch: pa.Table) -> pa.Table:
+            from ..stages.merge import read_partition
+
+            out = []
+            for pid in batch.column("pid").to_pylist():
+                files = files_by_pid.get(str(pid)) or []
+                snap = (
+                    read_partition(table_dir, files, schema, mode)
+                    if files
+                    else schema.empty_table()
+                )
+                out.append(
+                    _pid_count_partial(
+                        snap, int(pid), label_col, feature_col, dim, bigrams
+                    )
+                )
+            return pa.concat_tables(out)
+
+        tmp_dir = part_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        ray.data.from_items([{"pid": int(p)} for p in pids]).map_batches(
+            derive, batch_format="pyarrow", batch_size=1
+        ).write_parquet(tmp_dir, partition_cols=["pid"])
+        os.makedirs(part_dir, exist_ok=True)
+        for p in pids:  # emptied partitions simply have no new dir
+            shutil.rmtree(os.path.join(part_dir, f"pid={p}"), ignore_errors=True)
+        if os.path.isdir(tmp_dir):
+            for pdir in os.listdir(tmp_dir):
+                dst = os.path.join(part_dir, pdir)
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(os.path.join(tmp_dir, pdir), dst)
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    meta = {**params, "indexed_epoch": man.epoch}
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
+    return {**meta, "refreshed_pids": sorted(pids, key=int)}
+
+
+def load_table_model(
+    model_dir: str, driver_limit: int = NB_DRIVER_LIMIT
+) -> NBModel:
+    """Compose the NBModel from a refreshed partial set. The combine
+    auto-switches on measured partial volume (parquet footer row counts —
+    no data read to decide): driver-small sums in pandas; past the limit
+    the partials reduce in-cluster via ``groupby([label, bucket]).sum``
+    and only the ≤ C·(dim+1)-row matrix reaches the driver."""
+    import pyarrow.dataset as pds
+
+    with open(os.path.join(model_dir, "meta.json")) as f:
+        meta = json.load(f)
+    part_dir = os.path.join(model_dir, "partials")
+    dset = pds.dataset(part_dir, format="parquet", partitioning="hive")
+    total_rows = sum(
+        frag.metadata.num_rows for frag in dset.get_fragments()
+    )
+    if total_rows <= driver_limit:
+        t = dset.to_table(columns=["label", "bucket", "count"]).to_pandas()
+        g = t.groupby(["label", "bucket"], as_index=False)["count"].sum()
+    else:
+        from ray.data.aggregate import Sum
+
+        g = (
+            ray.data.read_parquet(part_dir, columns=["label", "bucket", "count"])
+            .groupby(["label", "bucket"])
+            .aggregate(Sum("count", alias_name="count"))
+            .to_pandas()
+        )
+    classes = sorted(g["label"].unique())
+    idx = {c: i for i, c in enumerate(classes)}
+    dim = int(meta["dim"])
+    fc = np.zeros((len(classes), dim), dtype=np.int64)
+    dc = np.zeros(len(classes), dtype=np.int64)
+    ci = g["label"].map(idx).to_numpy()
+    bk = g["bucket"].to_numpy()
+    cn = g["count"].to_numpy().astype(np.int64)
+    is_doc = bk == -1
+    np.add.at(dc, ci[is_doc], cn[is_doc])
+    np.add.at(fc, (ci[~is_doc], bk[~is_doc]), cn[~is_doc])
+    return _model_from_counts(
+        classes,
+        dim,
+        float(meta["alpha"]),
+        bool(meta["bigrams"]),
+        meta["feature_kind"],
+        dc,
+        fc,
+    )
+
+
+def classify_table(
+    table_dir: str,
+    model: NBModel,
+    feature_col: str = "tokens",
+    positive: str | None = None,
+    concurrency: int | tuple = (1, 8),
+) -> ray.data.Dataset:
+    """Score a committed table's merged snapshot: one MERGE-on-read pass
+    over pid descriptors with the broadcast scorer applied in the same
+    actor — no shuffle, no driver materialization."""
+    from ..stages.merge import read_partition
+    from ..state.manifest import load_manifest
+
+    if positive is not None and positive not in model.classes:
+        raise ValueError(f"positive class {positive!r} not in {model.classes}")
+    man = load_manifest(table_dir)
+    files_by_pid = {
+        p: (man.partitions[p].get("files") or []) for p in man.partitions
+    }
+    schema, mode = man.schema, man.mode
+    ref = ray.put(model.payload())
+
+    class _ScorePid:
+        def __init__(self):
+            self.scorer = NBScorer(
+                model_ref=ref, text_col=feature_col, positive=positive
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = []
+            for pid in batch.column("pid").to_pylist():
+                files = files_by_pid.get(str(pid)) or []
+                snap = (
+                    read_partition(table_dir, files, schema, mode)
+                    if files
+                    else schema.empty_table()
+                )
+                out.append(self.scorer(snap))
+            return pa.concat_tables(out)
+
+    items = [{"pid": int(p)} for p in sorted(man.partitions, key=int)]
+    return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        _ScorePid,
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
