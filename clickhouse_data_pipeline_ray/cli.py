@@ -330,6 +330,30 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--output", required=True, help="model directory")
 
     sp = sub.add_parser(
+        "train-lm",
+        help="train a Stupid-Backoff hashed n-gram LM (KenLM role) in one "
+             "distributed count-aggregation pass; persists counts tmp+rename",
+    )
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--dim-u", type=int, default=1 << 20)
+    sp.add_argument("--dim-b", type=int, default=1 << 22)
+    sp.add_argument("--output", required=True, help="model directory")
+
+    sp = sub.add_parser(
+        "lm-score",
+        help="perplexity-score a documents parquet under a trained n-gram "
+             "LM (counts broadcast once, vectorized gathers); optionally "
+             "keep only rows with lm_ppl <= --max-ppl (CCNet head cut)",
+    )
+    sp.add_argument("--model", required=True, help="train-lm output")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--max-ppl", type=float, default=None)
+    sp.add_argument("--output", default=None,
+                    help="write scored rows to this directory as parquet")
+
+    sp = sub.add_parser(
         "classifier-refresh",
         help="build/refresh the per-partition count partials of an NB "
              "classifier over a committed table (changed-partition-only "
@@ -1129,6 +1153,59 @@ def _run(argv: list[str] | None = None) -> int:
             "doc_counts": model.doc_counts.tolist(),
             "dim": model.dim, "bigrams": model.bigrams,
             "model": args.output,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "train-lm":
+        from .functions.lm import train_lm
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        ds = rd.read_parquet(
+            os.path.join(args.sf_dir, "documents.parquet"),
+            columns=[args.text_col],
+        )
+        model = train_lm(
+            ds, text_col=args.text_col, dim_u=args.dim_u, dim_b=args.dim_b
+        )
+        model.save(args.output)
+        print(json.dumps({
+            "n_tokens": model.n_tokens,
+            "dim_u": model.dim_u, "dim_b": model.dim_b,
+            "feature_kind": model.feature_kind,
+            "distinct_unigram_buckets": int((model.uni > 0).sum()),
+            "distinct_bigram_buckets": int((model.bi > 0).sum()),
+            "model": args.output,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "lm-score":
+        from .functions.lm import LMModel, score_lm
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        model = LMModel.load(args.model)
+        ds = rd.read_parquet(os.path.join(args.sf_dir, "documents.parquet"))
+        out = score_lm(
+            ds, model, text_col=args.text_col, max_ppl=args.max_ppl
+        )
+        if args.output:
+            out.write_parquet(args.output)
+            out = rd.read_parquet(args.output)
+        from ray.data.aggregate import Count, Mean
+
+        stats = out.aggregate(Count(), Mean("lm_ppl"))
+        print(json.dumps({
+            "model": args.model,
+            "rows": int(stats.get("count()", 0)),
+            "mean_ppl": round(float(stats.get("mean(lm_ppl)") or 0.0), 4),
+            "max_ppl": args.max_ppl, "output": args.output,
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
         return 0

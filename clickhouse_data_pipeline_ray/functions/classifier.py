@@ -266,6 +266,42 @@ def _count_partial(
     )
 
 
+def aggregate_sparse_counts(
+    partials: ray.data.Dataset, size: int, driver_limit: int = NB_DRIVER_LIMIT
+) -> np.ndarray:
+    """Reduce sparse (key, count) partial rows into one dense int64 count
+    vector of ``size``. The combine auto-switches on MEASURED partial
+    volume: driver-small sums via ``np.add.at``; past ``driver_limit`` the
+    partials reduce in-cluster via ``groupby(key).sum`` (one shuffle over
+    partial rows) and only the reduced ≤ ``size``-row table reaches the
+    driver. Shared by the NB trainer and the n-gram LM trainer — their
+    models must fit on the driver by construction (they get broadcast)."""
+    partials = partials.materialize()
+    counts = np.zeros(size, dtype=np.int64)
+    if partials.count() <= driver_limit:
+        t = pa.concat_tables(
+            ray.get(ref) for ref in partials.to_arrow_refs()
+        ).combine_chunks()
+        np.add.at(
+            counts,
+            t.column("key").to_numpy(zero_copy_only=False),
+            t.column("count").to_numpy(zero_copy_only=False),
+        )
+    else:
+        from ray.data.aggregate import Sum
+
+        reduced = partials.groupby("key").aggregate(
+            Sum("count", alias_name="count")
+        )
+        t = pa.concat_tables(
+            ray.get(ref) for ref in reduced.to_arrow_refs()
+        ).combine_chunks()
+        counts[t.column("key").to_numpy(zero_copy_only=False)] = t.column(
+            "count"
+        ).to_numpy(zero_copy_only=False)
+    return counts
+
+
 def train_nb(
     ds: ray.data.Dataset,
     label_col: str = "lang",
@@ -288,31 +324,8 @@ def train_nb(
     partials = ds.map_batches(
         lambda b: _count_partial(b, label_col, text_col, class_idx, dim, bigrams),
         batch_format="pyarrow",
-    ).materialize()
-
-    counts = np.zeros(C * width, dtype=np.int64)
-    if partials.count() <= driver_limit:
-        t = pa.concat_tables(
-            ray.get(ref) for ref in partials.to_arrow_refs()
-        ).combine_chunks()
-        np.add.at(
-            counts,
-            t.column("key").to_numpy(zero_copy_only=False),
-            t.column("count").to_numpy(zero_copy_only=False),
-        )
-    else:
-        from ray.data.aggregate import Sum
-
-        reduced = partials.groupby("key").aggregate(
-            Sum("count", alias_name="count")
-        )
-        t = pa.concat_tables(
-            ray.get(ref) for ref in reduced.to_arrow_refs()
-        ).combine_chunks()
-        counts[t.column("key").to_numpy(zero_copy_only=False)] = t.column(
-            "count"
-        ).to_numpy(zero_copy_only=False)
-
+    )
+    counts = aggregate_sparse_counts(partials, C * width, driver_limit)
     mat = counts.reshape(C, width)
     return _model_from_counts(
         classes,
