@@ -341,13 +341,29 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--output", required=True, help="model directory")
 
     sp = sub.add_parser(
+        "lm-refresh",
+        help="build/refresh per-partition n-gram LM count partials over a "
+             "committed table (changed-partition-only via the manifest "
+             "diff; composes equal to a retrain)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--output", required=True, help="partials/model dir")
+    sp.add_argument("--feature-col", default="tokens")
+    sp.add_argument("--dim-u", type=int, default=1 << 20)
+    sp.add_argument("--dim-b", type=int, default=1 << 22)
+
+    sp = sub.add_parser(
         "lm-score",
         help="perplexity-score a documents parquet under a trained n-gram "
              "LM (counts broadcast once, vectorized gathers); optionally "
              "keep only rows with lm_ppl <= --max-ppl (CCNet head cut)",
     )
-    sp.add_argument("--model", required=True, help="train-lm output")
+    sp.add_argument("--model", required=True,
+                    help="train-lm or lm-refresh output")
     sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--table", default=None,
+                    help="score this committed table's merged snapshot "
+                         "instead of --sf-dir documents")
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--max-ppl", type=float, default=None)
     sp.add_argument("--output", default=None,
@@ -1183,18 +1199,62 @@ def _run(argv: list[str] | None = None) -> int:
         }))
         return 0
 
+    if args.cmd == "lm-refresh":
+        from .functions.lm import refresh_table_lm
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        meta = refresh_table_lm(
+            args.table,
+            args.output,
+            feature_col=args.feature_col,
+            dim_u=args.dim_u,
+            dim_b=args.dim_b,
+        )
+        print(json.dumps({
+            **{k: meta[k] for k in
+               ("indexed_epoch", "dim_u", "dim_b", "feature_col")},
+            "refreshed_pids": meta["refreshed_pids"],
+            "output": args.output,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
     if args.cmd == "lm-score":
-        from .functions.lm import LMModel, score_lm
+        from .functions.lm import (
+            LMModel,
+            load_table_lm,
+            score_lm,
+            score_lm_table,
+        )
 
         _init_ray(args.num_cpus)
         t0 = time.perf_counter()
         import ray.data as rd
 
-        model = LMModel.load(args.model)
-        ds = rd.read_parquet(os.path.join(args.sf_dir, "documents.parquet"))
-        out = score_lm(
-            ds, model, text_col=args.text_col, max_ppl=args.max_ppl
-        )
+        if os.path.isdir(os.path.join(args.model, "partials")):
+            model = load_table_lm(args.model)  # lm-refresh output
+        else:
+            model = LMModel.load(args.model)
+        if args.table:
+            if args.max_ppl is not None:
+                raise ValueError(
+                    "--max-ppl filtering applies to --sf-dir scoring; table "
+                    "scoring reports lm_ppl for every committed row"
+                )
+            out = score_lm_table(
+                args.table, model,
+                feature_col=(
+                    args.text_col if args.text_col != "text" else "tokens"
+                ),
+            )
+        else:
+            ds = rd.read_parquet(
+                os.path.join(args.sf_dir, "documents.parquet")
+            )
+            out = score_lm(
+                ds, model, text_col=args.text_col, max_ppl=args.max_ppl
+            )
         if args.output:
             out.write_parquet(args.output)
             out = rd.read_parquet(args.output)

@@ -46,10 +46,18 @@ from pandas.util import hash_array
 import ray
 import ray.data
 
-# Partial-row budget for the driver-side count combine; above it the final
-# combine stays in the cluster (groupby over packed keys) and only the
-# reduced model-sized matrix reaches the driver.
+# Partial-row budget for the driver-side count combine during TRAINING;
+# above it the final combine stays in the cluster (groupby over packed
+# keys) and only the reduced model-sized matrix reaches the driver.
 NB_DRIVER_LIMIT = 1_000_000
+
+# Partial-row budget for COMPOSING a model from per-partition cached
+# partials. Composition is a dense np.add.at over already-reduced sparse
+# rows — sub-second at tens of millions of rows — so the driver path is
+# bounded by MEMORY (16 bytes/row ≈ 0.5 GB at the limit), not compute.
+# Only a genuinely huge table (thousands of partitions × near-saturated
+# bucket spaces) should pay the in-cluster groupby's fixed cost.
+COMPOSE_DRIVER_LIMIT = 32_000_000
 
 # 64-bit golden-ratio constant for the bigram hash mix (public-domain
 # Fibonacci-hashing constant; same role as in segment dedup's rolling hash).
@@ -533,8 +541,6 @@ def refresh_table_classifier(
     rebuild when the indexed epoch is no longer retained, the layout
     changed (repartition), or any hyperparameter differs. Crash safety:
     partial dirs swap via ``os.replace``; ``meta.json`` commits LAST."""
-    import shutil
-
     from ..state.manifest import load_manifest
 
     man = load_manifest(table_dir)
@@ -549,6 +555,34 @@ def refresh_table_classifier(
         "alpha": alpha,
         "bigrams": bigrams,
     }
+
+    def derive_partial(snap: pa.Table, pid: int) -> pa.Table:
+        return _pid_count_partial(
+            snap, pid, label_col, feature_col, dim, bigrams
+        )
+
+    return refresh_table_partials(table_dir, model_dir, params, derive_partial)
+
+
+def refresh_table_partials(
+    table_dir: str,
+    model_dir: str,
+    params: dict,
+    derive_partial,
+) -> dict:
+    """The generic per-partition derived-counts maintenance engine (shared
+    by the NB classifier and the n-gram LM): cache ``derive_partial(merged
+    partition snapshot, pid)`` outputs under ``partials/pid=P/``, refresh
+    changed-partition-only via the manifest diff, swap per-pid dirs, commit
+    ``meta.json`` LAST (crash-safe/idempotent), and force a full rebuild
+    when any ``params`` entry differs or the indexed epoch is unretained.
+    ``derive_partial`` must return a table that includes an int64 ``pid``
+    column (the hive partition key of the cache layout)."""
+    import shutil
+
+    from ..state.manifest import load_manifest
+
+    man = load_manifest(table_dir)
     meta_path = os.path.join(model_dir, "meta.json")
     old = None
     if os.path.exists(meta_path):
@@ -593,11 +627,7 @@ def refresh_table_classifier(
                     if files
                     else schema.empty_table()
                 )
-                out.append(
-                    _pid_count_partial(
-                        snap, int(pid), label_col, feature_col, dim, bigrams
-                    )
-                )
+                out.append(derive_partial(snap, int(pid)))
             return pa.concat_tables(out)
 
         tmp_dir = part_dir + ".tmp"
@@ -623,7 +653,7 @@ def refresh_table_classifier(
 
 
 def load_table_model(
-    model_dir: str, driver_limit: int = NB_DRIVER_LIMIT
+    model_dir: str, driver_limit: int = COMPOSE_DRIVER_LIMIT
 ) -> NBModel:
     """Compose the NBModel from a refreshed partial set. The combine
     auto-switches on measured partial volume (parquet footer row counts —
@@ -673,33 +703,28 @@ def load_table_model(
     )
 
 
-def classify_table(
+def score_table_snapshot(
     table_dir: str,
-    model: NBModel,
-    feature_col: str = "tokens",
-    positive: str | None = None,
+    make_scorer,
     concurrency: int | tuple = (1, 8),
 ) -> ray.data.Dataset:
-    """Score a committed table's merged snapshot: one MERGE-on-read pass
-    over pid descriptors with the broadcast scorer applied in the same
-    actor — no shuffle, no driver materialization."""
+    """Apply a per-batch scorer to a committed table's merged snapshot: one
+    MERGE-on-read pass over pid descriptors with the scorer applied in the
+    same actor — no shuffle, no driver materialization. ``make_scorer`` is
+    a zero-arg factory evaluated once per ACTOR (broadcast fetch / pattern
+    compile happens there, never per batch)."""
     from ..stages.merge import read_partition
     from ..state.manifest import load_manifest
 
-    if positive is not None and positive not in model.classes:
-        raise ValueError(f"positive class {positive!r} not in {model.classes}")
     man = load_manifest(table_dir)
     files_by_pid = {
         p: (man.partitions[p].get("files") or []) for p in man.partitions
     }
     schema, mode = man.schema, man.mode
-    ref = ray.put(model.payload())
 
     class _ScorePid:
         def __init__(self):
-            self.scorer = NBScorer(
-                model_ref=ref, text_col=feature_col, positive=positive
-            )
+            self.scorer = make_scorer()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             out = []
@@ -720,4 +745,23 @@ def classify_table(
         batch_size=1,
         concurrency=concurrency,
         num_cpus=1,
+    )
+
+
+def classify_table(
+    table_dir: str,
+    model: NBModel,
+    feature_col: str = "tokens",
+    positive: str | None = None,
+    concurrency: int | tuple = (1, 8),
+) -> ray.data.Dataset:
+    """Score a committed table's merged snapshot with the broadcast NB
+    scorer (one ``ray.put``, fetched once per actor)."""
+    if positive is not None and positive not in model.classes:
+        raise ValueError(f"positive class {positive!r} not in {model.classes}")
+    ref = ray.put(model.payload())
+    return score_table_snapshot(
+        table_dir,
+        lambda: NBScorer(model_ref=ref, text_col=feature_col, positive=positive),
+        concurrency=concurrency,
     )

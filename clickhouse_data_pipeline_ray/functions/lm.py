@@ -45,10 +45,13 @@ import ray
 import ray.data
 
 from .classifier import (
+    COMPOSE_DRIVER_LIMIT,
     NB_DRIVER_LIMIT,
     _features_of,
     _kind_of,
     aggregate_sparse_counts,
+    refresh_table_partials,
+    score_table_snapshot,
 )
 
 BACKOFF = 0.4  # Brants et al.'s empirically-good constant
@@ -295,3 +298,116 @@ def score_lm(
             batch_format="pyarrow",
         )
     return out
+
+
+# --- incremental LM over a committed table ---------------------------------
+#
+# n-gram counts are additive across partitions exactly like NB class counts,
+# so the LM over a committed table rides the same per-partition partial
+# maintenance engine (`classifier.refresh_table_partials`): cached sparse
+# (key, count) partials per pid, changed-partition-only refresh, compose ==
+# full retrain at the same epoch.
+
+
+def refresh_table_lm(
+    table_dir: str,
+    model_dir: str,
+    feature_col: str = "tokens",
+    dim_u: int = DEFAULT_DIM_U,
+    dim_b: int = DEFAULT_DIM_B,
+) -> dict:
+    """Build/refresh per-partition n-gram count partials over a committed
+    table's merged snapshot. Key layout matches ``train_lm``: [0, dim_u)
+    unigrams, [dim_u, dim_u+dim_b) bigrams, last key = token total."""
+    from ..state.manifest import load_manifest
+
+    man = load_manifest(table_dir)
+    if feature_col not in man.schema.names:
+        raise ValueError(f"column {feature_col!r} not in table schema")
+    params = {
+        "artifact": "lm",
+        "feature_col": feature_col,
+        "feature_kind": _kind_of(man.schema.field(feature_col).type),
+        "dim_u": dim_u,
+        "dim_b": dim_b,
+    }
+    size = dim_u + dim_b + 1
+
+    def derive_partial(snap: pa.Table, pid: int) -> pa.Table:
+        uni, _, _, bi = _grams(snap.column(feature_col), dim_u, dim_b)
+        keys = np.concatenate(
+            [
+                uni,
+                bi + np.int64(dim_u),
+                np.full(len(uni), size - 1, dtype=np.int64),
+            ]
+        )
+        uk, counts = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "count": pa.array(counts, pa.int64()),
+                "pid": pa.array(np.full(len(uk), pid), pa.int64()),
+            }
+        )
+
+    return refresh_table_partials(table_dir, model_dir, params, derive_partial)
+
+
+def load_table_lm(
+    model_dir: str, driver_limit: int = COMPOSE_DRIVER_LIMIT
+) -> LMModel:
+    """Compose the LMModel from a refreshed partial set — same measured
+    auto-switch as the classifier composer (footer row counts decide
+    whether the reduce runs on the driver or in-cluster)."""
+    import pyarrow.dataset as pds
+
+    with open(os.path.join(model_dir, "meta.json")) as f:
+        meta = json.load(f)
+    dim_u, dim_b = int(meta["dim_u"]), int(meta["dim_b"])
+    size = dim_u + dim_b + 1
+    part_dir = os.path.join(model_dir, "partials")
+    dset = pds.dataset(part_dir, format="parquet", partitioning="hive")
+    total_rows = sum(frag.metadata.num_rows for frag in dset.get_fragments())
+    counts = np.zeros(size, dtype=np.int64)
+    if total_rows <= driver_limit:
+        t = dset.to_table(columns=["key", "count"])
+        np.add.at(
+            counts,
+            t.column("key").to_numpy(zero_copy_only=False),
+            t.column("count").to_numpy(zero_copy_only=False),
+        )
+    else:
+        from ray.data.aggregate import Sum
+
+        t = (
+            ray.data.read_parquet(part_dir, columns=["key", "count"])
+            .groupby("key")
+            .aggregate(Sum("count", alias_name="count"))
+            .to_pandas()
+        )
+        counts[t["key"].to_numpy()] = t["count"].to_numpy().astype(np.int64)
+    return LMModel(
+        dim_u=dim_u,
+        dim_b=dim_b,
+        feature_kind=meta["feature_kind"],
+        n_tokens=int(counts[size - 1]),
+        uni=np.ascontiguousarray(counts[:dim_u]),
+        bi=np.ascontiguousarray(counts[dim_u : dim_u + dim_b]),
+    )
+
+
+def score_lm_table(
+    table_dir: str,
+    model: LMModel,
+    feature_col: str = "tokens",
+    concurrency: int | tuple = (1, 8),
+) -> ray.data.Dataset:
+    """Perplexity-score a committed table's merged snapshot (one
+    MERGE-on-read pass, broadcast counts fetched once per actor)."""
+    ref = ray.put(model.payload())
+    return score_table_snapshot(
+        table_dir,
+        lambda: LMScorer(model_ref=ref, text_col=feature_col),
+        concurrency=concurrency,
+    )
