@@ -272,6 +272,42 @@ def bench_queries(ray) -> dict:
             for _ in res.iter_batches(batch_format="pyarrow"):
                 pass
         out[name] = round(time.perf_counter() - t0, 3)
+    out.update(bench_corpus_models(ray))
+    return out
+
+
+def bench_corpus_models(ray) -> dict:
+    """Learned-filter timings (not queries() entries — the driver contract
+    is capped at 50): hashed-NB classifier train+score and Stupid-Backoff
+    LM train+perplexity-score over the documents table."""
+    import ray.data as rd
+    from clickhouse_data_pipeline_ray.functions.classifier import (
+        classify, train_nb,
+    )
+    from clickhouse_data_pipeline_ray.functions.lm import score_lm, train_lm
+
+    docs = os.path.join(SF_DIR, "documents.parquet")
+    out = {}
+    t0 = time.perf_counter()
+    model = train_nb(
+        rd.read_parquet(docs, columns=["text", "lang"]), label_col="lang"
+    )
+    scored = classify(
+        rd.read_parquet(docs, columns=["doc_id", "text"]), model,
+        positive="en",
+    )
+    for _ in scored.iter_batches(batch_format="pyarrow"):
+        pass
+    out["classifier_train_score"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    lm = train_lm(rd.read_parquet(docs, columns=["text"]))
+    kept = score_lm(
+        rd.read_parquet(docs, columns=["doc_id", "text"]), lm, max_ppl=32.0
+    )
+    for _ in kept.iter_batches(batch_format="pyarrow"):
+        pass
+    out["lm_train_score"] = round(time.perf_counter() - t0, 3)
     return out
 
 

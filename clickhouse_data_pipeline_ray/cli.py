@@ -404,6 +404,25 @@ def _run(argv: list[str] | None = None) -> int:
                     help="write scored rows to this directory as parquet")
 
     sp = sub.add_parser(
+        "curate",
+        help="end-to-end curation: committed table -> LM perplexity cut -> "
+             "classifier cut -> deterministic shuffled training shards "
+             "(one snapshot pass + the exporter's one shuffle)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--output", required=True, help="shard directory")
+    sp.add_argument("--lm", default=None,
+                    help="train-lm or lm-refresh model dir")
+    sp.add_argument("--max-ppl", type=float, default=None)
+    sp.add_argument("--classifier", default=None,
+                    help="train-classifier or classifier-refresh model dir")
+    sp.add_argument("--positive", default=None)
+    sp.add_argument("--min-prob", type=float, default=None)
+    sp.add_argument("--feature-col", default="tokens")
+    sp.add_argument("--num-shards", type=int, default=16)
+    sp.add_argument("--seed", type=int, default=1)
+
+    sp = sub.add_parser(
         "index-text",
         help="build a persisted BM25 inverted index (term-hash-bucketed "
              "postings + corpus stats; idempotent tmp+rename build)",
@@ -1344,6 +1363,29 @@ def _run(argv: list[str] | None = None) -> int:
             },
             "positive": args.positive, "min_prob": args.min_prob,
             "output": args.output,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "curate":
+        from .pipelines.curate import curate_table
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        res = curate_table(
+            args.table,
+            args.output,
+            lm_model_dir=args.lm,
+            max_ppl=args.max_ppl,
+            clf_model_dir=args.classifier,
+            positive=args.positive,
+            min_prob=args.min_prob,
+            feature_col=args.feature_col,
+            num_shards=args.num_shards,
+            seed=args.seed,
+        )
+        print(json.dumps({
+            **res, "output": args.output,
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
         return 0
