@@ -404,6 +404,22 @@ def _run(argv: list[str] | None = None) -> int:
                     help="write scored rows to this directory as parquet")
 
     sp = sub.add_parser(
+        "semdedup",
+        help="semantic dedup (SemDeDup): k-means-blocked within-cluster "
+             "cosine near-dup groups; one representative survives per group",
+    )
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--eps", type=float, default=0.05,
+                    help="duplicate if cosine >= 1 - eps")
+    sp.add_argument("--n-clusters", type=int, default=32)
+    sp.add_argument("--keep", choices=["far", "min_key"], default="far",
+                    help="far = keep the member farthest from its centroid "
+                         "(the paper's rule); min_key = lowest key")
+    sp.add_argument("--max-cluster", type=int, default=4096)
+    sp.add_argument("--output", default=None,
+                    help="write the duplicate table (key, rep, keep) here")
+
+    sp = sub.add_parser(
         "curate",
         help="end-to-end curation: committed table -> LM perplexity cut -> "
              "classifier cut -> deterministic shuffled training shards "
@@ -1365,6 +1381,45 @@ def _run(argv: list[str] | None = None) -> int:
             "output": args.output,
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
+        return 0
+
+    if args.cmd == "semdedup":
+        from .functions.dedup import semdedup
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import pyarrow as pa_
+        import pyarrow.parquet as pq_
+        import ray.data as rd
+
+        ds = rd.read_parquet(
+            os.path.join(args.sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        out = semdedup(
+            ds,
+            eps=args.eps,
+            n_clusters=args.n_clusters,
+            keep=args.keep,
+            max_cluster=args.max_cluster,
+        )
+        if args.output:
+            os.makedirs(args.output, exist_ok=True)
+            pq_.write_table(
+                pa_.Table.from_pandas(out, preserve_index=False),
+                os.path.join(args.output, "part-00000.parquet"),
+            )
+        n_groups = out["rep"].nunique() if len(out) else 0
+        print(json.dumps({
+            "eps": args.eps, "n_clusters": args.n_clusters,
+            "keep": args.keep, "dup_rows": int(len(out)),
+            "dup_groups": int(n_groups),
+            "rows_dropped": int(len(out) - n_groups),
+            "capped_buckets": int(out.attrs.get("capped_buckets", 0)),
+            "output": args.output,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        print(out.head(20).to_string(index=False))
         return 0
 
     if args.cmd == "curate":

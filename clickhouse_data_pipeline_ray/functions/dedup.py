@@ -2224,3 +2224,166 @@ def incremental_embdup_dedup(
         return b.filter(pa.array(mask))
 
     return ds.map_batches(keep_fresh, batch_format="pyarrow"), hits
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023, arXiv:2303.09540)
+#
+# Cluster the embedding space with k-means, then find near-duplicate GROUPS
+# by exact pairwise cosine WITHIN each cluster only (k-means blocking makes
+# the all-pairs cost n²/k per cluster instead of n² — near-identical vectors
+# co-cluster by construction), connect the pairs into components, and keep
+# ONE representative per component. The paper keeps the member FARTHEST
+# from its cluster centroid (better downstream diversity); `keep="min_key"`
+# gives the deterministic-baseline alternative.
+
+
+class _SemAssign:
+    """Actor-pool stage: cosine-nearest centroid + similarity-to-centroid
+    for every vector (the broadcast-model-in-__init__ convention). The
+    embedding column passes through — the within-cluster verify needs it."""
+
+    def __init__(self, centroids: np.ndarray, vec_col: str = "embedding"):
+        c = np.asarray(centroids, dtype=np.float64)
+        n = np.linalg.norm(c, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        self.cents = c / n
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            batch = batch.append_column("cluster", pa.array([], pa.int64()))
+            return batch.append_column(
+                "centroid_sim", pa.array([], pa.float64())
+            )
+        emb = np.stack(
+            batch.column(self.vec_col).to_pandas().to_numpy()
+        ).astype(np.float64)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        sims = (emb / norm) @ self.cents.T
+        cl = np.argmax(sims, axis=1)
+        batch = batch.append_column("cluster", pa.array(cl, pa.int64()))
+        return batch.append_column(
+            "centroid_sim",
+            pa.array(sims[np.arange(len(cl)), cl], pa.float64()),
+        )
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    *,
+    eps: float = 0.05,
+    n_clusters: int = 32,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "far",
+    max_cluster: int = 4096,
+    sample_rows: int = 2048,
+    lloyd_iters: int = 0,
+    seed: int = 17,
+    concurrency: int | tuple = 2,
+) -> pd.DataFrame:
+    """Semantic dedup: rows whose cosine similarity to another row in the
+    same k-means cluster is ≥ ``1 - eps`` form duplicate components; one
+    member per component survives. Returns the DUPLICATED rows only —
+    columns (key, rep, keep) with exactly one ``keep=True`` per component
+    — plus the dedup family's cap accounting in ``result.attrs`` (a
+    cluster larger than ``max_cluster`` verifies its first ``max_cluster``
+    members by key; the rest are counted as dropped, never silently).
+
+    keep="far": the paper's choice — the member FARTHEST from the cluster
+    centroid survives (lowest centroid cosine; ties → lowest key).
+    keep="min_key": lowest key survives (the exact-dedup convention)."""
+    from .similarity import kmeans_centroids, kmeans_lloyd
+
+    if keep not in ("far", "min_key"):
+        raise ValueError(f"unknown keep strategy {keep!r}")
+    threshold = 1.0 - float(eps)
+    cents = kmeans_centroids(
+        ds,
+        n_centroids=n_clusters,
+        sample_rows=sample_rows,
+        vec_col=vec_col,
+        seed=seed,
+    )
+    if lloyd_iters > 0:
+        cents, _ = kmeans_lloyd(ds, cents, iters=lloyd_iters, vec_col=vec_col)
+
+    assigned = ds.map_batches(
+        _SemAssign,
+        fn_constructor_kwargs={"centroids": cents, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    ).materialize()
+    counts = _multi_member_counts(assigned, "cluster", DRIVER_VALUE_LIMIT)
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(key_col).reset_index(drop=True)
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "sim_a": [], "sim_b": []}
+        )
+        if len(g) < 2:
+            return empty
+        if len(g) > max_cluster:
+            print(
+                f"[semdedup] cluster over cap: {len(g)} vectors > "
+                f"{max_cluster}, verifying the first {max_cluster} by key"
+            )
+            g = g.head(max_cluster)
+        emb = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        emb = emb / norm
+        sims = emb @ emb.T
+        ii, jj = np.triu_indices(len(g), k=1)
+        hit = sims[ii, jj] >= threshold
+        if not hit.any():
+            return empty
+        keys = g[key_col].to_numpy()
+        csim = g["centroid_sim"].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": keys[ii[hit]],
+                "id_b": keys[jj[hit]],
+                "sim_a": csim[ii[hit]],
+                "sim_b": csim[jj[hit]],
+            }
+        )
+
+    pairs = (
+        assigned.groupby("cluster")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    empty_out = pd.DataFrame({"key": [], "rep": [], "keep": []})
+    if pairs.empty:
+        return _over_cap_stats(counts, max_cluster, "semdedup", empty_out)
+
+    comp = connected_components_auto(
+        pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()
+    )
+    # per-key centroid similarity (for keep="far"), from the pair rows
+    csim: dict = {}
+    for col_k, col_s in (("id_a", "sim_a"), ("id_b", "sim_b")):
+        csim.update(zip(pairs[col_k].to_numpy(), pairs[col_s].to_numpy()))
+    members = pd.DataFrame(
+        {"key": list(comp.keys()), "rep": list(comp.values())}
+    )
+    if keep == "far":
+        members["_sim"] = members["key"].map(csim)
+        members = members.sort_values(["rep", "_sim", "key"]).reset_index(
+            drop=True
+        )
+        keepers = set(members.groupby("rep", sort=False)["key"].first())
+        members = members.drop(columns=["_sim"])
+    else:
+        keepers = set(
+            members.sort_values(["rep", "key"])
+            .groupby("rep", sort=False)["key"]
+            .first()
+        )
+    members["keep"] = members["key"].isin(keepers)
+    members = members.sort_values("key").reset_index(drop=True)
+    return _over_cap_stats(counts, max_cluster, "semdedup", members)
