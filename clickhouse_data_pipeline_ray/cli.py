@@ -126,6 +126,10 @@ def _run(argv: list[str] | None = None) -> int:
                          "arrival counts as late (event_time_col tables only)")
     sp.add_argument("--compact-threshold", type=int, default=8,
                     help="compact a partition when its file chain reaches this")
+    sp.add_argument("--dlq", default=None,
+                    help="dead-letter directory: quarantine malformed change "
+                         "events (invalid op / null lsn / null key) there "
+                         "instead of failing the epoch")
 
     sp = sub.add_parser(
         "compact", help="fold delta chains into clean per-partition snapshots"
@@ -888,6 +892,7 @@ def _run(argv: list[str] | None = None) -> int:
                     write_mode=args.write_mode,
                     compact_threshold=args.compact_threshold,
                     allowed_lateness_s=args.allowed_lateness,
+                    dlq_dir=args.dlq,
                 )
                 while True:
                     stats = apply_once(args.table, args.wal, cfg)

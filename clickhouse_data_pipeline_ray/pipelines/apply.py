@@ -104,6 +104,14 @@ class ApplyConfig:
     # multi-KB diagnostic string). Distributed epochs only; the driver-side
     # micro-epoch path has no Dataset execution to report.
     stage_stats: bool = False
+    # Dead-letter queue: with a directory set, malformed change events
+    # (invalid op, null lsn, null key) are QUARANTINED to
+    # <dlq_dir>/epoch=N/part-*.parquet (raw rows + a `reason` column)
+    # instead of failing the epoch — the Kafka-Connect DLQ analog. The
+    # epoch's DLQ dir is wiped when the epoch (re)starts, so a crash-retried
+    # epoch never double-quarantines; `dlq_rows` lands in the epoch stats.
+    # None (default) keeps the strict fail-loudly contract.
+    dlq_dir: str | None = None
 
 
 def create_table(
@@ -279,6 +287,41 @@ def _apply_small_epoch(
     return stats
 
 
+def _make_dlq_writer(dlq_dir: str, epoch: int):
+    """Per-epoch dead-letter writer for the normalize tasks: each call
+    lands one parquet part under ``<dlq_dir>/epoch=N/`` via tmp+rename
+    (unique random names — many small files is the nature of a DLQ; its
+    volume is pathological input, not the corpus). The epoch dir is wiped
+    HERE, at epoch (re)start, so a crash-retried epoch replaces — never
+    duplicates — its quarantined rows."""
+    import shutil
+    import uuid
+
+    edir = os.path.join(dlq_dir, f"epoch={epoch}")
+    shutil.rmtree(edir, ignore_errors=True)
+    os.makedirs(edir, exist_ok=True)
+
+    def write(bad: pa.Table) -> None:
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(edir, name + ".tmp")
+        pq.write_table(bad, tmp)
+        os.replace(tmp, os.path.join(edir, name))
+
+    return write
+
+
+def _dlq_epoch_rows(dlq_dir: str, epoch: int) -> int:
+    """Quarantined-row count for one epoch, from parquet footers only."""
+    edir = os.path.join(dlq_dir, f"epoch={epoch}")
+    if not os.path.isdir(edir):
+        return 0
+    return sum(
+        pq.ParquetFile(os.path.join(edir, f)).metadata.num_rows
+        for f in os.listdir(edir)
+        if f.endswith(".parquet")
+    )
+
+
 def apply_once(table_dir: str, wal_dir: str, cfg: ApplyConfig | None = None) -> dict | None:
     """Apply one epoch of pending WAL segments. Returns stats, or None when
     caught up. Ray must already be initialized by the caller. Holds the
@@ -301,6 +344,9 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
     epoch_max_lsn = max(s.last_lsn for s in segs)
 
     is_append = man.mode == "append"
+    dlq_writer = None
+    if cfg.dlq_dir:
+        dlq_writer = _make_dlq_writer(cfg.dlq_dir, epoch)
     normalize = make_normalize_fn(
         change_schema,
         man.spec,
@@ -308,6 +354,7 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
         watermark=watermark,
         key_col=man.key_col,
         mode=man.mode,
+        dlq_writer=dlq_writer,
     )
     # Raw change events in this epoch (pre-compaction), from parquet metadata.
     n_events = sum(segment_num_rows(s) for s in segs)
@@ -431,6 +478,8 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
     if man.event_time_col:
         epoch_stats["late_events"] = int(late_events)
         epoch_stats["event_time_watermark_us"] = man.event_time_watermark_us
+    if cfg.dlq_dir:
+        epoch_stats["dlq_rows"] = _dlq_epoch_rows(cfg.dlq_dir, epoch)
     man.epoch = epoch
     man.schema_b64 = schema_to_b64(snap_schema)
     man.history.append(epoch_stats)

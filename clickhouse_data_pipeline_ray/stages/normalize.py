@@ -60,6 +60,56 @@ def normalize_batch(
     return batch.append_column("op", op)
 
 
+def split_malformed(
+    batch: pa.Table, valid_ops: tuple, key_col: str = "doc_id"
+) -> tuple[pa.Table, pa.Table]:
+    """(good rows, quarantined rows + ``reason`` column) on a RAW change
+    batch — the dead-letter split (the Kafka-Connect DLQ analog; the
+    reference logs-and-drops malformed messages, processor.py:214-217 —
+    here nothing is ever dropped silently). Reasons, first match wins:
+
+    - ``invalid_op``: op not legal for the table mode (after the r→c map);
+    - ``null_lsn``: an event without an offset can't be watermarked —
+      without the split it would be SILENTLY dropped by the watermark
+      filter (NULL comparison → filtered);
+    - ``null_key``: a change event without its key can't be merged.
+
+    Quarantined rows keep their raw (pre-cast) form so the DLQ preserves
+    exactly what arrived."""
+    import numpy as np
+
+    n = batch.num_rows
+    op = pc.if_else(
+        pc.equal(batch.column("op"), pa.scalar("r")), pa.scalar("c"),
+        batch.column("op"),
+    )
+    bad_op = pc.fill_null(
+        pc.invert(pc.is_in(op, value_set=pa.array(list(valid_ops)))), True
+    ).to_numpy(zero_copy_only=False)
+    null_lsn = pc.is_null(batch.column("lsn")).to_numpy(zero_copy_only=False)
+    if key_col in batch.column_names:
+        null_key = pc.is_null(batch.column(key_col)).to_numpy(
+            zero_copy_only=False
+        )
+    else:
+        null_key = np.zeros(n, dtype=bool)  # missing column: caught post-cast
+    reason = np.select(
+        [bad_op, null_lsn, null_key],
+        ["invalid_op", "null_lsn", "null_key"],
+        default="",
+    )
+    bad_mask = reason != ""
+    if not bad_mask.any():
+        return batch, batch.slice(0, 0).append_column(
+            "reason", pa.array([], pa.string())
+        )
+    good = batch.filter(pa.array(~bad_mask))
+    bad = batch.filter(pa.array(bad_mask)).append_column(
+        "reason", pa.array(reason[bad_mask].astype(str))
+    )
+    return good, bad
+
+
 def make_normalize_fn(
     change_schema: pa.Schema,
     partition_spec: dict,
@@ -68,15 +118,32 @@ def make_normalize_fn(
     precompact: bool = True,
     key_col: str = "doc_id",
     mode: str = "upsert",
+    dlq_writer: Callable[[pa.Table], None] | None = None,
 ) -> Callable[[pa.Table], pa.Table]:
     """Build the map_batches function for one epoch (stateless tasks).
     Append mode: only 'c' ops are legal and there is no LWW pre-compaction
-    (every row survives)."""
+    (every row survives).
+
+    With ``dlq_writer`` set, malformed rows (invalid op / null lsn / null
+    key) are QUARANTINED through it instead of failing the epoch — the
+    dead-letter-queue ingest mode; without it the epoch fails loudly, the
+    strict default."""
     valid_ops = ("c",) if mode == "append" else _VALID_OPS
 
     def fn(batch: pa.Table) -> pa.Table:
         if watermark > 0:
-            batch = batch.filter(pc.greater(batch.column("lsn"), pa.scalar(watermark)))
+            keep = pc.greater(batch.column("lsn"), pa.scalar(watermark))
+            if dlq_writer is not None:
+                # a null-lsn row must SURVIVE the watermark filter to reach
+                # quarantine (NULL > wm is NULL → silently dropped otherwise)
+                keep = pc.fill_null(keep, True)
+            batch = batch.filter(keep)
+        if dlq_writer is not None and batch.num_rows:
+            # after the watermark filter: an epoch re-reading a straddling
+            # segment's already-applied half must not re-quarantine its rows
+            batch, bad = split_malformed(batch, valid_ops, key_col)
+            if bad.num_rows:
+                dlq_writer(bad)
         if batch.num_rows == 0:
             # SAME column order as the non-empty path (op appended last,
             # after the cast) — Ray 2.49 unifies block schemas by name, but
@@ -89,13 +156,25 @@ def make_normalize_fn(
         batch = normalize_batch(batch, change_schema, valid_ops)
         n_null_keys = batch.column(key_col).null_count
         if n_null_keys:
-            # a change event without its key is malformed input (e.g. a JSONL
-            # segment missing the field entirely — cast_table null-fills it);
-            # fail the epoch loudly like invalid ops do, instead of letting a
-            # null key reach the LWW merge
-            raise ValueError(
-                f"{n_null_keys} change event(s) with null {key_col!r} key"
-            )
+            if dlq_writer is not None:
+                # the raw segment lacked the key column entirely, so the
+                # pre-cast split couldn't see it — quarantine the null-filled
+                # rows in their normalized form
+                null_mask = pc.is_null(batch.column(key_col))
+                bad = batch.filter(null_mask).append_column(
+                    "reason",
+                    pa.array(["null_key"] * n_null_keys, pa.string()),
+                )
+                dlq_writer(bad)
+                batch = batch.filter(pc.invert(null_mask))
+            else:
+                # a change event without its key is malformed input (e.g. a
+                # JSONL segment missing the field entirely — cast_table
+                # null-fills it); fail the epoch loudly like invalid ops do,
+                # instead of letting a null key reach the LWW merge
+                raise ValueError(
+                    f"{n_null_keys} change event(s) with null {key_col!r} key"
+                )
         batch = assign_by_spec(batch, partition_spec, salt_factor, key_col)
         if precompact and mode == "upsert":
             batch = lww_compact(batch, key=key_col)
