@@ -197,6 +197,17 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
 
     sp = sub.add_parser(
+        "fsck",
+        help="table integrity check (manifest vs filesystem: missing/"
+             "orphan/tmp files, footer row counts, watermark + history "
+             "invariants; metadata-only, no data pages read)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--repair", action="store_true",
+                    help="remove orphan and tmp files (what post-commit GC "
+                         "would do); errors are never auto-repaired")
+
+    sp = sub.add_parser(
         "mv-register",
         help="register an incremental materialized view (append tables: "
              "WAL-folding ticks; upsert tables: changed-partition partial "
@@ -1815,6 +1826,13 @@ def _run(argv: list[str] | None = None) -> int:
         with pd.option_context("display.max_columns", 20, "display.width", 200):
             print(pdf.head(args.limit).to_string(index=False))
         return 0
+
+    if args.cmd == "fsck":
+        from .state.fsck import fsck_table
+
+        report = fsck_table(args.table, repair=args.repair)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
 
     if args.cmd == "status":
         from .state.manifest import load_manifest, retained_epochs
