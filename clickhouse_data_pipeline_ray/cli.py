@@ -17,6 +17,18 @@ import sys
 import time
 
 
+def _read_parquet_or_empty(rd, path: str):
+    """Re-open a directory write_parquet just wrote — which holds NO
+    parquet files when the written dataset was empty (read_parquet would
+    raise). None = empty result."""
+    has_files = any(
+        f.endswith(".parquet")
+        for _r, _d, fs in os.walk(path)
+        for f in fs
+    )
+    return rd.read_parquet(path) if has_files else None
+
+
 def _init_ray(num_cpus: int | None):
     import ray
 
@@ -379,7 +391,10 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", default=None,
                     help="score this committed table's merged snapshot "
                          "instead of --sf-dir documents")
-    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--text-col", default="text",
+                    help="feature column for --sf-dir scoring")
+    sp.add_argument("--feature-col", default="tokens",
+                    help="feature column for --table scoring")
     sp.add_argument("--max-ppl", type=float, default=None)
     sp.add_argument("--output", default=None,
                     help="write scored rows to this directory as parquet")
@@ -410,7 +425,10 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", default=None,
                     help="score this committed table's merged snapshot "
                          "instead of --sf-dir documents")
-    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--text-col", default="text",
+                    help="feature column for --sf-dir scoring")
+    sp.add_argument("--feature-col", default="tokens",
+                    help="feature column for --table scoring")
     sp.add_argument("--positive", default=None,
                     help="class whose probability is emitted as p_positive")
     sp.add_argument("--min-prob", type=float, default=None,
@@ -1272,21 +1290,13 @@ def _run(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "lm-score":
-        from .functions.lm import (
-            LMModel,
-            load_table_lm,
-            score_lm,
-            score_lm_table,
-        )
+        from .functions.lm import load_lm_any, score_lm, score_lm_table
 
         _init_ray(args.num_cpus)
         t0 = time.perf_counter()
         import ray.data as rd
 
-        if os.path.isdir(os.path.join(args.model, "partials")):
-            model = load_table_lm(args.model)  # lm-refresh output
-        else:
-            model = LMModel.load(args.model)
+        model = load_lm_any(args.model)
         if args.table:
             if args.max_ppl is not None:
                 raise ValueError(
@@ -1294,10 +1304,7 @@ def _run(argv: list[str] | None = None) -> int:
                     "scoring reports lm_ppl for every committed row"
                 )
             out = score_lm_table(
-                args.table, model,
-                feature_col=(
-                    args.text_col if args.text_col != "text" else "tokens"
-                ),
+                args.table, model, feature_col=args.feature_col
             )
         else:
             ds = rd.read_parquet(
@@ -1308,14 +1315,20 @@ def _run(argv: list[str] | None = None) -> int:
             )
         if args.output:
             out.write_parquet(args.output)
-            out = rd.read_parquet(args.output)
-        from ray.data.aggregate import Count, Mean
+            out = _read_parquet_or_empty(rd, args.output)
+        stats = None
+        if out is not None:
+            from ray.data.aggregate import Count, Mean
 
-        stats = out.aggregate(Count(), Mean("lm_ppl"))
+            # aggregate() returns None on an empty dataset (a max-ppl cut
+            # can legitimately drop every row)
+            stats = out.aggregate(Count(), Mean("lm_ppl"))
+        rows = int(stats.get("count()", 0)) if stats else 0
+        mean = stats.get("mean(lm_ppl)") if stats else None
         print(json.dumps({
             "model": args.model,
-            "rows": int(stats.get("count()", 0)),
-            "mean_ppl": round(float(stats.get("mean(lm_ppl)") or 0.0), 4),
+            "rows": rows,
+            "mean_ppl": round(float(mean), 4) if rows and mean is not None else None,
             "max_ppl": args.max_ppl, "output": args.output,
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
@@ -1346,20 +1359,16 @@ def _run(argv: list[str] | None = None) -> int:
 
     if args.cmd == "classify":
         from .functions.classifier import (
-            NBModel,
             classify as classify_ds,
             classify_table,
-            load_table_model,
+            load_classifier_any,
         )
 
         _init_ray(args.num_cpus)
         t0 = time.perf_counter()
         import ray.data as rd
 
-        if os.path.isdir(os.path.join(args.model, "partials")):
-            model = load_table_model(args.model)  # classifier-refresh output
-        else:
-            model = NBModel.load(args.model)
+        model = load_classifier_any(args.model)
         if args.table:
             if args.min_prob is not None:
                 raise ValueError(
@@ -1368,9 +1377,7 @@ def _run(argv: list[str] | None = None) -> int:
                 )
             out = classify_table(
                 args.table, model,
-                feature_col=(
-                    args.text_col if args.text_col != "text" else "tokens"
-                ),
+                feature_col=args.feature_col,
                 positive=args.positive,
             )
         else:
@@ -1383,10 +1390,15 @@ def _run(argv: list[str] | None = None) -> int:
                 positive=args.positive,
                 min_prob=args.min_prob,
             )
+        import pandas as pd
+
         if args.output:
             out.write_parquet(args.output)
-        scored = out if args.output is None else rd.read_parquet(args.output)
-        hist = scored.groupby("pred_label").count().to_pandas()
+            out = _read_parquet_or_empty(rd, args.output)
+        if out is None:  # every row filtered: a valid, empty result
+            hist = pd.DataFrame(columns=["pred_label", "count()"])
+        else:
+            hist = out.groupby("pred_label").count().to_pandas()
         n = int(hist["count()"].sum()) if len(hist) else 0
         print(json.dumps({
             "model": args.model, "rows": n,

@@ -143,6 +143,33 @@ def _kind_of(typ: pa.DataType) -> str:
     raise ValueError(f"unsupported feature column type {typ}")
 
 
+def commit_model_dir(tmp: str, path: str) -> None:
+    """Swap a fully-written tmp model dir into place WITHOUT a window where
+    neither old nor new exists: old → ``path.old``, tmp → path, drop the
+    old. A crash between the renames leaves ``path.old`` intact, which
+    ``open_model_dir`` falls back to — re-saving over an existing model can
+    never destroy it."""
+    import shutil
+
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def open_model_dir(path: str) -> str:
+    """The usable model dir: ``path``, or the ``path.old`` a crashed save
+    left behind (the previous model — still valid)."""
+    if os.path.exists(os.path.join(path, "meta.json")):
+        return path
+    old = path + ".old"
+    if os.path.exists(os.path.join(old, "meta.json")):
+        return old
+    return path  # let the caller's open fail with the natural error
+
+
 @dataclass
 class NBModel:
     """Trained multinomial NB over hashed features. ``log_lik`` is float32
@@ -181,14 +208,11 @@ class NBModel:
         }
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(meta, f, indent=1)
-        if os.path.exists(path):
-            import shutil
-
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+        commit_model_dir(tmp, path)
 
     @staticmethod
     def load(path: str) -> "NBModel":
+        path = open_model_dir(path)
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         w = np.load(os.path.join(path, "weights.npz"))
@@ -323,7 +347,13 @@ def train_nb(
     discovery is a separate column-pruned ``unique`` over the label column
     only (labels are low-cardinality by nature; the text column never
     travels for it)."""
-    classes = sorted(ds.select_columns([label_col]).unique(label_col))
+    uniq = ds.select_columns([label_col]).unique(label_col)
+    if any(c is None for c in uniq):
+        raise ValueError(
+            f"label column {label_col!r} contains nulls — filter or "
+            "backfill them before training (a null class is meaningless)"
+        )
+    classes = sorted(uniq)
     if not classes:
         raise ValueError("training dataset is empty")
     class_idx = {c: i for i, c in enumerate(classes)}
@@ -607,6 +637,15 @@ def refresh_table_partials(
 
     part_dir = os.path.join(model_dir, "partials")
     if old is None:
+        # FULL REBUILD: invalidate meta.json BEFORE touching partials — a
+        # crash mid-rebuild must leave "no meta" (next refresh rebuilds
+        # cleanly), never an old meta describing new-params partials (a
+        # later refresh with the old params would take the incremental path
+        # over mixed-hyperparameter counts and compose silently wrong
+        # models). The incremental path needs no such step: its per-pid
+        # swaps are idempotent under the unchanged meta.
+        if os.path.exists(meta_path):
+            os.remove(meta_path)
         # wipe everything: partials of partitions no longer in the manifest
         # (post-repartition) must not survive as live counts
         shutil.rmtree(part_dir, ignore_errors=True)
@@ -701,6 +740,14 @@ def load_table_model(
         dc,
         fc,
     )
+
+
+def load_classifier_any(model_dir: str) -> NBModel:
+    """train-classifier output (saved weights) or classifier-refresh output
+    (per-partition partials, composed on the fly) — one loader for both."""
+    if os.path.isdir(os.path.join(model_dir, "partials")):
+        return load_table_model(model_dir)
+    return NBModel.load(model_dir)
 
 
 def score_table_snapshot(

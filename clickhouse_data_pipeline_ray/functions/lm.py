@@ -102,14 +102,15 @@ class LMModel:
                 },
                 f,
             )
-        if os.path.exists(path):
-            import shutil
+        from .classifier import commit_model_dir
 
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+        commit_model_dir(tmp, path)
 
     @staticmethod
     def load(path: str) -> "LMModel":
+        from .classifier import open_model_dir
+
+        path = open_model_dir(path)
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         w = np.load(os.path.join(path, "counts.npz"))
@@ -210,17 +211,12 @@ def lm_logprob_columns(
     n_tok_row = np.bincount(rows, minlength=n).astype(np.int64)
     sums = np.bincount(rows, weights=tok_lp, minlength=n)
     has = n_tok_row > 0
-    mean = np.full(n, np.nan)
+    mean = np.zeros(n, dtype=np.float64)
     mean[has] = sums[has] / n_tok_row[has]
+    mask = ~has  # masked slots become nulls; their values are never read
     return {
-        "lm_logprob": pa.array(
-            [float(m) if ok else None for m, ok in zip(mean, has)],
-            pa.float64(),
-        ),
-        "lm_ppl": pa.array(
-            [float(np.exp(-m)) if ok else None for m, ok in zip(mean, has)],
-            pa.float64(),
-        ),
+        "lm_logprob": pa.array(mean, pa.float64(), mask=mask),
+        "lm_ppl": pa.array(np.exp(-mean), pa.float64(), mask=mask),
         "n_lm_tokens": pa.array(n_tok_row, pa.int64()),
     }
 
@@ -395,6 +391,13 @@ def load_table_lm(
         uni=np.ascontiguousarray(counts[:dim_u]),
         bi=np.ascontiguousarray(counts[dim_u : dim_u + dim_b]),
     )
+
+
+def load_lm_any(model_dir: str) -> LMModel:
+    """train-lm output or lm-refresh partials — one loader for both."""
+    if os.path.isdir(os.path.join(model_dir, "partials")):
+        return load_table_lm(model_dir)
+    return LMModel.load(model_dir)
 
 
 def score_lm_table(

@@ -289,11 +289,15 @@ def _apply_small_epoch(
 
 def _make_dlq_writer(dlq_dir: str, epoch: int):
     """Per-epoch dead-letter writer for the normalize tasks: each call
-    lands one parquet part under ``<dlq_dir>/epoch=N/`` via tmp+rename
-    (unique random names — many small files is the nature of a DLQ; its
-    volume is pathological input, not the corpus). The epoch dir is wiped
-    HERE, at epoch (re)start, so a crash-retried epoch replaces — never
-    duplicates — its quarantined rows."""
+    lands one parquet part under ``<dlq_dir>/epoch=N/`` via tmp+rename.
+    Part names are CONTENT-ADDRESSED (sha1 of the serialized rows), so a
+    Ray task retry re-emitting the same bad batch overwrites its own part
+    instead of duplicating it; the whole epoch dir is additionally wiped
+    at epoch (re)start, covering full-epoch retries. (Many small files is
+    the nature of a DLQ — its volume is pathological input, not the
+    corpus.)"""
+    import hashlib
+    import io
     import shutil
     import uuid
 
@@ -302,9 +306,13 @@ def _make_dlq_writer(dlq_dir: str, epoch: int):
     os.makedirs(edir, exist_ok=True)
 
     def write(bad: pa.Table) -> None:
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        tmp = os.path.join(edir, name + ".tmp")
-        pq.write_table(bad, tmp)
+        buf = io.BytesIO()
+        pq.write_table(bad, buf)
+        payload = buf.getvalue()
+        name = f"part-{hashlib.sha1(payload).hexdigest()}.parquet"
+        tmp = os.path.join(edir, f"{name}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(payload)
         os.replace(tmp, os.path.join(edir, name))
 
     return write

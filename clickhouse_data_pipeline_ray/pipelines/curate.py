@@ -33,26 +33,12 @@ import pyarrow.parquet as pq
 import ray
 
 from ..functions.classifier import (
-    NBModel,
     NBScorer,
-    load_table_model,
+    load_classifier_any,
     score_table_snapshot,
 )
-from ..functions.lm import LMModel, LMScorer, load_table_lm
+from ..functions.lm import LMScorer, load_lm_any
 from .export import export_shuffled
-
-
-def load_lm_any(model_dir: str) -> LMModel:
-    """train-lm output or lm-refresh partials — both load to an LMModel."""
-    if os.path.isdir(os.path.join(model_dir, "partials")):
-        return load_table_lm(model_dir)
-    return LMModel.load(model_dir)
-
-
-def load_classifier_any(model_dir: str) -> NBModel:
-    if os.path.isdir(os.path.join(model_dir, "partials")):
-        return load_table_model(model_dir)
-    return NBModel.load(model_dir)
 
 
 class _CurateScorer:

@@ -79,6 +79,14 @@ def split_malformed(
     import numpy as np
 
     n = batch.num_rows
+    # a segment missing the op or lsn column ENTIRELY is wholly malformed:
+    # quarantine every row rather than KeyError-ing the epoch (the strict
+    # no-DLQ path never reaches here and still fails loudly)
+    for col, why in (("op", "missing_op"), ("lsn", "missing_lsn")):
+        if col not in batch.column_names:
+            return batch.slice(0, 0), batch.append_column(
+                "reason", pa.array([why] * n, pa.string())
+            )
     op = pc.if_else(
         pc.equal(batch.column("op"), pa.scalar("r")), pa.scalar("c"),
         batch.column("op"),
@@ -131,7 +139,17 @@ def make_normalize_fn(
     valid_ops = ("c",) if mode == "append" else _VALID_OPS
 
     def fn(batch: pa.Table) -> pa.Table:
-        if watermark > 0:
+        if (
+            dlq_writer is not None
+            and batch.num_rows
+            and ("lsn" not in batch.column_names or "op" not in batch.column_names)
+        ):
+            # wholly malformed segment (no lsn/op column): quarantine it all
+            # BEFORE the watermark filter would KeyError on the lsn column
+            _, bad = split_malformed(batch, valid_ops, key_col)
+            dlq_writer(bad)
+            batch = batch.slice(0, 0)
+        if watermark > 0 and batch.num_rows:
             keep = pc.greater(batch.column("lsn"), pa.scalar(watermark))
             if dlq_writer is not None:
                 # a null-lsn row must SURVIVE the watermark filter to reach

@@ -34,6 +34,20 @@ from .manifest import Manifest, load_manifest, retained_epochs
 
 
 def fsck_table(table_dir: str, repair: bool = False) -> dict:
+    """Read-only checks run lock-free (a concurrent epoch can make orphan/
+    tmp WARNINGS transiently appear — its not-yet-committed files — which
+    is harmless to report). ``repair=True`` MUST hold the single-writer
+    lock: deleting an in-flight epoch's freshly promoted parts as "orphans"
+    would corrupt the commit it races."""
+    if repair:
+        from .manifest import table_lock
+
+        with table_lock(table_dir):
+            return _fsck_locked(table_dir, repair=True)
+    return _fsck_locked(table_dir, repair=False)
+
+
+def _fsck_locked(table_dir: str, repair: bool) -> dict:
     man = load_manifest(table_dir)
     findings: list[dict] = []
 

@@ -163,3 +163,35 @@ def test_append_mode_quarantines_updates(ray_session, tmp_path):
     assert stats["dlq_rows"] == 1
     snap = snapshot_table(table)
     assert sorted(snap.column("event_id").to_pylist()) == ["e1", "e3"]
+
+
+def test_dlq_writer_content_addressed(ray_session, tmp_path):
+    """A retried task re-emitting the SAME bad batch overwrites its own
+    part (sha1 content naming) instead of duplicating it."""
+    from clickhouse_data_pipeline_ray.pipelines.apply import _make_dlq_writer
+
+    w = _make_dlq_writer(str(tmp_path / "dlq"), 1)
+    bad = pa.table({"doc_id": pa.array(["x"]), "reason": pa.array(["invalid_op"])})
+    w(bad)
+    w(bad)  # simulated task retry
+    edir = str(tmp_path / "dlq" / "epoch=1")
+    parts = [f for f in os.listdir(edir) if f.endswith(".parquet")]
+    assert len(parts) == 1
+    other = pa.table({"doc_id": pa.array(["y"]), "reason": pa.array(["null_lsn"])})
+    w(other)
+    assert len([f for f in os.listdir(edir) if f.endswith(".parquet")]) == 2
+
+
+def test_split_malformed_missing_columns_quarantines_all(ray_session):
+    from clickhouse_data_pipeline_ray.stages.normalize import split_malformed
+
+    no_op = pa.table({"lsn": pa.array([1, 2], pa.int64()),
+                      "doc_id": pa.array(["a", "b"])})
+    good, bad = split_malformed(no_op, ("c", "u", "d"))
+    assert good.num_rows == 0 and bad.num_rows == 2
+    assert set(bad.column("reason").to_pylist()) == {"missing_op"}
+    no_lsn = pa.table({"op": pa.array(["c", "c"]),
+                       "doc_id": pa.array(["a", "b"])})
+    good, bad = split_malformed(no_lsn, ("c", "u", "d"))
+    assert good.num_rows == 0
+    assert set(bad.column("reason").to_pylist()) == {"missing_lsn"}

@@ -193,3 +193,35 @@ def test_kind_mismatch_rejected(ray_session, table, tmp_path):
     scorer = NBScorer(payload=model.payload())
     with pytest.raises(ValueError, match="trained on 'tokens'"):
         scorer(pa.table({"text": pa.array(["a b"])}))
+
+
+def test_crashed_rebuild_state_recovers(ray_session, table, tmp_path):
+    """A crashed full rebuild leaves partials WITHOUT meta.json (meta is
+    invalidated first) — the next refresh must full-rebuild, never trust
+    mixed-hyperparameter partials."""
+    table_dir, _ = table
+    mdir = str(tmp_path / "clf")
+    refresh_table_classifier(table_dir, mdir, dim=DIM)
+    os.remove(os.path.join(mdir, "meta.json"))  # the crashed-rebuild state
+    meta = refresh_table_classifier(table_dir, mdir, dim=DIM)
+    assert len(meta["refreshed_pids"]) == 8  # full rebuild, not incremental
+    _assert_models_equal(
+        load_table_model(mdir), _retrain_from_snapshot(ray_session, table_dir)
+    )
+
+
+def test_model_save_crash_leaves_previous_loadable(ray_session, table, tmp_path):
+    """Simulate a crash between the two renames of commit_model_dir: the
+    previous model survives at path.old and load() falls back to it."""
+    from clickhouse_data_pipeline_ray.functions.classifier import NBModel
+
+    table_dir, _ = table
+    mdir = str(tmp_path / "clf")
+    refresh_table_classifier(table_dir, mdir, dim=DIM)
+    model = load_table_model(mdir)
+    saved = str(tmp_path / "saved")
+    model.save(saved)
+    # crash window: old moved aside, new never renamed in
+    os.rename(saved, saved + ".old")
+    loaded = NBModel.load(saved)
+    np.testing.assert_array_equal(loaded.log_lik, model.log_lik)
