@@ -142,6 +142,11 @@ def _run(argv: list[str] | None = None) -> int:
                     help="dead-letter directory: quarantine malformed change "
                          "events (invalid op / null lsn / null key) there "
                          "instead of failing the epoch")
+    sp.add_argument("--refresh-artifacts", action="store_true",
+                    help="after each committed epoch, refresh every "
+                         "artifact registered via artifact-register "
+                         "(classifier/lm/ann/token indexes; each prunes to "
+                         "changed partitions)")
 
     sp = sub.add_parser(
         "compact", help="fold delta chains into clean per-partition snapshots"
@@ -206,6 +211,29 @@ def _run(argv: list[str] | None = None) -> int:
                     help="time-travel to a retained historical epoch")
 
     sp = sub.add_parser("status", help="print the manifest summary")
+    sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser(
+        "artifact-register",
+        help="register a derived artifact (classifier/lm/ann/tokens) so "
+             "artifacts-refresh / apply --refresh-artifacts maintains it",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--kind", required=True,
+                    choices=["classifier", "lm", "ann", "tokens"])
+    sp.add_argument("--dest", required=True, help="artifact directory")
+    sp.add_argument("--param", action="append", default=[],
+                    help="refresher kwarg as key=value (repeatable); "
+                         "values parse as int/float/bool when they look "
+                         "like one")
+
+    sp = sub.add_parser(
+        "artifacts-refresh",
+        help="refresh every registered artifact to the table's current "
+             "epoch (each prunes to changed partitions / no-ops if caught "
+             "up)",
+    )
     sp.add_argument("--table", required=True)
 
     sp = sub.add_parser(
@@ -934,6 +962,12 @@ def _run(argv: list[str] | None = None) -> int:
                                 tick = refresh_mv(args.table, args.wal, name)
                                 if tick:
                                     print(json.dumps(tick))
+                        if args.refresh_artifacts:
+                            from .state.artifacts import refresh_artifacts
+
+                            res = refresh_artifacts(args.table)
+                            if res:
+                                print(json.dumps({"artifacts": res}))
                     if args.once or (stats is None and not args.follow):
                         break
                     if stats is None:
@@ -1837,6 +1871,43 @@ def _run(argv: list[str] | None = None) -> int:
         }))
         with pd.option_context("display.max_columns", 20, "display.width", 200):
             print(pdf.head(args.limit).to_string(index=False))
+        return 0
+
+    if args.cmd == "artifact-register":
+        from .state.artifacts import register_artifact
+
+        params = {}
+        for kv in args.param:
+            k, _, v = kv.partition("=")
+            if not _:
+                raise ValueError(f"--param needs key=value, got {kv!r}")
+            if v.lower() in ("true", "false"):
+                params[k] = v.lower() == "true"
+            else:
+                try:
+                    params[k] = int(v)
+                except ValueError:
+                    try:
+                        params[k] = float(v)
+                    except ValueError:
+                        params[k] = v
+        spec = register_artifact(
+            args.table, args.name, args.kind, args.dest, params
+        )
+        print(json.dumps({"name": args.name, **spec}))
+        return 0
+
+    if args.cmd == "artifacts-refresh":
+        from .state.artifacts import refresh_artifacts
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        res = refresh_artifacts(args.table)
+        print(json.dumps({
+            "table": args.table,
+            "artifacts": res,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
         return 0
 
     if args.cmd == "fsck":
