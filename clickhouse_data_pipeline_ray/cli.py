@@ -78,10 +78,14 @@ def _run(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("init", help="create an empty table layout + manifest")
     sp.add_argument("--table", required=True)
     sp.add_argument("--num-partitions", type=int, default=64)
-    sp.add_argument("--mode", choices=("upsert", "append"), default="upsert",
+    sp.add_argument("--mode", choices=("upsert", "append", "sum"), default="upsert",
                     help="upsert: LWW by key (ReplacingMergeTree analog); "
-                         "append: immutable facts (MergeTree analog)")
+                         "append: immutable facts (MergeTree analog); "
+                         "sum: additive rollup by key (SummingMergeTree analog)")
     sp.add_argument("--key-col", default="doc_id")
+    sp.add_argument("--sum-cols", default=None,
+                    help="comma-separated measure columns summed per key "
+                         "(required for --mode sum; e.g. 'value')")
     sp.add_argument("--schema", choices=("docs", "facts"), default=None,
                     help="built-in schema (default: docs for upsert, facts for append)")
     sp.add_argument("--partition-by-month", metavar="TS_COL", default=None,
@@ -740,7 +744,9 @@ def _run(argv: list[str] | None = None) -> int:
         from .pipelines.apply import create_table
         from .schemas import FACT_SNAPSHOT_SCHEMA, SNAPSHOT_SCHEMA
 
-        schema_name = args.schema or ("facts" if args.mode == "append" else "docs")
+        schema_name = args.schema or (
+            "facts" if args.mode in ("append", "sum") else "docs"
+        )
         schema = FACT_SNAPSHOT_SCHEMA if schema_name == "facts" else SNAPSHOT_SCHEMA
         spec = (
             {"kind": "time", "col": args.partition_by_month, "granularity": "month"}
@@ -748,15 +754,21 @@ def _run(argv: list[str] | None = None) -> int:
             else None
         )
         key_col = args.key_col
-        if args.key_col == "doc_id" and schema_name == "facts":
+        if args.key_col == "doc_id" and schema_name == "facts" and args.mode == "append":
             key_col = "event_id"
         ev_col = args.event_time_col
         if ev_col is None and schema_name == "facts":
             ev_col = "event_ts"
+        sum_cols = (
+            [c for c in (args.sum_cols or "").split(",") if c]
+            if args.mode == "sum"
+            else None
+        )
         man = create_table(
             args.table, num_partitions=args.num_partitions, schema=schema,
             mode=args.mode, key_col=key_col, partition_spec=spec,
             retention=args.retention, event_time_col=ev_col or "",
+            sum_cols=sum_cols,
         )
         print(json.dumps({"table": args.table, "epoch": man.epoch, "mode": man.mode,
                           "partition_spec": man.spec,

@@ -654,6 +654,7 @@ def refresh_table_partials(
             p: (man.partitions[p].get("files") or []) for p in pids
         }
         schema, mode = man.schema, man.mode
+        sum_cols = man.sum_cols
 
         def derive(batch: pa.Table) -> pa.Table:
             from ..stages.merge import read_partition
@@ -662,7 +663,7 @@ def refresh_table_partials(
             for pid in batch.column("pid").to_pylist():
                 files = files_by_pid.get(str(pid)) or []
                 snap = (
-                    read_partition(table_dir, files, schema, mode)
+                    read_partition(table_dir, files, schema, mode, sum_cols)
                     if files
                     else schema.empty_table()
                 )
@@ -768,6 +769,7 @@ def score_table_snapshot(
         p: (man.partitions[p].get("files") or []) for p in man.partitions
     }
     schema, mode = man.schema, man.mode
+    sum_cols = man.sum_cols
 
     class _ScorePid:
         def __init__(self):
@@ -778,7 +780,7 @@ def score_table_snapshot(
             for pid in batch.column("pid").to_pylist():
                 files = files_by_pid.get(str(pid)) or []
                 snap = (
-                    read_partition(table_dir, files, schema, mode)
+                    read_partition(table_dir, files, schema, mode, sum_cols)
                     if files
                     else schema.empty_table()
                 )

@@ -51,7 +51,11 @@ from ..sources.wal import (
     segment_schema,
 )
 from ..stages.merge import MergeApply, promote_part
-from ..stages.normalize import compact_group, make_normalize_fn
+from ..stages.normalize import (
+    compact_group,
+    make_normalize_fn,
+    make_sum_compact_group,
+)
 from ..state.manifest import (
     Manifest,
     commit_manifest,
@@ -123,6 +127,7 @@ def create_table(
     partition_spec: dict | None = None,
     retention: int | None = None,
     event_time_col: str = "",
+    sum_cols: list[str] | None = None,
 ) -> Manifest:
     from ..state.manifest import MANIFEST_RETENTION
 
@@ -135,6 +140,7 @@ def create_table(
         partition_spec=partition_spec,
         retention=retention if retention is not None else MANIFEST_RETENTION,
         event_time_col=event_time_col,
+        sum_cols=sum_cols,
     )
 
 
@@ -363,6 +369,14 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
         key_col=man.key_col,
         mode=man.mode,
         dlq_writer=dlq_writer,
+        sum_cols=man.sum_cols,
+        # sum mode: partial sums must exclude each partition's already-
+        # applied rows (see make_normalize_fn) — O(P) ints, broadcast once
+        pid_watermarks=(
+            {pid: int(p["watermark_lsn"]) for pid, p in man.partitions.items()}
+            if man.mode == "sum"
+            else None
+        ),
     )
     # Raw change events in this epoch (pre-compaction), from parquet metadata.
     n_events = sum(segment_num_rows(s) for s in segs)
@@ -378,6 +392,7 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
         "event_time_col": man.event_time_col,
         "event_time_watermark_us": man.event_time_watermark_us,
         "allowed_lateness_us": int(cfg.allowed_lateness_s * 1_000_000),
+        "sum_cols": man.sum_cols,
     }
     hot_pids = []
     ray_stage_stats = None
@@ -403,17 +418,23 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
             zero_copy_batch=True,
             batch_size=cfg.batch_size,
         )
-        # Skew salting only applies to the upsert/LWW path (append groups do
-        # a plain concat — there is no per-key compaction to fan out).
+        # Skew salting applies to the per-key compacting modes (upsert LWW
+        # and sum rollups — a hot counter key is the sum-mode pain case);
+        # append groups do a plain concat, nothing to fan out.
         if not is_append:
             hot_pids, changes = _detect_hot_pids(man, changes, cfg)
         if hot_pids:
             # Two-level salted merge: L1 compacts (pid, salt) sub-groups in
             # parallel (each doc_id lives in exactly one sub-group, so L1
-            # output is fully LWW-compacted per key); L2 is the per-pid base
-            # merge.
+            # output is fully compacted per key); L2 is the per-pid base
+            # merge. Sum mode uses the sum-aware L1 (partial sums compose).
+            l1 = (
+                make_sum_compact_group(man.key_col, man.sum_cols)
+                if man.mode == "sum"
+                else compact_group
+            )
             changes = changes.groupby(["pid", "salt"]).map_groups(
-                compact_group, batch_format="pyarrow"
+                l1, batch_format="pyarrow"
             )
 
         stats_ds = changes.groupby("pid").map_groups(
@@ -572,6 +593,7 @@ def _compact_table_locked(table_dir: str, concurrency: int | tuple) -> dict | No
                 "partitions": _worker_partitions(man.partitions),
                 "snapshot_schema_b64": man.schema_b64,
                 "mode": man.mode,
+                "sum_cols": man.sum_cols,
             },
             batch_format="pyarrow",
             batch_size=None,
@@ -697,6 +719,7 @@ def ttl_expire(
                         "ttl_col": ttl_col,
                         "cutoff_us": cutoff_us,
                         "mode": man.mode,
+                        "sum_cols": man.sum_cols,
                     },
                     batch_format="pyarrow",
                     batch_size=None,
@@ -906,8 +929,8 @@ def _repartition_locked(
     import json as _json
 
     man = load_manifest(table_dir)
-    if man.mode != "upsert" or man.spec.get("kind") != "hash":
-        raise ValueError("repartition supports hash-partitioned upsert tables")
+    if man.mode not in ("upsert", "sum") or man.spec.get("kind") != "hash":
+        raise ValueError("repartition supports hash-partitioned upsert/sum tables")
     if new_num_partitions == man.num_partitions:
         return {"repartitioned": False, "num_partitions": man.num_partitions}
     t0 = time.perf_counter()
@@ -993,6 +1016,7 @@ def read_snapshot(table_dir: str, epoch: int | None = None) -> ray.data.Dataset:
         man.schema_b64,
         {pid: man.partitions[pid]["files"] for pid in map(str, pids)},
         mode=man.mode,
+        sum_cols=man.sum_cols,
     )
     return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
         reader, batch_format="pyarrow", batch_size=None
@@ -1038,7 +1062,9 @@ def read_time_range(
         return ray.data.from_arrow(man.schema.empty_table())
     ts_col = man.spec["col"]
     items = [{"pid": int(pid)} for pid in sorted(chains, key=int)]
-    reader = make_partition_reader(table_dir, man.schema_b64, chains, mode=man.mode)
+    reader = make_partition_reader(
+        table_dir, man.schema_b64, chains, mode=man.mode, sum_cols=man.sum_cols
+    )
     lo, hi = pa.scalar(start, pa.timestamp("us")), pa.scalar(end, pa.timestamp("us"))
 
     def read_and_trim(batch: pa.Table) -> pa.Table:
@@ -1063,9 +1089,11 @@ def snapshot_table(table_dir: str, epoch: int | None = None) -> pa.Table:
     for pid in sorted(man.partitions, key=int):
         files = man.partitions[pid].get("files") or []
         if files:
-            tables.append(read_partition(table_dir, files, man.schema, man.mode))
+            tables.append(
+                read_partition(table_dir, files, man.schema, man.mode, man.sum_cols)
+            )
     if not tables:
         return man.schema.empty_table()
-    # deterministic order: key for upsert (keys unique), lsn for append
-    sort_col = man.key_col if man.mode == "upsert" else "lsn"
+    # deterministic order: key for upsert/sum (keys unique), lsn for append
+    sort_col = man.key_col if man.mode in ("upsert", "sum") else "lsn"
     return pa.concat_tables(tables).sort_by([(sort_col, "ascending")])

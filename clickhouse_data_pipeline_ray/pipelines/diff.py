@@ -141,6 +141,7 @@ def table_diff(
         return ray.data.from_arrow(out_schema.empty_table())
 
     mode, key_col = man_new.mode, man_new.key_col
+    sum_cols = man_new.sum_cols
     old_wm = man_old.watermark
     new_wm = man_new.watermark
 
@@ -153,7 +154,7 @@ def table_diff(
         for row in batch.to_pylist():
             old_files, new_files = _json.loads(row["files_json"])
             new_t = (
-                read_partition(table_dir, new_files, schema, mode)
+                read_partition(table_dir, new_files, schema, mode, sum_cols)
                 if new_files
                 else schema.empty_table()
             )
@@ -165,7 +166,7 @@ def table_diff(
                 )
             else:
                 old_t = (
-                    read_partition(table_dir, old_files, old_schema, mode)
+                    read_partition(table_dir, old_files, old_schema, mode, sum_cols)
                     if old_files
                     else old_schema.empty_table()
                 )

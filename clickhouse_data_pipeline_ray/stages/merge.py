@@ -145,6 +145,82 @@ def lww_compact(
     return table.take(winners)
 
 
+def sum_compact(
+    table: pa.Table,
+    key: str = "doc_id",
+    sum_cols: list[str] | tuple = (),
+    version: str = "lsn",
+) -> pa.Table:
+    """SummingMergeTree-analog reduction: one row per key, with ``sum_cols``
+    summed across the key's rows and every OTHER column taken from the
+    max-``version`` row (ClickHouse keeps an arbitrary value for non-summed
+    columns, init.sql's SummingMergeTree engine for the kpi views,
+    /root/reference/etl/clickhouse_schema/kpi_views.sql:5-8 — ours is
+    deterministic: last writer wins).
+
+    Associative and commutative (sums and max both are; LSNs are unique per
+    event so the max-version row is unambiguous), so it folds hierarchically
+    exactly like :func:`lww_compact`: per batch before the shuffle, per
+    (pid, salt) sub-group, and per partition against the base — partial sums
+    compose to the same result as one global pass. Output is key-sorted.
+
+    Summed values are cast back to the column's declared type — an overflow
+    raises loudly (declare wide-enough measure types at DDL time)."""
+    if table.num_rows == 0:
+        return table
+    sum_cols = [c for c in sum_cols if c in table.column_names]
+    if not sum_cols:
+        return lww_compact(table, key=key, version=version)
+    # non-sum columns: payload-aware LWW (key-sorted winners, losers' payload
+    # never gathered); sum columns: one vectorized hash aggregation
+    winners = lww_compact(
+        table.drop_columns(sum_cols), key=key, version=version
+    )
+    sums = (
+        table.select([key] + sum_cols)
+        .group_by(key)
+        .aggregate([(c, "sum") for c in sum_cols])
+        .sort_by([(key, "ascending")])
+    )
+    if sums.num_rows != winners.num_rows:  # pragma: no cover - invariant
+        raise AssertionError(
+            f"sum_compact key mismatch: {sums.num_rows} summed keys vs "
+            f"{winners.num_rows} LWW winners"
+        )
+    cols = {}
+    for name in table.column_names:
+        if name in sum_cols:
+            cols[name] = sums.column(f"{name}_sum").cast(
+                table.schema.field(name).type
+            )
+        else:
+            cols[name] = winners.column(name)
+    return pa.table(cols)
+
+
+def sum_merge_file_tables(
+    tables: list[pa.Table],
+    snapshot_schema: pa.Schema,
+    sum_cols: list[str] | tuple,
+) -> pa.Table:
+    """Fold a sum-mode partition's file chain (summed base snapshot +
+    partial-sum delta files) into the merged state. Files carry no ``op``
+    column (sum tables are insert-only — additive deltas, no tombstones);
+    the fold is a plain concat + :func:`sum_compact`, valid in any order
+    because partial sums compose. Non-sum columns resolve to the max-LSN
+    contribution (base rows store their last contributor's LSN, deltas are
+    strictly newer by the watermark filter — no ties)."""
+    parts = [cast_table(t, snapshot_schema) for t in tables if t.num_rows]
+    if not parts:
+        return snapshot_schema.empty_table()
+    if len(parts) == 1:
+        # any committed sum part is already one-row-per-key and key-sorted
+        return parts[0]
+    return sum_compact(
+        pa.concat_tables(parts, promote_options="none"), sum_cols=sum_cols
+    )
+
+
 def merge_file_tables(
     tables: list[pa.Table],
     snapshot_schema: pa.Schema,
@@ -249,20 +325,27 @@ def _stats_row(
 
 
 def read_partition(
-    table_dir: str, files: list[str], snapshot_schema: pa.Schema, mode: str = "upsert"
+    table_dir: str,
+    files: list[str],
+    snapshot_schema: pa.Schema,
+    mode: str = "upsert",
+    sum_cols: list[str] | tuple = (),
 ) -> pa.Table:
     """Reconstruct one partition's merged state from its file chain.
 
     Upsert fast path: a single clean snapshot file needs only a schema cast
     (no sort, no merge) — the common case after compaction. Append mode:
     the chain is immutable rows, so reconstruction is a plain concat —
-    never an LWW merge (duplicate business keys are legal in facts)."""
+    never an LWW merge (duplicate business keys are legal in facts). Sum
+    mode: the chain is partial sums, folded by :func:`sum_merge_file_tables`."""
     tables = [pq.read_table(os.path.join(table_dir, f)) for f in files]
     if mode == "append":
         parts = [cast_table(t, snapshot_schema) for t in tables if t.num_rows]
         if not parts:
             return snapshot_schema.empty_table()
         return pa.concat_tables(parts, promote_options="none")
+    if mode == "sum":
+        return sum_merge_file_tables(tables, snapshot_schema, sum_cols)
     if len(tables) == 1 and "op" not in tables[0].column_names:
         return cast_table(tables[0], snapshot_schema)
     return merge_file_tables(tables, snapshot_schema)
@@ -273,6 +356,7 @@ def make_partition_reader(
     snapshot_schema_b64: str,
     files_by_pid: dict[str, list[str]],
     mode: str = "upsert",
+    sum_cols: list[str] | tuple = (),
 ):
     """Stateless map_batches fn for MERGE-on-read over pid-descriptor rows."""
 
@@ -282,7 +366,9 @@ def make_partition_reader(
         for pid in batch.column("pid").to_pylist():
             files = files_by_pid.get(str(pid)) or []
             if files:
-                out.append(read_partition(table_dir, files, schema, mode))
+                out.append(
+                    read_partition(table_dir, files, schema, mode, sum_cols)
+                )
         if not out:
             return schema.empty_table()
         return pa.concat_tables(out)
@@ -333,6 +419,7 @@ class MergeApply:
         event_time_col: str = "",
         event_time_watermark_us: int | None = None,
         allowed_lateness_us: int = 0,
+        sum_cols: list[str] | tuple = (),
     ):
         self.table_dir = table_dir
         self.epoch = epoch
@@ -341,6 +428,7 @@ class MergeApply:
         self.write_mode = write_mode
         self.compact_threshold = compact_threshold
         self.mode = mode
+        self.sum_cols = list(sum_cols)
         # watermark for partitions the manifest hasn't seen yet (dynamic
         # time partitions): the table-level committed floor.
         self.default_watermark = default_watermark
@@ -467,6 +555,36 @@ class MergeApply:
             and bool(old_files)
             and len(old_files) + 1 < self._threshold(pid)
         )
+
+        if self.mode == "sum":
+            # SummingMergeTree-analog: insert-only additive deltas (normalize
+            # rejects u/d ops). The group is partial-summed here; the delta
+            # path appends the partial (O(changes) per epoch, same LSM shape
+            # as upsert deltas), the compact path folds the whole chain.
+            rows = changes.drop_columns(
+                [c for c in ("op", *ROUTING_COLS) if c in changes.column_names]
+            )
+            compacted = sum_compact(
+                cast_table(rows, self.snapshot_schema), sum_cols=self.sum_cols
+            )
+            if delta_ok:
+                rel, nbytes = self._write(compacted, pid, "delta")
+                chain_bytes = int(meta.get("bytes", 0)) + nbytes
+                return _stats_row(
+                    pid, int(meta.get("rows", 0)), False, chain_bytes,
+                    n_applied, 0, max_lsn, rel, old_files + [rel], t0,
+                    ev_max, ev_late,
+                )
+            merged = sum_merge_file_tables(
+                self._read_files(meta) + [compacted],
+                self.snapshot_schema,
+                self.sum_cols,
+            )
+            rel, nbytes = self._write(merged, pid, "snapshot")
+            return _stats_row(
+                pid, merged.num_rows, True, nbytes,
+                n_applied, 0, max_lsn, rel, [rel], t0, ev_max, ev_late,
+            )
         if delta_ok:
             # Append path: compacted change rows only, op + tombstones kept.
             compacted = lww_compact(
@@ -518,12 +636,14 @@ class CompactWorker:
         partitions: dict[str, dict],
         snapshot_schema_b64: str,
         mode: str = "upsert",
+        sum_cols: list[str] | tuple = (),
     ):
         self.table_dir = table_dir
         self.epoch = epoch
         self.partitions = partitions
         self.snapshot_schema = schema_from_b64(snapshot_schema_b64)
         self.mode = mode
+        self.sum_cols = list(sum_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -534,7 +654,10 @@ class CompactWorker:
             # read_partition output is doc_id-sorted (clean snapshots are
             # stored sorted; merge_file_tables emits winners in key order);
             # append chains concat in lsn order — both deterministic.
-            merged = read_partition(self.table_dir, files, self.snapshot_schema, self.mode)
+            merged = read_partition(
+                self.table_dir, files, self.snapshot_schema, self.mode,
+                self.sum_cols,
+            )
             rel, nbytes = write_part_tmp(
                 self.table_dir, pid, self.epoch, kind, merged
             )
@@ -569,6 +692,7 @@ class TTLWorker:
         ttl_col: str,
         cutoff_us: int,
         mode: str = "upsert",
+        sum_cols: list[str] | tuple = (),
     ):
         self.table_dir = table_dir
         self.epoch = epoch
@@ -577,6 +701,7 @@ class TTLWorker:
         self.ttl_col = ttl_col
         self.cutoff_us = cutoff_us
         self.mode = mode
+        self.sum_cols = list(sum_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -585,7 +710,8 @@ class TTLWorker:
             t0 = time.perf_counter()
             meta = self.partitions[str(pid)]
             merged = read_partition(
-                self.table_dir, meta.get("files") or [], self.snapshot_schema, self.mode
+                self.table_dir, meta.get("files") or [], self.snapshot_schema,
+                self.mode, self.sum_cols,
             )
             col = merged.column(self.ttl_col)
             cutoff = pa.scalar(self.cutoff_us, pa.timestamp("us")).cast(col.type)

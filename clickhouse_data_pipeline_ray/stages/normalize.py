@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..schemas import cast_table
-from .merge import lww_compact
+from .merge import lww_compact, sum_compact
 from .partition import assign_by_spec
 
 _VALID_OPS = ("c", "u", "d")
@@ -127,16 +127,21 @@ def make_normalize_fn(
     key_col: str = "doc_id",
     mode: str = "upsert",
     dlq_writer: Callable[[pa.Table], None] | None = None,
+    sum_cols: list[str] | tuple = (),
+    pid_watermarks: dict[str, int] | None = None,
 ) -> Callable[[pa.Table], pa.Table]:
     """Build the map_batches function for one epoch (stateless tasks).
     Append mode: only 'c' ops are legal and there is no LWW pre-compaction
-    (every row survives).
+    (every row survives). Sum mode: only 'c' ops (additive deltas — an
+    update/delete against a rollup is a pipeline bug) and the pre-compaction
+    combiner is ``sum_compact`` (partial sums shrink the shuffle exactly
+    like LWW pre-compaction does for upserts — more, on hot counter keys).
 
     With ``dlq_writer`` set, malformed rows (invalid op / null lsn / null
     key) are QUARANTINED through it instead of failing the epoch — the
     dead-letter-queue ingest mode; without it the epoch fails loudly, the
     strict default."""
-    valid_ops = ("c",) if mode == "append" else _VALID_OPS
+    valid_ops = ("c",) if mode in ("append", "sum") else _VALID_OPS
 
     def fn(batch: pa.Table) -> pa.Table:
         if (
@@ -194,8 +199,33 @@ def make_normalize_fn(
                     f"{n_null_keys} change event(s) with null {key_col!r} key"
                 )
         batch = assign_by_spec(batch, partition_spec, salt_factor, key_col)
+        if mode == "sum" and pid_watermarks and batch.num_rows:
+            # Sum-mode exactly-once hazard: a batch can span an
+            # already-applied segment and a new one (per-partition watermarks
+            # legally lead the table-min watermark when an epoch touches only
+            # some partitions). LWW partials are idempotent under that mix —
+            # SUM partials are NOT (bundling an applied row double-counts
+            # it), so filter at each row's OWN partition watermark BEFORE
+            # compacting. MergeApply's per-pid re-filter then agrees with
+            # the partials by construction.
+            import numpy as np
+
+            pid_np = batch.column("pid").to_numpy(zero_copy_only=False)
+            lsn_np = batch.column("lsn").to_numpy(zero_copy_only=False)
+            keep = np.ones(len(pid_np), dtype=bool)
+            for p in np.unique(pid_np):
+                wm = int(pid_watermarks.get(str(p), watermark))
+                if wm > watermark:  # the global filter already ran
+                    m = pid_np == p
+                    keep[m] = lsn_np[m] > wm
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
         if precompact and mode == "upsert":
             batch = lww_compact(batch, key=key_col)
+        elif precompact and mode == "sum":
+            # op/pid/salt ride along as LWW'd columns (constant per key
+            # within a batch's (pid, salt) assignment — key-hashed routing)
+            batch = sum_compact(batch, key=key_col, sum_cols=sum_cols)
         return batch
 
     return fn
@@ -206,3 +236,14 @@ def compact_group(group: pa.Table) -> pa.Table:
     salted two-level merge. Keeps tombstones (they must reach the final
     merge); safe because every doc_id maps to exactly one (pid, salt)."""
     return lww_compact(group)
+
+
+def make_sum_compact_group(key_col: str, sum_cols: list[str] | tuple):
+    """Sum-mode L1 compactor for the salted two-level merge: partial-sums
+    one (pid, salt) sub-group (sum_compact is associative, so L1 partials +
+    the per-pid fold equal one global pass — same argument as LWW)."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        return sum_compact(group, key=key_col, sum_cols=sum_cols)
+
+    return fn

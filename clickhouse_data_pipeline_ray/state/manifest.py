@@ -49,13 +49,19 @@ class Manifest:
     # salting without an extra counting pass over the data. O(P).
     last_applied: dict[str, int] = field(default_factory=dict)
     updated_at: float = 0.0
-    # Write discipline (the reference's two table engines,
-    # /root/reference/etl/clickhouse_schema/init.sql:8-29 vs 32-52):
+    # Write discipline (the reference's table engines,
+    # /root/reference/etl/clickhouse_schema/init.sql:8-29 vs 32-52, and the
+    # SummingMergeTree the reference uses for its kpi views,
+    # kpi_views.sql:5-8):
     # "upsert" = ReplacingMergeTree-style LWW keyed by key_col;
     # "append" = MergeTree-style append-only facts (no per-key sort, no
-    # tombstones — the cheap fast path for event tables).
+    # tombstones — the cheap fast path for event tables);
+    # "sum"    = SummingMergeTree-style additive rollup: insert-only change
+    # events fold per key with sum_cols summed and other columns LWW'd.
     mode: str = "upsert"
     key_col: str = "doc_id"
+    # measure columns summed per key by sum-mode merges (empty otherwise)
+    sum_cols: list[str] = field(default_factory=list)
     # {"kind": "hash", "num": P} (default) or
     # {"kind": "time", "col": <ts col>, "granularity": "month"} — the analog
     # of PARTITION BY toYYYYMM(event_date) (init.sql:40): pid = yyyymm, so
@@ -123,14 +129,36 @@ def init_table(
     partition_spec: dict | None = None,
     retention: int = MANIFEST_RETENTION,
     event_time_col: str = "",
+    sum_cols: list[str] | None = None,
 ) -> Manifest:
     """Create an empty table layout + manifest v0 (idempotent, the analog of
     the reference's ``CREATE TABLE IF NOT EXISTS`` DDL path,
     /root/reference/etl/core/schema.py:16-24). Hash-partitioned tables
     pre-create their fixed partition set; time-partitioned tables start empty
     (partitions appear as their months do)."""
-    if mode not in ("upsert", "append"):
-        raise ValueError(f"unknown table mode {mode!r} (upsert|append)")
+    if mode not in ("upsert", "append", "sum"):
+        raise ValueError(f"unknown table mode {mode!r} (upsert|append|sum)")
+    if mode == "sum":
+        # SummingMergeTree-analog: keyed like upsert (the merge kernels key
+        # on the physical doc_id column — same convention, same reason), but
+        # additionally needs the measure columns to sum.
+        if "doc_id" not in schema.names or key_col != "doc_id":
+            raise ValueError(
+                "sum tables are keyed by a physical 'doc_id' column "
+                "(rename your key at import/normalize time), like upsert"
+            )
+        if not sum_cols:
+            raise ValueError("sum tables need non-empty sum_cols")
+        for c in sum_cols:
+            if c not in schema.names:
+                raise ValueError(f"sum col {c!r} not in schema {list(schema.names)}")
+            t = schema.field(c).type
+            if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+                raise ValueError(f"sum col {c!r} must be numeric, got {t}")
+            if c in ("doc_id", "lsn", key_col):
+                raise ValueError(f"sum col {c!r} cannot be the key or lsn")
+    elif sum_cols:
+        raise ValueError(f"sum_cols only apply to mode='sum' (got mode={mode!r})")
     if mode == "upsert" and "doc_id" not in schema.names:
         # the LWW merge kernels (lww_compact / merge_file_tables) key on the
         # physical doc_id column; import_base renames foreign key columns to
@@ -179,6 +207,7 @@ def init_table(
         partition_spec=spec,
         retention=max(1, retention),
         event_time_col=event_time_col,
+        sum_cols=list(sum_cols or []),
     )
     commit_manifest(man)
     return man
@@ -212,6 +241,7 @@ def load_manifest(table_dir: str, epoch: int | None = None) -> Manifest:
         updated_at=doc.get("updated_at", 0.0),
         mode=doc.get("mode", "upsert"),
         key_col=doc.get("key_col", "doc_id"),
+        sum_cols=doc.get("sum_cols", []),
         partition_spec=doc.get("partition_spec", {}),
         watermark_floor=doc.get("watermark_floor", 0),
         retention=doc.get("retention", MANIFEST_RETENTION),
@@ -253,6 +283,7 @@ def commit_manifest(man: Manifest) -> None:
         "updated_at": man.updated_at,
         "mode": man.mode,
         "key_col": man.key_col,
+        "sum_cols": man.sum_cols,
         "partition_spec": man.partition_spec,
         "watermark_floor": man.watermark_floor,
         "retention": man.retention,
