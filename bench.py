@@ -213,6 +213,7 @@ def bench_latency(ray, events=None) -> dict:
 
 BENCH_QUERIES = [
     "cdc_append_replay",
+    "cdc_sum_replay",
     "cdc_fact_monthly_kpi",
     "lww_latest_event_per_user",
     "kpi_daily_events",
@@ -226,8 +227,7 @@ BENCH_QUERIES = [
     "orders_no_lineitem",
     "sessionize_events",
     "running_user_value",
-    "window_hourly_events",
-    "window_sliding_events",
+    "window_events",
     "prev_event_gap",
     "doc_length_percentiles",
     "export_sorted_range",
