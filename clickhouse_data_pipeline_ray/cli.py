@@ -191,8 +191,10 @@ def _run(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--root", required=True, help="lake root (holds registry.json)")
     sp.add_argument("--name", required=True)
-    sp.add_argument("--mode", choices=("upsert", "append"), default="upsert")
+    sp.add_argument("--mode", choices=("upsert", "append", "sum"), default="upsert")
     sp.add_argument("--key-col", default=None)
+    sp.add_argument("--sum-cols", default=None,
+                    help="comma-separated measure columns (mode sum only)")
     sp.add_argument("--schema", choices=("docs", "facts"), default=None)
     sp.add_argument("--num-partitions", type=int, default=16)
     sp.add_argument("--partition-by-month", metavar="TS_COL", default=None)
@@ -823,9 +825,14 @@ def _run(argv: list[str] | None = None) -> int:
         from .schemas import FACT_SNAPSHOT_SCHEMA, SNAPSHOT_SCHEMA
         from .state import registry as R
 
-        schema_name = args.schema or ("facts" if args.mode == "append" else "docs")
+        schema_name = args.schema or (
+            "facts" if args.mode in ("append", "sum") else "docs"
+        )
         schema = FACT_SNAPSHOT_SCHEMA if schema_name == "facts" else SNAPSHOT_SCHEMA
-        key_col = args.key_col or ("event_id" if schema_name == "facts" else "doc_id")
+        key_col = args.key_col or (
+            "event_id" if schema_name == "facts" and args.mode == "append"
+            else "doc_id"
+        )
         spec = (
             {"kind": "time", "col": args.partition_by_month, "granularity": "month"}
             if args.partition_by_month
@@ -835,6 +842,9 @@ def _run(argv: list[str] | None = None) -> int:
             args.root, args.name, schema, key_col=key_col, mode=args.mode,
             partition_spec=spec, num_partitions=args.num_partitions,
             depends_on=tuple(d for d in args.depends_on.split(",") if d),
+            sum_cols=tuple(
+                c for c in (args.sum_cols or "").split(",") if c
+            ),
         )
         print(json.dumps({"registered": s.name, "mode": s.mode,
                           "key_col": s.key_col, "partition_spec": s.partition_spec,

@@ -814,8 +814,13 @@ def import_base(
     cfg = cfg or ApplyConfig()
     with table_lock(table_dir):
         man = load_manifest(table_dir)
-        if man.mode != "upsert" or man.spec.get("kind") != "hash":
-            raise ValueError("import_base supports hash-partitioned upsert tables")
+        # a sum-table base import is pre-aggregated state: one row per key
+        # (enforced by check_unique below) — later WAL deltas fold onto it
+        # through the normal sum chain
+        if man.mode not in ("upsert", "sum") or man.spec.get("kind") != "hash":
+            raise ValueError(
+                "import_base supports hash-partitioned upsert/sum tables"
+            )
         if man.total_rows() > 0 or any(p["files"] for p in man.partitions.values()):
             raise ValueError("import_base requires an empty table")
         t0 = time.perf_counter()

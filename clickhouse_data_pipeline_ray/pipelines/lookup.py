@@ -30,7 +30,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..stages.merge import merge_file_tables
+from ..stages.merge import merge_file_tables, sum_merge_file_tables
 from ..stages.partition import partition_of
 from ..state.manifest import load_manifest
 
@@ -46,10 +46,11 @@ def lookup_keys(
             "lookup_keys routes by key hash; time-partitioned tables are "
             "routed by timestamp — use read_time_range instead"
         )
-    if man.mode != "upsert":
+    if man.mode not in ("upsert", "sum"):
         raise ValueError(
-            "lookup_keys needs unique keys (upsert tables); append tables "
-            "legally hold duplicate business keys — scan with read_snapshot"
+            "lookup_keys needs unique keys (upsert/sum tables); append "
+            "tables legally hold duplicate business keys — scan with "
+            "read_snapshot"
         )
     # route by the spec's modulus — the WRITE path's routing source
     # (assign_by_spec); init_table pins spec num == num_partitions, but a
@@ -73,7 +74,11 @@ def lookup_keys(
             )
             for f in files
         ]
-        if len(tables) == 1 and "op" not in tables[0].column_names:
+        if man.mode == "sum":
+            # sum chains: the key's partial sums across the filtered slice
+            # fold exactly like the full-partition read (associative kernel)
+            out.append(sum_merge_file_tables(tables, man.schema, man.sum_cols))
+        elif len(tables) == 1 and "op" not in tables[0].column_names:
             from ..schemas import cast_table
 
             out.append(cast_table(tables[0], man.schema))

@@ -33,10 +33,13 @@ class TableSpec:
     name: str
     schema_b64: str
     key_col: str = "doc_id"
-    mode: str = "upsert"                      # upsert | append
+    mode: str = "upsert"                      # upsert | append | sum
     partition_spec: dict = field(default_factory=dict)
     num_partitions: int = 16
     depends_on: tuple = ()
+    # measure columns summed per key by sum-mode merges (empty otherwise);
+    # tuple (not list) so TableSpec stays hashable/frozen-comparable
+    sum_cols: tuple = ()
 
     @property
     def schema(self) -> pa.Schema:
@@ -91,6 +94,7 @@ def load_registry(root: str) -> dict[str, TableSpec]:
             partition_spec=spec.get("partition_spec", {}),
             num_partitions=spec.get("num_partitions", 16),
             depends_on=tuple(spec.get("depends_on", ())),
+            sum_cols=tuple(spec.get("sum_cols", ())),
         )
         for name, spec in doc["tables"].items()
     }
@@ -107,6 +111,7 @@ def _save_registry(root: str, tables: dict[str, TableSpec]) -> None:
                 "partition_spec": s.partition_spec,
                 "num_partitions": s.num_partitions,
                 "depends_on": list(s.depends_on),
+                "sum_cols": list(s.sum_cols),
             }
             for s in tables.values()
         },
@@ -123,6 +128,7 @@ def register_table(
     partition_spec: dict | None = None,
     num_partitions: int = 16,
     depends_on: tuple = (),
+    sum_cols: tuple = (),
 ) -> TableSpec:
     """Declare a table (idempotent) and create its empty layout + manifest —
     the CREATE TABLE IF NOT EXISTS analog, one directory per table."""
@@ -144,6 +150,7 @@ def register_table(
             partition_spec=partition_spec or {"kind": "hash", "num": num_partitions},
             num_partitions=num_partitions,
             depends_on=tuple(depends_on),
+            sum_cols=tuple(sum_cols),
         )
         existing = tables.get(name)
         if existing is not None and existing != spec:
@@ -158,6 +165,7 @@ def register_table(
             mode=mode,
             key_col=key_col,
             partition_spec=spec.partition_spec,
+            sum_cols=list(sum_cols) or None,
         )
         tables[name] = spec
         _save_registry(root, tables)

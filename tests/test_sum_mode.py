@@ -246,3 +246,104 @@ def test_sum_rejects_updates_and_deletes(ray_session, tmp_path):
     pq.write_table(bad, f"{wal}/seg-{10_001:012d}-{10_001:012d}.parquet")
     with pytest.raises(Exception, match="invalid op"):
         replay(table, wal, ApplyConfig(), final_compact=False)
+
+
+# ------------------------------------------------- surfaces beyond replay
+
+
+def test_sum_lookup_keys(ray_session, tmp_path):
+    """Point lookups on a sum table with an UNCOMPACTED delta chain: each
+    key's partial sums fold on the filtered slice (merge-on-read)."""
+    from clickhouse_data_pipeline_ray.pipelines.lookup import lookup_keys
+
+    table, wal = _make_sum_table(tmp_path, n_events=2_000, n_docs=100)
+    replay(
+        table, wal,
+        ApplyConfig(write_mode="delta", compact_threshold=10, max_segments=1),
+        final_compact=False,
+    )
+    man = load_manifest(table)
+    assert any(len(p["files"]) > 1 for p in man.partitions.values())
+    snap = snapshot_table(table)
+    probe = snap.take(pa.array(range(0, snap.num_rows, 7)))
+    got = lookup_keys(table, probe.column("doc_id").to_pylist())
+    assert got.equals(probe)
+    # absent key: simply missing
+    assert lookup_keys(table, ["no-such-key"]).num_rows == 0
+
+
+def test_sum_registry_sync(ray_session, tmp_path):
+    """A sum table is a first-class registry citizen: declared with
+    sum_cols, synced from its WAL root, status reports mode."""
+    from clickhouse_data_pipeline_ray.state import registry as R
+    from clickhouse_data_pipeline_ray.sources.gen import generate_fact_wal
+
+    root = str(tmp_path / "lake")
+    R.register_table(
+        root, "doc_value_rollup", FACT_SNAPSHOT_SCHEMA, key_col="doc_id",
+        mode="sum", num_partitions=8, sum_cols=("value",),
+    )
+    # round-trips through registry.json
+    spec = R.load_registry(root)["doc_value_rollup"]
+    assert spec.mode == "sum" and spec.sum_cols == ("value",)
+
+    wal = str(tmp_path / "wal")
+    generate_fact_wal(
+        wal, FactGenParams(total_events=3_000, events_per_segment=1_000)
+    )
+    out = R.sync_all(root, {"doc_value_rollup": wal}, ApplyConfig())
+    assert out[0]["events"] == 3_000 and "error" not in out[0]
+    snap = snapshot_table(R.table_dir(root, "doc_value_rollup"))
+    _assert_matches_oracle(snap, _duck_oracle(wal))
+    assert R.registry_status(root)["doc_value_rollup"]["mode"] == "sum"
+
+
+def test_sum_import_base_then_deltas(ray_session, tmp_path):
+    """Bulk-import a pre-aggregated base into a sum table, then fold WAL
+    deltas on top: final = base + per-key delta sums (base rows at lsn 0
+    lose every LWW tie, so non-sum columns come from the WAL — exactly the
+    'seed the rollup from a backfill' shape)."""
+    import pyarrow.parquet as pq
+
+    from clickhouse_data_pipeline_ray.pipelines.apply import import_base
+
+    table, wal = _make_sum_table(tmp_path, n_events=2_000, n_docs=100)
+    want = _duck_oracle(wal)
+    # base: every WAL doc key, value = 1000.0 each (pre-summed, unique keys)
+    base = pa.table(
+        {
+            "event_id": pa.array(["base"] * want.num_rows),
+            "doc_id": want.column("doc_id"),
+            "event_ts": pa.array([0] * want.num_rows, pa.timestamp("us")),
+            "event_type": pa.array(["seed"] * want.num_rows),
+            "value": pa.array([1000.0] * want.num_rows),
+        }
+    )
+    corpus = str(tmp_path / "base.parquet")
+    pq.write_table(base, corpus)
+    stats = import_base(table, corpus)
+    assert stats["rows"] == want.num_rows
+    replay(table, wal, ApplyConfig(max_segments=2), final_compact=False)
+    snap = snapshot_table(table)
+    assert snap.num_rows == want.num_rows
+    assert np.allclose(
+        snap.column("value").to_numpy(),
+        want.column("value").to_numpy() + 1000.0,
+    )
+    # WAL rows outrank the lsn-0 base on non-sum columns
+    assert snap.column("event_type").to_pylist() == want.column(
+        "event_type"
+    ).to_pylist()
+
+
+def test_sum_fsck_clean(ray_session, tmp_path):
+    from clickhouse_data_pipeline_ray.state.fsck import fsck_table
+
+    table, wal = _make_sum_table(tmp_path, n_events=2_000, n_docs=100)
+    replay(
+        table, wal,
+        ApplyConfig(write_mode="delta", compact_threshold=10, max_segments=1),
+        final_compact=False,
+    )
+    report = fsck_table(table)
+    assert report["ok"], report
