@@ -96,6 +96,11 @@ def _run(argv: list[str] | None = None) -> int:
                          "this column (default: event_ts for fact schemas)")
     sp.add_argument("--retention", type=int, default=None,
                     help="retained versioned manifests for time travel (default 8)")
+    sp.add_argument("--skip-cols", default=None,
+                    help="comma-separated data-skipping index columns "
+                         "(ClickHouse `INDEX ... TYPE minmax` analog): part "
+                         "writes record per-file min/max zones; `scan` prunes "
+                         "by them")
 
     sp = sub.add_parser("gen", help="generate a deterministic CDC WAL")
     sp.add_argument("--wal", required=True)
@@ -703,6 +708,22 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--b", type=float, default=0.75)
 
     sp = sub.add_parser(
+        "scan",
+        help="range scan WHERE col BETWEEN lo AND hi with skip-index pruning "
+             "(ClickHouse minmax skip-index analog): partitions/files whose "
+             "manifest zones cannot overlap never open",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--col", required=True)
+    sp.add_argument("--lo", default=None, help="inclusive lower bound")
+    sp.add_argument("--hi", default=None, help="inclusive upper bound")
+    sp.add_argument("--columns", default=None,
+                    help="comma-separated projection (default: all)")
+    sp.add_argument("--limit", type=int, default=10)
+    sp.add_argument("--epoch", type=int, default=None,
+                    help="time-travel to a retained historical epoch")
+
+    sp = sub.add_parser(
         "get",
         help="point lookup by key — opens only the routed partitions "
              "(driver-side latency path, no Ray job)",
@@ -766,11 +787,12 @@ def _run(argv: list[str] | None = None) -> int:
             if args.mode == "sum"
             else None
         )
+        skip_cols = [c for c in (args.skip_cols or "").split(",") if c]
         man = create_table(
             args.table, num_partitions=args.num_partitions, schema=schema,
             mode=args.mode, key_col=key_col, partition_spec=spec,
             retention=args.retention, event_time_col=ev_col or "",
-            sum_cols=sum_cols,
+            sum_cols=sum_cols, skip_cols=skip_cols or None,
         )
         print(json.dumps({"table": args.table, "epoch": man.epoch, "mode": man.mode,
                           "partition_spec": man.spec,
@@ -1077,6 +1099,50 @@ def _run(argv: list[str] | None = None) -> int:
                     sample.to_dict("records") if sample is not None else []
                 ),
             }, default=str))
+        finally:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "scan":
+        from .pipelines.scan import read_where
+        from .state.manifest import load_manifest
+
+        man = load_manifest(args.table)
+        ftype = man.schema.field(args.col).type if args.col in man.schema.names else None
+
+        def _bound(s):
+            if s is None or ftype is None:
+                return s
+            import pyarrow as _pa
+
+            if _pa.types.is_integer(ftype):
+                return int(s)
+            if _pa.types.is_floating(ftype):
+                return float(s)
+            return s  # strings/timestamps: Arrow casts ISO strings itself
+
+        ray = _init_ray(args.num_cpus)
+        try:
+            ds, plan = read_where(
+                args.table, args.col, _bound(args.lo), _bound(args.hi),
+                columns=(
+                    [c for c in args.columns.split(",") if c]
+                    if args.columns else None
+                ),
+                epoch=args.epoch,
+            )
+            n = ds.count()
+            sample = ds.limit(args.limit).to_pandas() if n else None
+            print(json.dumps({
+                "rows": int(n),
+                "partitions_scanned": len(plan["partitions"]),
+                "partitions_pruned": plan["partitions_pruned"],
+                "files_total": plan["files_total"],
+                "files_pruned": plan["files_pruned"],
+                "pruned_by_zones": plan["pruned_by_zones"],
+            }))
+            if sample is not None:
+                print(sample.to_string(index=False))
         finally:
             ray.shutdown()
         return 0

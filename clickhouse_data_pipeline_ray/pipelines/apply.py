@@ -128,6 +128,7 @@ def create_table(
     retention: int | None = None,
     event_time_col: str = "",
     sum_cols: list[str] | None = None,
+    skip_cols: list[str] | None = None,
 ) -> Manifest:
     from ..state.manifest import MANIFEST_RETENTION
 
@@ -141,6 +142,7 @@ def create_table(
         retention=retention if retention is not None else MANIFEST_RETENTION,
         event_time_col=event_time_col,
         sum_cols=sum_cols,
+        skip_cols=skip_cols,
     )
 
 
@@ -293,6 +295,28 @@ def _apply_small_epoch(
     return stats
 
 
+def _fold_zone_stats(part: dict, row: dict) -> None:
+    """Fold one stats row's skip-index partial into the partition's zones map
+    (``partitions[pid]["zones"] = {rel_file: {col: [lo, hi] | None}}``).
+    Must run AFTER ``part["files"]`` is updated: zones for files no longer in
+    the live chain are dropped (compaction replaced them), carried-over files
+    keep the zones recorded when they were written. No-op for tables without
+    skip cols (no zones key ever appears)."""
+    import json as _json
+
+    new = _json.loads(row["zones_json"]) if row.get("zones_json") else {}
+    if not new and "zones" not in part:
+        return
+    zones = dict(part.get("zones") or {})
+    zones.update(new)
+    live = set(part.get("files") or [])
+    zones = {f: z for f, z in zones.items() if f in live}
+    if zones:
+        part["zones"] = zones
+    else:
+        part.pop("zones", None)
+
+
 def _make_dlq_writer(dlq_dir: str, epoch: int):
     """Per-epoch dead-letter writer for the normalize tasks: each call
     lands one parquet part under ``<dlq_dir>/epoch=N/`` via tmp+rename.
@@ -393,6 +417,7 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
         "event_time_watermark_us": man.event_time_watermark_us,
         "allowed_lateness_us": int(cfg.allowed_lateness_s * 1_000_000),
         "sum_cols": man.sum_cols,
+        "skip_cols": man.skip_cols,
     }
     hot_pids = []
     ray_stage_stats = None
@@ -472,6 +497,7 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
                 "files": _json.loads(row["files_json"]),
             }
         )
+        _fold_zone_stats(part, row)
         part["lineage"] = (part.get("lineage") or [])[-200:] + seg_names
         merged_rows += int(row["applied"])
         man.last_applied[pid] = int(row["applied"])
@@ -594,6 +620,7 @@ def _compact_table_locked(table_dir: str, concurrency: int | tuple) -> dict | No
                 "snapshot_schema_b64": man.schema_b64,
                 "mode": man.mode,
                 "sum_cols": man.sum_cols,
+                "skip_cols": man.skip_cols,
             },
             batch_format="pyarrow",
             batch_size=None,
@@ -613,6 +640,7 @@ def _compact_table_locked(table_dir: str, concurrency: int | tuple) -> dict | No
                 "files": _json.loads(row["files_json"]),
             }
         )
+        _fold_zone_stats(man.partitions[pid], row)
     wall = time.perf_counter() - t0
     epoch_stats = {
         "epoch": epoch,
@@ -720,6 +748,7 @@ def ttl_expire(
                         "cutoff_us": cutoff_us,
                         "mode": man.mode,
                         "sum_cols": man.sum_cols,
+                        "skip_cols": man.skip_cols,
                     },
                     batch_format="pyarrow",
                     batch_size=None,
@@ -739,6 +768,7 @@ def ttl_expire(
                         "files": _json.loads(row["files_json"]),
                     }
                 )
+                _fold_zone_stats(man.partitions[pid], row)
                 rows_expired += int(row["deletes"])
         if drop_pids:
             # pin the resume floor before partitions vanish: the global
@@ -868,6 +898,7 @@ def import_base(
                     # a snapshot with repeated keys (LWW only fixes it after
                     # the first WAL merge happens to touch the partition)
                     "check_unique": True,
+                    "skip_cols": man.skip_cols,
                 },
                 batch_format="pyarrow",
                 concurrency=cfg.merge_concurrency,
@@ -894,6 +925,7 @@ def import_base(
                     "files": _json.loads(row["files_json"]),
                 }
             )
+            _fold_zone_stats(man.partitions[pid], row)
             total += int(row["rows"])
         out = {
             "imported": True,
@@ -964,6 +996,7 @@ def _repartition_locked(
                 "table_dir": table_dir,
                 "epoch": epoch,
                 "snapshot_schema_b64": man.schema_b64,
+                "skip_cols": man.skip_cols,
             },
             batch_format="pyarrow",
             concurrency=cfg.merge_concurrency,
@@ -981,6 +1014,7 @@ def _repartition_locked(
                 "files": _json.loads(row["files_json"]),
             }
         )
+        _fold_zone_stats(new_parts[pid], row)
     man.num_partitions = new_num_partitions
     man.partition_spec = {"kind": "hash", "num": new_num_partitions}
     man.partitions = new_parts

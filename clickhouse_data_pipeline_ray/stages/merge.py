@@ -16,6 +16,7 @@ global pass. Tests pin this (tests/test_merge_kernel.py, tests/test_salting.py).
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import zlib
@@ -85,6 +86,48 @@ def promote_part(table_dir: str, rel: str) -> None:
     final = os.path.join(table_dir, rel)
     os.replace(final + ".tmp", final)
     fsync_path(os.path.dirname(final))
+
+
+def column_zones(table: pa.Table, skip_cols: list[str] | tuple) -> dict:
+    """Per-column ``[lo, hi]`` minmax zone over one written part — the
+    ClickHouse ``INDEX ... TYPE minmax`` skip-index analog, computed at part
+    write time (where ClickHouse computes granule marks at merge time) and
+    stored in the manifest so range scans prune files without opening them.
+
+    Rules (the export zone-map lessons, pipelines/export.py:110-121):
+    - nulls are skipped (min_max default) and NaNs are dropped explicitly —
+      a NaN min/max would poison every overlap test AND json-serialize as a
+      nonstandard token;
+    - timestamps/dates normalize to int64 microseconds (JSON-safe, readers
+      cast bounds the same way);
+    - an all-null/all-NaN/empty column gets a ``None`` zone = "no information"
+      → always treated as overlapping on read (prunes nothing, never wrong).
+    """
+    zones: dict = {}
+    for c in skip_cols:
+        if c not in table.column_names or table.num_rows == 0:
+            zones[c] = None
+            continue
+        col = table.column(c)
+        t = col.type
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            col = col.cast(pa.timestamp("us")).cast(pa.int64())
+        elif pa.types.is_floating(t):
+            col = col.filter(pc.invert(pc.fill_null(pc.is_nan(col), False)))
+        mm = pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        zones[c] = None if lo is None else [lo, hi]
+    return zones
+
+
+def zone_bound(value, field_type: pa.DataType):
+    """Normalize a user predicate bound to its column's zone domain (the
+    same mapping column_zones applies to the data)."""
+    if value is None:
+        return None
+    if pa.types.is_timestamp(field_type) or pa.types.is_date(field_type):
+        return pa.scalar(value).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+    return value
 
 
 def _last_wins_mask(keys: pa.Array) -> pa.Array:
@@ -300,6 +343,7 @@ def _stats_row(
     merge_s: float,
     max_event_ts_us: int | None = None,
     late_events: int = 0,
+    zones_json: str = "",
 ) -> pa.Table:
     import json
 
@@ -320,6 +364,10 @@ def _stats_row(
             # watermark advance + late-arrival count.
             "max_event_ts_us": pa.array([max_event_ts_us], pa.int64()),
             "late_events": pa.array([late_events], pa.int64()),
+            # skip-index partial: {rel_file: {col: [lo, hi] | None}} for the
+            # file(s) THIS call wrote ("" when no skip_cols / no new file).
+            # The driver folds it into partitions[pid]["zones"] at commit.
+            "zones_json": pa.array([zones_json], pa.string()),
         }
     )
 
@@ -420,6 +468,7 @@ class MergeApply:
         event_time_watermark_us: int | None = None,
         allowed_lateness_us: int = 0,
         sum_cols: list[str] | tuple = (),
+        skip_cols: list[str] | tuple = (),
     ):
         self.table_dir = table_dir
         self.epoch = epoch
@@ -429,6 +478,7 @@ class MergeApply:
         self.compact_threshold = compact_threshold
         self.mode = mode
         self.sum_cols = list(sum_cols)
+        self.skip_cols = list(skip_cols)
         # watermark for partitions the manifest hasn't seen yet (dynamic
         # time partitions): the table-level committed floor.
         self.default_watermark = default_watermark
@@ -481,6 +531,13 @@ class MergeApply:
         # to write; they are rewritten away at the next compaction anyway).
         comp = "lz4" if kind == "delta" else "zstd"
         return write_part_tmp(self.table_dir, pid, self.epoch, kind, table, comp)
+
+    def _zjson(self, rel: str, table: pa.Table) -> str:
+        """Skip-index partial for one written part ("" when the table
+        declares no skip cols — the stats row stays empty, zero overhead)."""
+        if not self.skip_cols:
+            return ""
+        return json.dumps({rel: column_zones(table, self.skip_cols)})
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
@@ -535,6 +592,7 @@ class MergeApply:
                 return _stats_row(
                     pid, rows.num_rows, True, nbytes,
                     n_applied, 0, max_lsn, rel, [rel], t0, ev_max, ev_late,
+                    self._zjson(rel, rows),
                 )
             rel, nbytes = self._write(rows, pid, "append")
             return _stats_row(
@@ -544,6 +602,7 @@ class MergeApply:
                 int(meta.get("bytes", 0)) + nbytes,
                 n_applied, 0, max_lsn, rel, old_files + [rel], t0,
                 ev_max, ev_late,
+                self._zjson(rel, rows),
             )
 
         # Bootstrap: an empty partition's first write IS its compacted state —
@@ -574,6 +633,7 @@ class MergeApply:
                     pid, int(meta.get("rows", 0)), False, chain_bytes,
                     n_applied, 0, max_lsn, rel, old_files + [rel], t0,
                     ev_max, ev_late,
+                    self._zjson(rel, compacted),
                 )
             merged = sum_merge_file_tables(
                 self._read_files(meta) + [compacted],
@@ -584,6 +644,7 @@ class MergeApply:
             return _stats_row(
                 pid, merged.num_rows, True, nbytes,
                 n_applied, 0, max_lsn, rel, [rel], t0, ev_max, ev_late,
+                self._zjson(rel, merged),
             )
         if delta_ok:
             # Append path: compacted change rows only, op + tombstones kept.
@@ -605,6 +666,7 @@ class MergeApply:
                 pid, int(meta.get("rows", 0)), False, chain_bytes,
                 n_applied, n_del, max_lsn, rel, old_files + [rel], t0,
                 ev_max, ev_late,
+                self._zjson(rel, delta),
             )
 
         # Compaction / snapshot path: full merge of the file chain + changes.
@@ -619,6 +681,7 @@ class MergeApply:
         return _stats_row(
             pid, merged.num_rows, True, nbytes,
             n_applied, n_del, max_lsn, rel, [rel], t0, ev_max, ev_late,
+            self._zjson(rel, merged),
         )
 
 
@@ -637,6 +700,7 @@ class CompactWorker:
         snapshot_schema_b64: str,
         mode: str = "upsert",
         sum_cols: list[str] | tuple = (),
+        skip_cols: list[str] | tuple = (),
     ):
         self.table_dir = table_dir
         self.epoch = epoch
@@ -644,6 +708,7 @@ class CompactWorker:
         self.snapshot_schema = schema_from_b64(snapshot_schema_b64)
         self.mode = mode
         self.sum_cols = list(sum_cols)
+        self.skip_cols = list(skip_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -662,10 +727,16 @@ class CompactWorker:
                 self.table_dir, pid, self.epoch, kind, merged
             )
             meta = self.partitions[str(pid)]
+            zj = (
+                json.dumps({rel: column_zones(merged, self.skip_cols)})
+                if self.skip_cols
+                else ""
+            )
             out.append(
                 _stats_row(
                     pid, merged.num_rows, True, nbytes,
                     0, 0, int(meta["watermark_lsn"]), rel, [rel], t0,
+                    zones_json=zj,
                 )
             )
         return pa.concat_tables(out)
@@ -693,6 +764,7 @@ class TTLWorker:
         cutoff_us: int,
         mode: str = "upsert",
         sum_cols: list[str] | tuple = (),
+        skip_cols: list[str] | tuple = (),
     ):
         self.table_dir = table_dir
         self.epoch = epoch
@@ -702,6 +774,7 @@ class TTLWorker:
         self.cutoff_us = cutoff_us
         self.mode = mode
         self.sum_cols = list(sum_cols)
+        self.skip_cols = list(skip_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -720,10 +793,16 @@ class TTLWorker:
             kept = merged.filter(keep)
             expired = merged.num_rows - kept.num_rows
             rel, nbytes = write_part_tmp(self.table_dir, pid, self.epoch, kind, kept)
+            zj = (
+                json.dumps({rel: column_zones(kept, self.skip_cols)})
+                if self.skip_cols
+                else ""
+            )
             out.append(
                 _stats_row(
                     pid, kept.num_rows, True, nbytes,
                     0, expired, int(meta["watermark_lsn"]), rel, [rel], t0,
+                    zones_json=zj,
                 )
             )
         return pa.concat_tables(out)
@@ -740,11 +819,13 @@ class SnapshotWriter:
         epoch: int,
         snapshot_schema_b64: str,
         check_unique: bool = False,
+        skip_cols: list[str] | tuple = (),
     ):
         self.table_dir = table_dir
         self.epoch = epoch
         self.snapshot_schema = schema_from_b64(snapshot_schema_b64)
         self.check_unique = check_unique
+        self.skip_cols = list(skip_cols)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
@@ -773,12 +854,16 @@ class SnapshotWriter:
         rel, nbytes = write_part_tmp(
             self.table_dir, pid, self.epoch, "snapshot", rows
         )
-        import json as _json
-
+        zj = (
+            json.dumps({rel: column_zones(rows, self.skip_cols)})
+            if self.skip_cols
+            else ""
+        )
         stats = _stats_row(
             pid, rows.num_rows, True, nbytes,
             rows.num_rows, 0, 0, rel, [rel], t0,
+            zones_json=zj,
         )
         return stats.append_column(
-            "dups_json", pa.array([_json.dumps(dup_sample)], pa.string())
+            "dups_json", pa.array([json.dumps(dup_sample)], pa.string())
         )

@@ -50,6 +50,7 @@ def fsck_table(table_dir: str, repair: bool = False) -> dict:
 def _fsck_locked(table_dir: str, repair: bool) -> dict:
     man = load_manifest(table_dir)
     findings: list[dict] = []
+    manifest_dirty = False  # a repair edited manifest state (not just disk)
 
     def add(check: str, severity: str, detail: str) -> None:
         findings.append(
@@ -117,6 +118,24 @@ def _fsck_locked(table_dir: str, repair: bool) -> dict:
                     f"footer says {got} ({files[0]})",
                 )
 
+    # skip-index zones must describe live files only (a zone for a vanished
+    # file is stale metadata — harmless to reads, but a commit-path bug)
+    for pid, part in man.partitions.items():
+        files = set(part.get("files") or [])
+        stale = [f for f in (part.get("zones") or {}) if f not in files]
+        if stale:
+            add(
+                "stale_zone",
+                "warn",
+                f"pid {pid}: zones for non-live file(s) {stale[:3]}",
+            )
+            if repair:
+                part["zones"] = {
+                    f: z for f, z in part["zones"].items() if f in files
+                }
+                repaired += 1
+                manifest_dirty = True
+
     # watermark invariant: equal across partitions after a clean commit
     if man.partitions:
         wms = {int(p["watermark_lsn"]) for p in man.partitions.values()}
@@ -138,6 +157,14 @@ def _fsck_locked(table_dir: str, repair: bool) -> dict:
             "error",
             f"head epoch {man.epoch} != last history epoch {eps[-1]}",
         )
+
+    if repair and manifest_dirty:
+        # metadata repairs (stale zones) live in the manifest: persist them
+        # through the normal atomic-swap commit (same epoch — fsck repairs
+        # state, it does not advance the table)
+        from .manifest import commit_manifest
+
+        commit_manifest(man)
 
     errors = sum(1 for f in findings if f["severity"] == "error")
     return {

@@ -85,6 +85,14 @@ class Manifest:
     event_time_col: str = ""
     # microseconds since epoch; None until the first event is seen
     event_time_watermark_us: int | None = None
+    # Data-skipping index columns (ClickHouse `INDEX ... TYPE minmax` analog,
+    # declared like the skip indexes a MergeTree DDL would carry): every part
+    # write records per-file min/max zones for these columns in the manifest
+    # (partitions[pid]["zones"][file][col] = [lo, hi]); `pipelines.scan.
+    # read_where` prunes partitions/files whose zones cannot overlap a range
+    # predicate BEFORE opening any parquet. [] = no skip index (no zones
+    # recorded, scans read everything).
+    skip_cols: list[str] = field(default_factory=list)
 
     @property
     def schema(self) -> pa.Schema:
@@ -130,6 +138,7 @@ def init_table(
     retention: int = MANIFEST_RETENTION,
     event_time_col: str = "",
     sum_cols: list[str] | None = None,
+    skip_cols: list[str] | None = None,
 ) -> Manifest:
     """Create an empty table layout + manifest v0 (idempotent, the analog of
     the reference's ``CREATE TABLE IF NOT EXISTS`` DDL path,
@@ -180,6 +189,22 @@ def init_table(
             f"upsert tables must use key_col='doc_id' (got {key_col!r}); "
             "rename the key column at import/normalize time instead"
         )
+    for c in skip_cols or []:
+        if c not in schema.names:
+            raise ValueError(f"skip col {c!r} not in schema {list(schema.names)}")
+        t = schema.field(c).type
+        if not (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_timestamp(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_date(t)
+        ):
+            raise ValueError(
+                f"skip col {c!r} must be orderable scalar "
+                f"(int/float/timestamp/date/string), got {t}"
+            )
     spec = partition_spec or {"kind": "hash", "num": num_partitions}
     if spec.get("kind") == "hash" and int(spec.get("num", num_partitions)) != num_partitions:
         # the write path routes by spec['num'] while readers size loops by
@@ -208,6 +233,7 @@ def init_table(
         retention=max(1, retention),
         event_time_col=event_time_col,
         sum_cols=list(sum_cols or []),
+        skip_cols=list(skip_cols or []),
     )
     commit_manifest(man)
     return man
@@ -247,6 +273,7 @@ def load_manifest(table_dir: str, epoch: int | None = None) -> Manifest:
         retention=doc.get("retention", MANIFEST_RETENTION),
         event_time_col=doc.get("event_time_col", ""),
         event_time_watermark_us=doc.get("event_time_watermark_us"),
+        skip_cols=doc.get("skip_cols", []),
     )
 
 
@@ -289,6 +316,7 @@ def commit_manifest(man: Manifest) -> None:
         "retention": man.retention,
         "event_time_col": man.event_time_col,
         "event_time_watermark_us": man.event_time_watermark_us,
+        "skip_cols": man.skip_cols,
     }
     path = os.path.join(man.table_dir, MANIFEST_NAME)
     # versioned copy first (readable only once the swap lands), then the

@@ -40,6 +40,8 @@ class TableSpec:
     # measure columns summed per key by sum-mode merges (empty otherwise);
     # tuple (not list) so TableSpec stays hashable/frozen-comparable
     sum_cols: tuple = ()
+    # data-skipping index columns (minmax zones recorded per part write)
+    skip_cols: tuple = ()
 
     @property
     def schema(self) -> pa.Schema:
@@ -95,6 +97,7 @@ def load_registry(root: str) -> dict[str, TableSpec]:
             num_partitions=spec.get("num_partitions", 16),
             depends_on=tuple(spec.get("depends_on", ())),
             sum_cols=tuple(spec.get("sum_cols", ())),
+            skip_cols=tuple(spec.get("skip_cols", ())),
         )
         for name, spec in doc["tables"].items()
     }
@@ -112,6 +115,7 @@ def _save_registry(root: str, tables: dict[str, TableSpec]) -> None:
                 "num_partitions": s.num_partitions,
                 "depends_on": list(s.depends_on),
                 "sum_cols": list(s.sum_cols),
+                "skip_cols": list(s.skip_cols),
             }
             for s in tables.values()
         },
@@ -129,6 +133,7 @@ def register_table(
     num_partitions: int = 16,
     depends_on: tuple = (),
     sum_cols: tuple = (),
+    skip_cols: tuple = (),
 ) -> TableSpec:
     """Declare a table (idempotent) and create its empty layout + manifest —
     the CREATE TABLE IF NOT EXISTS analog, one directory per table."""
@@ -151,6 +156,7 @@ def register_table(
             num_partitions=num_partitions,
             depends_on=tuple(depends_on),
             sum_cols=tuple(sum_cols),
+            skip_cols=tuple(skip_cols),
         )
         existing = tables.get(name)
         if existing is not None and existing != spec:
@@ -166,6 +172,7 @@ def register_table(
             key_col=key_col,
             partition_spec=spec.partition_spec,
             sum_cols=list(sum_cols) or None,
+            skip_cols=list(skip_cols) or None,
         )
         tables[name] = spec
         _save_registry(root, tables)
