@@ -708,6 +708,22 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--b", type=float, default=0.75)
 
     sp = sub.add_parser(
+        "mutate",
+        help="predicate mutation (ALTER TABLE ... DELETE/UPDATE WHERE "
+             "analog): delete or set-constant rows WHERE col BETWEEN lo AND "
+             "hi; partitions pruned by skip-index zones first, unmatched "
+             "partitions never rewritten",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--where", required=True,
+                    help="col:lo:hi range predicate (empty lo/hi = unbounded "
+                         "side), e.g. n_tok:100:200 or event_ts:2024-01-01:")
+    sp.add_argument("--delete", action="store_true")
+    sp.add_argument("--set", action="append", default=[],
+                    metavar="COL=VALUE",
+                    help="assign a constant to matched rows (repeatable)")
+
+    sp = sub.add_parser(
         "scan",
         help="range scan WHERE col BETWEEN lo AND hi with skip-index pruning "
              "(ClickHouse minmax skip-index analog): partitions/files whose "
@@ -1099,6 +1115,41 @@ def _run(argv: list[str] | None = None) -> int:
                     sample.to_dict("records") if sample is not None else []
                 ),
             }, default=str))
+        finally:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "mutate":
+        from .pipelines.apply import mutate_table
+        from .state.manifest import load_manifest
+
+        man = load_manifest(args.table)
+
+        def _typed(colname, s):
+            if s is None or s == "" or colname not in man.schema.names:
+                return None if s in (None, "") else s
+            import pyarrow as _pa
+
+            t = man.schema.field(colname).type
+            if _pa.types.is_integer(t):
+                return int(s)
+            if _pa.types.is_floating(t):
+                return float(s)
+            return s  # strings/timestamps: workers cast ISO strings
+
+        w_col, w_lo, w_hi = args.where.split(":", 2)
+        set_cols = {}
+        for item in args.set:
+            name, _, val = item.partition("=")
+            set_cols[name] = _typed(name, val)
+        ray = _init_ray(args.num_cpus)
+        try:
+            out = mutate_table(
+                args.table, w_col, _typed(w_col, w_lo), _typed(w_col, w_hi),
+                delete=args.delete, set_cols=set_cols or None,
+            )
+            print(json.dumps(out if out is not None
+                             else {"mutated": False, "reason": "no rows matched"}))
         finally:
             ray.shutdown()
         return 0

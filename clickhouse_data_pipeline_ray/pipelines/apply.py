@@ -795,6 +795,127 @@ def ttl_expire(
         return out
 
 
+def mutate_table(
+    table_dir: str,
+    col: str,
+    lo=None,
+    hi=None,
+    delete: bool = False,
+    set_cols: dict | None = None,
+    concurrency: int | tuple = (1, 8),
+) -> dict | None:
+    """Predicate mutation — the ClickHouse ``ALTER TABLE ... DELETE WHERE`` /
+    ``UPDATE ... WHERE`` analog, run as an exactly-once maintenance epoch:
+    rows WHERE ``col BETWEEN lo AND hi`` (inclusive, either bound optional)
+    are dropped (``delete=True``) or get ``set_cols`` constants assigned.
+
+    Scale shape: partitions are pruned FIRST by skip-index zones (a pure
+    manifest computation — pipelines/scan.scan_plan), so on a zone-indexed
+    column a targeted mutation over a 100-TB table reads only the slice whose
+    zones can overlap; partitions whose merged state then matches nothing
+    return their chain untouched (read, never rewritten). Watermarks are
+    unchanged — a mutation rewrites state, it does not advance the log (a
+    later WAL event on a deleted key re-inserts it, the ClickHouse mutation +
+    later-INSERT contract, same as ttl_expire).
+
+    Returns the history entry, or None when no row matched (no epoch is
+    committed — a no-op mutation leaves no trace to replay or time-travel).
+    """
+    import json as _json
+
+    from ..stages.merge import MutateWorker
+    from .scan import scan_plan
+
+    if delete == bool(set_cols):
+        raise ValueError("mutation needs exactly one of delete=True or set_cols")
+    if lo is None and hi is None:
+        raise ValueError("mutation needs at least one bound (lo and/or hi)")
+
+    with table_lock(table_dir):
+        man = load_manifest(table_dir)
+        if col not in man.schema.names:
+            raise ValueError(f"mutation column {col!r} not in table schema")
+        immutable = {"doc_id", "lsn", man.key_col}
+        for name in set_cols or {}:
+            if name not in man.schema.names:
+                raise ValueError(f"set column {name!r} not in table schema")
+            if name in immutable:
+                raise ValueError(
+                    f"set column {name!r} is the key/version — immutable "
+                    "(mutations rewrite payloads, not identities)"
+                )
+        # zone pruning (correct-by-construction: scan_plan falls back to
+        # all partitions when zones are missing or unsound for this column)
+        plan = scan_plan(table_dir, col, lo, hi)
+        candidates = sorted(plan["partitions"], key=int)
+        if not candidates:
+            return None
+        t0 = time.perf_counter()
+        epoch = man.epoch + 1
+        items = [{"pid": int(pid)} for pid in candidates]
+        stats = (
+            ray.data.from_items(items, override_num_blocks=len(items))
+            .map_batches(
+                MutateWorker,
+                fn_constructor_kwargs={
+                    "table_dir": table_dir,
+                    "epoch": epoch,
+                    "partitions": _worker_partitions(man.partitions),
+                    "snapshot_schema_b64": man.schema_b64,
+                    "col": col,
+                    "lo": lo,
+                    "hi": hi,
+                    "delete": delete,
+                    "set_cols": set_cols,
+                    "mode": man.mode,
+                    "sum_cols": man.sum_cols,
+                    "skip_cols": man.skip_cols,
+                },
+                batch_format="pyarrow",
+                batch_size=None,
+                concurrency=concurrency,
+                num_cpus=1,
+            )
+            .take_all()
+        )
+        rows_deleted = sum(int(r["deletes"]) for r in stats)
+        rows_updated = sum(int(r["applied"]) for r in stats)
+        rewritten = [r for r in stats if r["new_file"]]
+        if not rewritten:
+            return None  # predicate matched nothing: no writes, no epoch
+        for row in rewritten:
+            pid = str(row["pid"])
+            promote_part(table_dir, row["new_file"])
+            man.partitions[pid].update(
+                {
+                    "rows": int(row["rows"]),
+                    "exact_rows": True,
+                    "bytes": int(row["bytes"]),
+                    "files": _json.loads(row["files_json"]),
+                }
+            )
+            _fold_zone_stats(man.partitions[pid], row)
+        out = {
+            "epoch": epoch,
+            "mutation": True,
+            "col": col,
+            "lo": None if lo is None else str(lo),
+            "hi": None if hi is None else str(hi),
+            "action": "delete" if delete else f"set {sorted(set_cols)}",
+            "rows_deleted": rows_deleted,
+            "rows_updated": rows_updated,
+            "partitions_rewritten": len(rewritten),
+            "partitions_pruned_by_zones": plan["partitions_pruned"],
+            "partitions_unchanged": len(stats) - len(rewritten),
+            "wall_s": round(time.perf_counter() - t0, 4),
+        }
+        man.epoch = epoch
+        man.history.append(out)
+        commit_manifest(man)
+        gc_stale_files(man)
+        return out
+
+
 def _files_min_ts_us(table_dir: str, files: list[str], col: str) -> int | None:
     """min(col) across a partition's parquet files from footer row-group
     statistics only (no data pages read). None = some file/row-group lacks

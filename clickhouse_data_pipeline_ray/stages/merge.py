@@ -808,6 +808,111 @@ class TTLWorker:
         return pa.concat_tables(out)
 
 
+class MutateWorker:
+    """Predicate mutation rewrite: the ClickHouse ``ALTER TABLE ... DELETE
+    WHERE`` / ``UPDATE ... WHERE`` mutation analog — fold one partition's
+    chain (LWW for upsert, sum-fold for sum, concat for append) and either
+    DROP the rows matching a range predicate or overwrite their ``set_cols``
+    with constants. Runs only on partitions the driver could not prune by
+    skip-index zones; a partition whose merged state matches NOTHING returns
+    its original chain untouched (``new_file=""``) so an unselective
+    mutation costs reads, never writes. Same tmp-write + driver-rename
+    commit protocol as MergeApply/TTLWorker."""
+
+    def __init__(
+        self,
+        table_dir: str,
+        epoch: int,
+        partitions: dict[str, dict],
+        snapshot_schema_b64: str,
+        col: str,
+        lo=None,
+        hi=None,
+        delete: bool = False,
+        set_cols: dict | None = None,
+        mode: str = "upsert",
+        sum_cols: list[str] | tuple = (),
+        skip_cols: list[str] | tuple = (),
+    ):
+        self.table_dir = table_dir
+        self.epoch = epoch
+        self.partitions = partitions
+        self.snapshot_schema = schema_from_b64(snapshot_schema_b64)
+        self.col = col
+        self.lo = lo
+        self.hi = hi
+        self.delete = delete
+        self.set_cols = dict(set_cols or {})
+        self.mode = mode
+        self.sum_cols = list(sum_cols)
+        self.skip_cols = list(skip_cols)
+
+    def _mask(self, t: pa.Table) -> pa.Array:
+        c = t.column(self.col)
+        mask = None
+        if self.lo is not None:
+            mask = pc.greater_equal(c, pa.scalar(self.lo).cast(c.type))
+        if self.hi is not None:
+            m2 = pc.less_equal(c, pa.scalar(self.hi).cast(c.type))
+            mask = m2 if mask is None else pc.and_(mask, m2)
+        # nulls never match a range predicate (SQL semantics)
+        return pc.fill_null(mask, False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        kind = "append" if self.mode == "append" else "snapshot"
+        for pid in batch.column("pid").to_pylist():
+            t0 = time.perf_counter()
+            meta = self.partitions[str(pid)]
+            files = list(meta.get("files") or [])
+            merged = read_partition(
+                self.table_dir, files, self.snapshot_schema, self.mode,
+                self.sum_cols,
+            )
+            mask = self._mask(merged)
+            n_hit = pc.sum(mask.cast(pa.int64())).as_py() or 0
+            if n_hit == 0:
+                # zone said "maybe" but the merged state says no: leave the
+                # chain alone (rows/bytes/files unchanged, nothing written)
+                out.append(
+                    _stats_row(
+                        pid, int(meta.get("rows", 0)),
+                        bool(meta.get("exact_rows", True)),
+                        int(meta.get("bytes", 0)), 0, 0,
+                        int(meta["watermark_lsn"]), "", files, t0,
+                    )
+                )
+                continue
+            if self.delete:
+                result = merged.filter(pc.invert(mask))
+                n_del, n_upd = n_hit, 0
+            else:
+                result = merged
+                for name, value in self.set_cols.items():
+                    idx = result.schema.get_field_index(name)
+                    col = result.column(name)
+                    sv = pa.scalar(value).cast(col.type)
+                    new = pc.if_else(mask, sv, col)
+                    result = result.set_column(idx, result.schema.field(idx), new)
+                n_del, n_upd = 0, n_hit
+            rel, nbytes = write_part_tmp(
+                self.table_dir, pid, self.epoch, kind, result
+            )
+            zj = (
+                json.dumps({rel: column_zones(result, self.skip_cols)})
+                if self.skip_cols
+                else ""
+            )
+            out.append(
+                _stats_row(
+                    pid, result.num_rows, True, nbytes,
+                    n_upd, n_del, int(meta["watermark_lsn"]), rel, [rel], t0,
+                    zones_json=zj,
+                )
+            )
+        return pa.concat_tables(out)
+
+
 class SnapshotWriter:
     """Write one pid group of already-merged snapshot rows as a clean
     snapshot file (used by table repartitioning, where rows arrive via a
