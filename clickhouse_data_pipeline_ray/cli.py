@@ -735,6 +735,10 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--hi", default=None, help="inclusive upper bound")
     sp.add_argument("--columns", default=None,
                     help="comma-separated projection (default: all)")
+    sp.add_argument("--and", dest="and_preds", action="append", default=[],
+                    metavar="COL:LO:HI",
+                    help="additional conjunct (repeatable); parts must "
+                         "overlap EVERY bounded column's zones to open")
     sp.add_argument("--limit", type=int, default=10)
     sp.add_argument("--epoch", type=int, default=None,
                     help="time-travel to a retained historical epoch")
@@ -1155,27 +1159,31 @@ def _run(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "scan":
-        from .pipelines.scan import read_where
+        from .pipelines.scan import read_where_multi
         from .state.manifest import load_manifest
 
         man = load_manifest(args.table)
-        ftype = man.schema.field(args.col).type if args.col in man.schema.names else None
 
-        def _bound(s):
-            if s is None or ftype is None:
-                return s
+        def _bound(colname, s):
+            if s in (None, "") or colname not in man.schema.names:
+                return None if s in (None, "") else s
             import pyarrow as _pa
 
-            if _pa.types.is_integer(ftype):
+            t = man.schema.field(colname).type
+            if _pa.types.is_integer(t):
                 return int(s)
-            if _pa.types.is_floating(ftype):
+            if _pa.types.is_floating(t):
                 return float(s)
             return s  # strings/timestamps: Arrow casts ISO strings itself
 
+        preds = {args.col: (_bound(args.col, args.lo), _bound(args.col, args.hi))}
+        for spec in args.and_preds:
+            c, lo, hi = spec.split(":", 2)
+            preds[c] = (_bound(c, lo), _bound(c, hi))
         ray = _init_ray(args.num_cpus)
         try:
-            ds, plan = read_where(
-                args.table, args.col, _bound(args.lo), _bound(args.hi),
+            ds, plan = read_where_multi(
+                args.table, preds,
                 columns=(
                     [c for c in args.columns.split(",") if c]
                     if args.columns else None

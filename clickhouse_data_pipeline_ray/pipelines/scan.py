@@ -10,6 +10,10 @@ the pruned read with ZERO parquet I/O — a pure manifest computation, O(files)
 driver work, which is what makes it hold at the 100-TB design point (the
 manifest is KB per partition; the data is TB).
 
+Conjunctive predicates (``read_where_multi``) prune by EVERY bounded
+column's zones: a part survives only if all its zones can overlap — the
+same AND-of-marks rule ClickHouse applies across multiple skip indexes.
+
 Pruning granularity is mode-aware for soundness:
 
 - **append** tables: rows are immutable, so any merged-output row is a
@@ -21,8 +25,8 @@ Pruning granularity is mode-aware for soundness:
   disjoint from the range.
 - **sum** tables: merged sum columns are SUMS of per-file partials — an
   output value can land inside a range no partial is in — so a predicate on
-  a ``sum_col`` disables pruning entirely (full scan, still correct). Other
-  (LWW'd) columns prune like upsert.
+  a ``sum_col`` never prunes (full scan for that conjunct, still correct).
+  Other (LWW'd) columns prune like upsert.
 
 A file with no zone for the column (written before the skip index existed,
 or all-null/all-NaN values) counts as "always overlapping" — missing
@@ -52,6 +56,29 @@ def _zone_overlaps(zone, lo, hi) -> bool:
     return True
 
 
+def _normalize_preds(man, predicates: dict) -> list[tuple]:
+    """[(col, zone-domain lo, zone-domain hi, zones_usable)] — one conjunct
+    per bounded column. ``zones_usable`` is False when the manifest records
+    no zones for the column or when pruning would be unsound (sum-mode
+    measure columns)."""
+    out = []
+    bounded = False
+    for col, (lo, hi) in predicates.items():
+        if lo is None and hi is None:
+            continue
+        bounded = True
+        ftype = (
+            man.schema.field(col).type if col in man.schema.names else pa.string()
+        )
+        usable = col in (man.skip_cols or []) and not (
+            man.mode == "sum" and col in (man.sum_cols or [])
+        )
+        out.append((col, zone_bound(lo, ftype), zone_bound(hi, ftype), usable))
+    if not bounded:
+        raise ValueError("scan needs at least one bound (lo and/or hi)")
+    return out
+
+
 def scan_plan(
     table_dir: str,
     col: str,
@@ -59,25 +86,28 @@ def scan_plan(
     hi=None,
     epoch: int | None = None,
 ) -> dict:
-    """Plan a skip-index range scan from the manifest only (no parquet I/O).
+    """Single-column plan (see scan_plan_multi)."""
+    return scan_plan_multi(table_dir, {col: (lo, hi)}, epoch=epoch)
 
-    Returns ``{"partitions": {pid: [files]}, "files_total", "files_pruned",
-    "partitions_total", "partitions_pruned", "pruned_by_zones": bool}`` —
-    the partitions/files the read must open. The plan dict doubles as the
-    pruning evidence the spy tests assert on.
+
+def scan_plan_multi(
+    table_dir: str,
+    predicates: dict,
+    epoch: int | None = None,
+) -> dict:
+    """Plan a conjunctive range scan from the manifest only (no parquet I/O).
+
+    ``predicates`` = ``{col: (lo, hi)}`` (inclusive bounds, either side may
+    be None; at least one bound overall). A part survives only if EVERY
+    usable conjunct's zone overlaps. Returns ``{"partitions": {pid:
+    [files]}, "files_total", "files_pruned", "partitions_total",
+    "partitions_pruned", "pruned_by_zones": bool}`` — the partitions/files
+    the read must open. The plan dict doubles as the pruning evidence the
+    spy tests assert on.
     """
-    if lo is None and hi is None:
-        raise ValueError("scan_plan needs at least one bound (lo and/or hi)")
     man = load_manifest(table_dir, epoch=epoch)
-    field_type = (
-        man.schema.field(col).type if col in man.schema.names else pa.string()
-    )
-    qlo, qhi = zone_bound(lo, field_type), zone_bound(hi, field_type)
-    # zones are unusable (not recorded, or unsound for this predicate):
-    # scan everything, prune nothing — correctness never depends on zones
-    zones_usable = col in (man.skip_cols or []) and not (
-        man.mode == "sum" and col in (man.sum_cols or [])
-    )
+    preds = _normalize_preds(man, predicates)
+    usable = [p for p in preds if p[3]]
 
     chains: dict[str, list[str]] = {}
     files_total = files_pruned = parts_pruned = 0
@@ -88,12 +118,15 @@ def scan_plan(
             continue
         parts_total += 1
         files_total += len(files)
-        if not zones_usable:
+        if not usable:
             chains[pid] = files
             continue
         zones = meta.get("zones") or {}
         hits = {
-            f: _zone_overlaps((zones.get(f) or {}).get(col), qlo, qhi)
+            f: all(
+                _zone_overlaps((zones.get(f) or {}).get(c), qlo, qhi)
+                for c, qlo, qhi, _ in usable
+            )
             for f in files
         }
         if not any(hits.values()):
@@ -114,7 +147,7 @@ def scan_plan(
         "files_pruned": files_pruned,
         "partitions_total": parts_total,
         "partitions_pruned": parts_pruned,
-        "pruned_by_zones": zones_usable,
+        "pruned_by_zones": bool(usable),
         "mode": man.mode,
     }
 
@@ -127,15 +160,28 @@ def read_where(
     columns: list[str] | None = None,
     epoch: int | None = None,
 ) -> tuple[ray.data.Dataset, dict]:
-    """Range scan ``WHERE col BETWEEN lo AND hi`` (bounds inclusive, either
-    may be None for a one-sided range) with manifest-level skip-index pruning.
+    """Single-column range scan (see read_where_multi)."""
+    return read_where_multi(
+        table_dir, {col: (lo, hi)}, columns=columns, epoch=epoch
+    )
+
+
+def read_where_multi(
+    table_dir: str,
+    predicates: dict,
+    columns: list[str] | None = None,
+    epoch: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Conjunctive range scan ``WHERE col1 BETWEEN .. AND col2 BETWEEN ..``
+    (bounds inclusive, either side of any conjunct may be None) with
+    manifest-level skip-index pruning across ALL bounded columns.
 
     Returns ``(dataset, plan)``; the dataset streams the EXACT predicate
-    result (zones only decide which parts open — the row filter always runs),
-    optionally projected to ``columns``. One embarrassingly parallel map over
-    surviving partitions, no shuffle.
+    result (zones only decide which parts open — the row filter always
+    runs), optionally projected to ``columns``. One embarrassingly parallel
+    map over surviving partitions, no shuffle.
     """
-    plan = scan_plan(table_dir, col, lo, hi, epoch=epoch)
+    plan = scan_plan_multi(table_dir, predicates, epoch=epoch)
     man = load_manifest(table_dir, epoch=epoch)
     schema = man.schema
     out_schema = (
@@ -144,9 +190,18 @@ def read_where(
     if not plan["partitions"]:
         return ray.data.from_arrow(out_schema.empty_table()), plan
 
-    ftype = schema.field(col).type
-    slo = pa.scalar(lo).cast(ftype) if lo is not None else None
-    shi = pa.scalar(hi).cast(ftype) if hi is not None else None
+    bounds = []  # (col, lo scalar | None, hi scalar | None) in column types
+    for col, (lo, hi) in predicates.items():
+        if lo is None and hi is None:
+            continue
+        ftype = schema.field(col).type
+        bounds.append(
+            (
+                col,
+                pa.scalar(lo).cast(ftype) if lo is not None else None,
+                pa.scalar(hi).cast(ftype) if hi is not None else None,
+            )
+        )
     reader = make_partition_reader(
         table_dir,
         man.schema_b64,
@@ -158,13 +213,15 @@ def read_where(
 
     def read_and_filter(batch: pa.Table) -> pa.Table:
         t = reader(batch)
-        c = t.column(col)
         mask = None
-        if slo is not None:
-            mask = pc.greater_equal(c, slo)
-        if shi is not None:
-            m2 = pc.less_equal(c, shi)
-            mask = m2 if mask is None else pc.and_(mask, m2)
+        for col, slo, shi in bounds:
+            c = t.column(col)
+            if slo is not None:
+                m = pc.greater_equal(c, slo)
+                mask = m if mask is None else pc.and_(mask, m)
+            if shi is not None:
+                m = pc.less_equal(c, shi)
+                mask = m if mask is None else pc.and_(mask, m)
         t = t.filter(pc.fill_null(mask, False))
         return t.select(cols) if cols else t
 

@@ -323,6 +323,43 @@ def test_skip_cols_ddl_validation(tmp_path):
         )
 
 
+def test_multi_predicate_conjunction_prunes_by_all_zones(ray_session, tmp_path):
+    """AND of two range conjuncts: a file must overlap EVERY bounded
+    column's zone to open, and the row filter applies both predicates."""
+    from clickhouse_data_pipeline_ray.pipelines.scan import read_where_multi
+
+    wal = str(tmp_path / "wal")
+    generate_fact_wal(
+        wal, FactGenParams(total_events=3_000, events_per_segment=1_000)
+    )
+    table = str(tmp_path / "t")
+    create_table(
+        table, num_partitions=4, schema=FACT_SNAPSHOT_SCHEMA, mode="append",
+        key_col="event_id", skip_cols=["lsn", "value"],
+    )
+    replay(table, wal, ApplyConfig(max_segments=1), final_compact=False)
+    snap = snapshot_table(table)
+    lsn = snap.column("lsn").to_numpy()
+    val = snap.column("value").to_numpy()
+    vmid = float(np.median(val))
+
+    ds, plan = read_where_multi(
+        table, {"lsn": (1, 1_000), "value": (vmid, None)}
+    )
+    assert plan["pruned_by_zones"] is True
+    # the lsn conjunct alone prunes the other epochs' files
+    assert plan["files_pruned"] >= plan["files_total"] // 2
+    want = int(((lsn <= 1_000) & (val >= vmid)).sum())
+    assert ds.count() == want
+
+    # an impossible conjunction (disjoint lsn band) prunes EVERYTHING
+    ds2, plan2 = read_where_multi(
+        table, {"lsn": (10_000, None), "value": (vmid, None)}
+    )
+    assert len(plan2["partitions"]) == 0
+    assert ds2.count() == 0
+
+
 def test_scan_projection_and_timestamp_bounds(ray_session, tmp_path):
     wal = str(tmp_path / "wal")
     generate_fact_wal(
