@@ -232,7 +232,7 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
     sp.add_argument("--name", required=True)
     sp.add_argument("--kind", required=True,
-                    choices=["classifier", "lm", "ann", "tokens"])
+                    choices=["classifier", "lm", "ann", "tokens", "bpe"])
     sp.add_argument("--dest", required=True, help="artifact directory")
     sp.add_argument("--param", action="append", default=[],
                     help="refresher kwarg as key=value (repeatable); "
@@ -417,6 +417,46 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--feature-col", default="tokens")
     sp.add_argument("--dim-u", type=int, default=1 << 20)
     sp.add_argument("--dim-b", type=int, default=1 << 22)
+
+    sp = sub.add_parser(
+        "train-bpe",
+        help="learn a BPE tokenizer: one distributed word-count pass "
+             "(corpus compressed to a top-N frequency dict), deterministic "
+             "driver-side merges (Sennrich 2016); persists merges+vocab",
+    )
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--merges", type=int, default=200)
+    sp.add_argument("--min-count", type=int, default=2)
+    sp.add_argument("--max-words", type=int, default=100_000)
+    sp.add_argument("--output", required=True, help="model directory")
+
+    sp = sub.add_parser(
+        "bpe-refresh",
+        help="build/refresh per-partition word-count partials over a "
+             "committed table (changed-partition-only via the manifest "
+             "diff); training from the composed counts equals a retrain",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--output", required=True, help="partials dir")
+    sp.add_argument("--text-col", default="text")
+
+    sp = sub.add_parser(
+        "bpe-encode",
+        help="encode a documents parquet (or composed table partials) with "
+             "a trained BPE model: actor pool, merges broadcast once, "
+             "per-actor word cache",
+    )
+    sp.add_argument("--model", required=True,
+                    help="train-bpe output, or bpe-refresh partials dir "
+                         "(trained on the fly)")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--merges", type=int, default=200,
+                    help="merge count when training from partials")
+    sp.add_argument("--output", default=None,
+                    help="write encoded parquet here (default: print stats)")
+    sp.add_argument("--limit", type=int, default=3)
 
     sp = sub.add_parser(
         "lm-score",
@@ -1466,6 +1506,74 @@ def _run(argv: list[str] | None = None) -> int:
                ("indexed_epoch", "dim_u", "dim_b", "feature_col")},
             "refreshed_pids": meta["refreshed_pids"],
             "output": args.output,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "train-bpe":
+        from .functions.bpe import train_bpe
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        ds = rd.read_parquet(
+            os.path.join(args.sf_dir, "documents.parquet"),
+            columns=[args.text_col],
+        )
+        model = train_bpe(
+            ds, text_col=args.text_col, num_merges=args.merges,
+            min_count=args.min_count, max_words=args.max_words,
+            model_dir=args.output,
+        )
+        print(json.dumps({
+            "merges": len(model.merges),
+            "vocab_size": len(model.vocab),
+            "first_merges": [list(m) for m in model.merges[:5]],
+            "model": args.output,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "bpe-refresh":
+        from .functions.bpe import refresh_table_bpe
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        meta = refresh_table_bpe(args.table, args.output, text_col=args.text_col)
+        print(json.dumps({
+            "indexed_epoch": meta["indexed_epoch"],
+            "refreshed_pids": meta["refreshed_pids"],
+            "output": args.output,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "bpe-encode":
+        from .functions.bpe import BPEModel, encode_dataset, load_table_bpe
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        if os.path.isdir(os.path.join(args.model, "partials")):
+            model = load_table_bpe(args.model, num_merges=args.merges)
+        else:
+            model = BPEModel.load(args.model)
+        ds = rd.read_parquet(os.path.join(args.sf_dir, "documents.parquet"))
+        out = encode_dataset(ds, model, text_col=args.text_col)
+        if args.output:
+            out.write_parquet(args.output)
+            out = rd.read_parquet(args.output)
+        n_rows = out.count()
+        pieces = out.sum("n_bpe_pieces")
+        sample = out.limit(args.limit).to_pandas()
+        print(json.dumps({
+            "rows": int(n_rows),
+            "total_pieces": int(pieces),
+            "vocab_size": len(model.vocab),
+            "sample_ids": sample["bpe_ids"].iloc[0][:12].tolist()
+            if len(sample) else [],
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
         return 0

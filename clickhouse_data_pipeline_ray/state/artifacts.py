@@ -30,6 +30,7 @@ _KINDS = {
     "lm": ("..functions.lm", "refresh_table_lm"),
     "ann": ("..functions.similarity", "refresh_table_ann_index"),
     "tokens": ("..functions.retrieval", "refresh_table_token_index"),
+    "bpe": ("..functions.bpe", "refresh_table_bpe"),
 }
 
 
@@ -89,7 +90,7 @@ def refresh_artifacts(table_dir: str) -> dict:
         fn = _resolve(spec["kind"])
         second = (
             "model_dir"
-            if spec["kind"] in ("classifier", "lm")
+            if spec["kind"] in ("classifier", "lm", "bpe")
             else "index_dir"
         )
         meta = fn(table_dir, **{second: spec["dest"]}, **spec["params"])
