@@ -78,10 +78,14 @@ def _run(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("init", help="create an empty table layout + manifest")
     sp.add_argument("--table", required=True)
     sp.add_argument("--num-partitions", type=int, default=64)
-    sp.add_argument("--mode", choices=("upsert", "append", "sum"), default="upsert",
+    sp.add_argument("--mode", choices=("upsert", "append", "sum", "collapse"),
+                    default="upsert",
                     help="upsert: LWW by key (ReplacingMergeTree analog); "
                          "append: immutable facts (MergeTree analog); "
-                         "sum: additive rollup by key (SummingMergeTree analog)")
+                         "sum: additive rollup by key (SummingMergeTree "
+                         "analog); collapse: ±1 sign cancellation by key "
+                         "(CollapsingMergeTree analog — a 'sign' int column "
+                         "is added to the schema)")
     sp.add_argument("--key-col", default="doc_id")
     sp.add_argument("--sum-cols", default=None,
                     help="comma-separated measure columns summed per key "
@@ -196,7 +200,8 @@ def _run(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--root", required=True, help="lake root (holds registry.json)")
     sp.add_argument("--name", required=True)
-    sp.add_argument("--mode", choices=("upsert", "append", "sum"), default="upsert")
+    sp.add_argument("--mode", choices=("upsert", "append", "sum", "collapse"),
+                    default="upsert")
     sp.add_argument("--key-col", default=None)
     sp.add_argument("--sum-cols", default=None,
                     help="comma-separated measure columns (mode sum only)")
@@ -828,9 +833,13 @@ def _run(argv: list[str] | None = None) -> int:
         from .schemas import FACT_SNAPSHOT_SCHEMA, SNAPSHOT_SCHEMA
 
         schema_name = args.schema or (
-            "facts" if args.mode in ("append", "sum") else "docs"
+            "facts" if args.mode in ("append", "sum", "collapse") else "docs"
         )
         schema = FACT_SNAPSHOT_SCHEMA if schema_name == "facts" else SNAPSHOT_SCHEMA
+        if args.mode == "collapse" and "sign" not in schema.names:
+            import pyarrow as _pa
+
+            schema = schema.append(_pa.field("sign", _pa.int32()))
         spec = (
             {"kind": "time", "col": args.partition_by_month, "granularity": "month"}
             if args.partition_by_month
@@ -908,9 +917,13 @@ def _run(argv: list[str] | None = None) -> int:
         from .state import registry as R
 
         schema_name = args.schema or (
-            "facts" if args.mode in ("append", "sum") else "docs"
+            "facts" if args.mode in ("append", "sum", "collapse") else "docs"
         )
         schema = FACT_SNAPSHOT_SCHEMA if schema_name == "facts" else SNAPSHOT_SCHEMA
+        if args.mode == "collapse" and "sign" not in schema.names:
+            import pyarrow as _pa
+
+            schema = schema.append(_pa.field("sign", _pa.int32()))
         key_col = args.key_col or (
             "event_id" if schema_name == "facts" and args.mode == "append"
             else "doc_id"

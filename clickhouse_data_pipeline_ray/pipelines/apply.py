@@ -53,6 +53,7 @@ from ..sources.wal import (
 from ..stages.merge import MergeApply, promote_part
 from ..stages.normalize import (
     compact_group,
+    make_collapse_compact_group,
     make_normalize_fn,
     make_sum_compact_group,
 )
@@ -394,11 +395,11 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
         mode=man.mode,
         dlq_writer=dlq_writer,
         sum_cols=man.sum_cols,
-        # sum mode: partial sums must exclude each partition's already-
+        # sum/collapse modes: partials must exclude each partition's already-
         # applied rows (see make_normalize_fn) — O(P) ints, broadcast once
         pid_watermarks=(
             {pid: int(p["watermark_lsn"]) for pid, p in man.partitions.items()}
-            if man.mode == "sum"
+            if man.mode in ("sum", "collapse")
             else None
         ),
     )
@@ -453,11 +454,12 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
             # parallel (each doc_id lives in exactly one sub-group, so L1
             # output is fully compacted per key); L2 is the per-pid base
             # merge. Sum mode uses the sum-aware L1 (partial sums compose).
-            l1 = (
-                make_sum_compact_group(man.key_col, man.sum_cols)
-                if man.mode == "sum"
-                else compact_group
-            )
+            if man.mode == "sum":
+                l1 = make_sum_compact_group(man.key_col, man.sum_cols)
+            elif man.mode == "collapse":
+                l1 = make_collapse_compact_group(man.key_col)
+            else:
+                l1 = compact_group
             changes = changes.groupby(["pid", "salt"]).map_groups(
                 l1, batch_format="pyarrow"
             )
@@ -833,6 +835,15 @@ def mutate_table(
 
     with table_lock(table_dir):
         man = load_manifest(table_dir)
+        if man.mode == "collapse":
+            # a collapse table's committed state is a partial encoding
+            # (winner + adjustment rows); rewriting rows by predicate would
+            # corrupt the cancel balances. The ClickHouse answer applies:
+            # delete by inserting cancel (sign=-1) rows.
+            raise ValueError(
+                "mutations are not supported on collapse tables — insert "
+                "cancel (sign=-1) change events instead"
+            )
         if col not in man.schema.names:
             raise ValueError(f"mutation column {col!r} not in table schema")
         immutable = {"doc_id", "lsn", man.key_col}
@@ -1249,11 +1260,14 @@ def snapshot_table(table_dir: str, epoch: int | None = None) -> pa.Table:
     for pid in sorted(man.partitions, key=int):
         files = man.partitions[pid].get("files") or []
         if files:
-            tables.append(
-                read_partition(table_dir, files, man.schema, man.mode, man.sum_cols)
-            )
+            t = read_partition(table_dir, files, man.schema, man.mode, man.sum_cols)
+            if man.mode == "collapse":
+                from ..stages.merge import collapse_finalize
+
+                t = collapse_finalize(t)  # user-facing: alive winners only
+            tables.append(t)
     if not tables:
         return man.schema.empty_table()
-    # deterministic order: key for upsert/sum (keys unique), lsn for append
-    sort_col = man.key_col if man.mode in ("upsert", "sum") else "lsn"
+    # deterministic order: key for keyed modes (keys unique), lsn for append
+    sort_col = man.key_col if man.mode in ("upsert", "sum", "collapse") else "lsn"
     return pa.concat_tables(tables).sort_by([(sort_col, "ascending")])

@@ -70,8 +70,12 @@ def _normalize_preds(man, predicates: dict) -> list[tuple]:
         ftype = (
             man.schema.field(col).type if col in man.schema.names else pa.string()
         )
-        usable = col in (man.skip_cols or []) and not (
-            man.mode == "sum" and col in (man.sum_cols or [])
+        usable = (
+            col in (man.skip_cols or [])
+            # merged sum measures / collapse nets are SUMS of per-file
+            # values — zones on partials can't bound them
+            and not (man.mode == "sum" and col in (man.sum_cols or []))
+            and not (man.mode == "collapse" and col == "sign")
         )
         out.append((col, zone_bound(lo, ftype), zone_bound(hi, ftype), usable))
     if not bounded:

@@ -264,6 +264,173 @@ def sum_merge_file_tables(
     )
 
 
+def collapse_compact(
+    table: pa.Table,
+    key: str = "doc_id",
+    sign_col: str = "sign",
+    version: str = "lsn",
+) -> pa.Table:
+    """CollapsingMergeTree-analog reduction to a MERGEABLE partial state.
+
+    Raw change rows carry ``sign`` ∈ {+1 (state), −1 (cancel)}; the key's
+    truth is ``net = Σ sign`` (alive iff net > 0) with payload from the
+    max-version STATE row. The partial encoding makes that fold associative
+    under ARBITRARY row splits (batches split a key's events randomly, so
+    epoch-ordered folds are not enough):
+
+    - *winner row*: max-``version`` row among ``sign > 0 ∧ version non-null``
+      rows — raw +1 rows and prior winner rows both qualify; cancel rows and
+      adjustment rows (null version) never do. Emitted with
+      ``sign = net`` when net > 0 (the common, single-row case) or
+      ``sign = 1`` when the key is currently net-cancelled (the winner must
+      survive the fold: a batch split can put the latest state in a
+      net-≤0 fragment — see test_collapse_hierarchical_arbitrary_splits).
+    - *adjustment row* (only when needed): null payload, ``sign = net − 1``
+      beside a cancelled winner, or ``sign = net`` for a key with no state
+      row yet — always ≤ −1 (a winnerless key's net is strictly negative),
+      so adjustment rows are never winner candidates. Their ``version`` is
+      the key's max version in the fold (a REAL value: watermark re-filters
+      must pass these rows — a null version would silently drop the cancel
+      balance at the merge's idempotency filter).
+
+    Σ sign over the emitted rows always equals the key's true net, and
+    re-folding emitted rows reproduces them — associative, commutative,
+    idempotent-under-refold, exactly like the LWW and sum kernels. A key
+    whose net is 0 with no winner disappears entirely; a cancelled key keeps
+    at most 2 thin rows until TTL/mutation removes them (ClickHouse's
+    collapsing merges keep residual rows in the uneven cases too).
+    Final user-facing reads apply :func:`collapse_finalize`.
+    """
+    if table.num_rows == 0:
+        return table
+    import pandas as pd
+
+    sign = table.column(sign_col)
+    ver = table.column(version)
+    cand_mask = pc.and_(
+        pc.fill_null(pc.greater(sign, pa.scalar(0).cast(sign.type)), False),
+        pc.is_valid(ver),
+    )
+    winners = lww_compact(
+        table.filter(cand_mask).drop_columns([sign_col]),
+        key=key,
+        version=version,
+    )  # key-sorted, one row per key-with-state
+    nets = (
+        table.select([key, sign_col, version])
+        .group_by(key)
+        .aggregate([(sign_col, "sum"), (version, "max")])
+        .sort_by([(key, "ascending")])
+    )
+    net_keys = nets.column(key)
+    net = nets.column(f"{sign_col}_sum").to_numpy(zero_copy_only=False)
+    max_ver = nets.column(f"{version}_max")
+    w_idx = pd.Index(winners.column(key).to_pandas()).get_indexer(
+        net_keys.to_pandas()
+    )
+    has_w = w_idx >= 0
+    sign_type = table.schema.field(sign_col).type
+
+    out_parts = []
+    if has_w.any():
+        w_take = winners.take(pa.array(w_idx[has_w]))
+        w_net = net[has_w]
+        # alive keys carry their whole net on the winner row; cancelled
+        # winners keep sign=1 and push the balance to an adjustment row
+        w_sign = np.where(w_net > 0, w_net, 1)
+        w_take = w_take.append_column(
+            sign_col, pa.array(w_sign).cast(sign_type)
+        )
+        out_parts.append(w_take.select(table.column_names))
+    # adjustment rows: cancelled winners (net-1) + winnerless keys (net)
+    adj_w = has_w & (net <= 0)
+    adj_n = (~has_w) & (net != 0)
+    adj_keys = pa.concat_arrays(
+        [
+            net_keys.filter(pa.array(adj_w)).combine_chunks(),
+            net_keys.filter(pa.array(adj_n)).combine_chunks(),
+        ]
+    )
+    if len(adj_keys):
+        adj_sign = np.concatenate([net[adj_w] - 1, net[adj_n]])
+        adj_ver = pa.concat_arrays(
+            [
+                max_ver.filter(pa.array(adj_w)).combine_chunks(),
+                max_ver.filter(pa.array(adj_n)).combine_chunks(),
+            ]
+        )
+        n_adj = len(adj_keys)
+        cols = {}
+        for name in table.column_names:
+            if name == key:
+                cols[name] = adj_keys
+            elif name == sign_col:
+                cols[name] = pa.array(adj_sign).cast(sign_type)
+            elif name == version:
+                cols[name] = adj_ver
+            else:
+                cols[name] = pa.nulls(n_adj, table.schema.field(name).type)
+        out_parts.append(pa.table(cols))
+    if not out_parts:
+        return table.schema.empty_table()
+    out = pa.concat_tables(out_parts, promote_options="none")
+    # deterministic bytes: key order, winner row before its adjustment row
+    # (null version sorts after real versions)
+    return out.sort_by([(key, "ascending"), (version, "ascending")])
+
+
+def collapse_finalize(
+    table: pa.Table,
+    key: str = "doc_id",
+    sign_col: str = "sign",
+    version: str = "lsn",
+) -> pa.Table:
+    """Partial state → user-facing snapshot: keys with net > 0 only, one
+    winner row each (its ``sign`` already holds the net). Assumes ``table``
+    is collapse_compact output (≤2 rows per key)."""
+    if table.num_rows == 0:
+        return table
+    import pandas as pd
+
+    nets = (
+        table.select([key, sign_col]).group_by(key).aggregate([(sign_col, "sum")])
+    )
+    alive = nets.filter(
+        pc.greater(nets.column(f"{sign_col}_sum"), pa.scalar(0))
+    ).column(key)
+    winner_mask = pc.and_(
+        pc.fill_null(
+            pc.greater(table.column(sign_col), pa.scalar(0).cast(
+                table.schema.field(sign_col).type
+            )),
+            False,
+        ),
+        pc.is_valid(table.column(version)),
+    )
+    winners = table.filter(winner_mask)
+    keep = pc.is_in(winners.column(key), value_set=alive.combine_chunks())
+    return winners.filter(keep)
+
+
+def collapse_merge_file_tables(
+    tables: list[pa.Table],
+    snapshot_schema: pa.Schema,
+    sign_col: str = "sign",
+) -> pa.Table:
+    """Fold a collapse-mode partition's file chain (partial-state base +
+    partial delta files) — plain concat + :func:`collapse_compact`, valid in
+    any order because the partial encoding composes. Output is PARTIAL state
+    (residual cancel balances retained); user reads finalize."""
+    parts = [cast_table(t, snapshot_schema) for t in tables if t.num_rows]
+    if not parts:
+        return snapshot_schema.empty_table()
+    if len(parts) == 1:
+        return parts[0]
+    return collapse_compact(
+        pa.concat_tables(parts, promote_options="none"), sign_col=sign_col
+    )
+
+
 def merge_file_tables(
     tables: list[pa.Table],
     snapshot_schema: pa.Schema,
@@ -394,6 +561,9 @@ def read_partition(
         return pa.concat_tables(parts, promote_options="none")
     if mode == "sum":
         return sum_merge_file_tables(tables, snapshot_schema, sum_cols)
+    if mode == "collapse":
+        # PARTIAL state (residuals kept) — user-facing readers finalize
+        return collapse_merge_file_tables(tables, snapshot_schema)
     if len(tables) == 1 and "op" not in tables[0].column_names:
         return cast_table(tables[0], snapshot_schema)
     return merge_file_tables(tables, snapshot_schema)
@@ -414,9 +584,11 @@ def make_partition_reader(
         for pid in batch.column("pid").to_pylist():
             files = files_by_pid.get(str(pid)) or []
             if files:
-                out.append(
-                    read_partition(table_dir, files, schema, mode, sum_cols)
-                )
+                t = read_partition(table_dir, files, schema, mode, sum_cols)
+                if mode == "collapse":
+                    # user-facing read: partial state → alive winners only
+                    t = collapse_finalize(t)
+                out.append(t)
         if not out:
             return schema.empty_table()
         return pa.concat_tables(out)
@@ -639,6 +811,34 @@ class MergeApply:
                 self._read_files(meta) + [compacted],
                 self.snapshot_schema,
                 self.sum_cols,
+            )
+            rel, nbytes = self._write(merged, pid, "snapshot")
+            return _stats_row(
+                pid, merged.num_rows, True, nbytes,
+                n_applied, 0, max_lsn, rel, [rel], t0, ev_max, ev_late,
+                self._zjson(rel, merged),
+            )
+        if self.mode == "collapse":
+            # CollapsingMergeTree-analog: insert-only ±1 events, folded to
+            # the associative partial encoding (collapse_compact). Delta
+            # path appends the partial; compact path folds the chain. The
+            # committed state is PARTIAL (residual cancel balances kept);
+            # readers finalize (net > 0 filter) — see collapse_compact.
+            rows = changes.drop_columns(
+                [c for c in ("op", *ROUTING_COLS) if c in changes.column_names]
+            )
+            compacted = collapse_compact(cast_table(rows, self.snapshot_schema))
+            if delta_ok:
+                rel, nbytes = self._write(compacted, pid, "delta")
+                chain_bytes = int(meta.get("bytes", 0)) + nbytes
+                return _stats_row(
+                    pid, int(meta.get("rows", 0)), False, chain_bytes,
+                    n_applied, 0, max_lsn, rel, old_files + [rel], t0,
+                    ev_max, ev_late,
+                    self._zjson(rel, compacted),
+                )
+            merged = collapse_merge_file_tables(
+                self._read_files(meta) + [compacted], self.snapshot_schema
             )
             rel, nbytes = self._write(merged, pid, "snapshot")
             return _stats_row(

@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..schemas import cast_table
-from .merge import lww_compact, sum_compact
+from .merge import collapse_compact, lww_compact, sum_compact
 from .partition import assign_by_spec
 
 _VALID_OPS = ("c", "u", "d")
@@ -141,7 +141,7 @@ def make_normalize_fn(
     key) are QUARANTINED through it instead of failing the epoch — the
     dead-letter-queue ingest mode; without it the epoch fails loudly, the
     strict default."""
-    valid_ops = ("c",) if mode in ("append", "sum") else _VALID_OPS
+    valid_ops = ("c",) if mode in ("append", "sum", "collapse") else _VALID_OPS
 
     def fn(batch: pa.Table) -> pa.Table:
         if (
@@ -198,8 +198,22 @@ def make_normalize_fn(
                 raise ValueError(
                     f"{n_null_keys} change event(s) with null {key_col!r} key"
                 )
+        if mode == "collapse" and batch.num_rows:
+            # change-event contract: sign is strictly ±1 and non-null (a
+            # partial net only ever appears in COMMITTED state, never in the
+            # WAL); garbage signs corrupt nets silently, so fail loudly
+            sign = batch.column("sign")
+            ok = pc.is_in(sign, value_set=pa.array([1, -1], sign.type))
+            n_bad = batch.num_rows - (
+                pc.sum(pc.fill_null(ok, False).cast(pa.int64())).as_py() or 0
+            )
+            if n_bad:
+                raise ValueError(
+                    f"{n_bad} collapse change event(s) with sign not in "
+                    "(+1, -1)"
+                )
         batch = assign_by_spec(batch, partition_spec, salt_factor, key_col)
-        if mode == "sum" and pid_watermarks and batch.num_rows:
+        if mode in ("sum", "collapse") and pid_watermarks and batch.num_rows:
             # Sum-mode exactly-once hazard: a batch can span an
             # already-applied segment and a new one (per-partition watermarks
             # legally lead the table-min watermark when an epoch touches only
@@ -226,6 +240,14 @@ def make_normalize_fn(
             # op/pid/salt ride along as LWW'd columns (constant per key
             # within a batch's (pid, salt) assignment — key-hashed routing)
             batch = sum_compact(batch, key=key_col, sum_cols=sum_cols)
+        elif precompact and mode == "collapse":
+            # collapse_compact nulls every non-key column on adjustment rows
+            # — including the routing columns — so compact on the payload
+            # columns only and re-derive pid/salt from the key afterwards
+            # (same hash, O(compacted rows))
+            routing = [c for c in ("pid", "salt") if c in batch.column_names]
+            batch = collapse_compact(batch.drop_columns(routing), key=key_col)
+            batch = assign_by_spec(batch, partition_spec, salt_factor, key_col)
         return batch
 
     return fn
@@ -245,5 +267,30 @@ def make_sum_compact_group(key_col: str, sum_cols: list[str] | tuple):
 
     def fn(group: pa.Table) -> pa.Table:
         return sum_compact(group, key=key_col, sum_cols=sum_cols)
+
+    return fn
+
+
+def make_collapse_compact_group(key_col: str):
+    """Collapse-mode L1 compactor for the salted two-level merge (the
+    partial encoding is associative under arbitrary splits — each doc_id
+    maps to exactly one (pid, salt) bucket). Routing columns are constant
+    per key within a sub-group, so they are carried through by taking them
+    from the group and re-attaching after the compact (adjustment rows
+    would otherwise null them)."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group
+        routing = [c for c in ("pid", "salt") if c in group.column_names]
+        vals = {c: group.column(c)[0] for c in routing}
+        out = collapse_compact(group.drop_columns(routing), key=key_col)
+        for c in routing:
+            out = out.append_column(
+                c, pa.nulls(out.num_rows, group.schema.field(c).type).fill_null(
+                    vals[c]
+                )
+            )
+        return out
 
     return fn

@@ -145,8 +145,26 @@ def init_table(
     /root/reference/etl/core/schema.py:16-24). Hash-partitioned tables
     pre-create their fixed partition set; time-partitioned tables start empty
     (partitions appear as their months do)."""
-    if mode not in ("upsert", "append", "sum"):
-        raise ValueError(f"unknown table mode {mode!r} (upsert|append|sum)")
+    if mode not in ("upsert", "append", "sum", "collapse"):
+        raise ValueError(
+            f"unknown table mode {mode!r} (upsert|append|sum|collapse)"
+        )
+    if mode == "collapse":
+        # CollapsingMergeTree-analog: keyed like upsert/sum, plus a sign
+        # column holding +1 (state) / -1 (cancel) on change events and the
+        # mergeable net in committed partial state.
+        if "doc_id" not in schema.names or key_col != "doc_id":
+            raise ValueError(
+                "collapse tables are keyed by a physical 'doc_id' column "
+                "(rename your key at import/normalize time), like upsert"
+            )
+        if "sign" not in schema.names or not pa.types.is_integer(
+            schema.field("sign").type
+        ):
+            raise ValueError(
+                "collapse tables need an integer 'sign' column "
+                f"(got schema {list(schema.names)})"
+            )
     if mode == "sum":
         # SummingMergeTree-analog: keyed like upsert (the merge kernels key
         # on the physical doc_id column — same convention, same reason), but
