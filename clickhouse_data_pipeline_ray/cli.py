@@ -358,9 +358,16 @@ def _run(argv: list[str] | None = None) -> int:
              "passes + a filter — exact, partitioning-independent)",
     )
     sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
-    sp.add_argument("--budgets", required=True,
+    sp.add_argument("--budgets", default=None,
                     help="comma-separated source:max_tokens, e.g. "
                          "src0:5000,src1:2000 (unlisted sources kept whole)")
+    sp.add_argument("--total-tokens", type=int, default=None,
+                    help="derive per-source budgets from a single mixture "
+                         "budget at --temperature (Conneau-Lample τ-mixing; "
+                         "alternative to --budgets)")
+    sp.add_argument("--temperature", type=float, default=0.7,
+                    help="mixing temperature τ for --total-tokens: share ∝ "
+                         "source_tokens^τ (1=natural, →0 uniform)")
     sp.add_argument("--tok-col", default="n_chars",
                     help="integer weight column (n_tok on snapshot tables)")
     sp.add_argument("--output", default=None,
@@ -1354,17 +1361,31 @@ def _run(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "mix-sample":
-        from .functions.mixing import token_budget_sample
+        from .functions.mixing import (
+            source_token_totals,
+            temperature_budgets,
+            token_budget_sample,
+        )
 
-        budgets = {}
-        for part in args.budgets.split(","):
-            s, _, v = part.partition(":")
-            budgets[s] = int(v)
+        if (args.budgets is None) == (args.total_tokens is None):
+            raise ValueError(
+                "mix-sample needs exactly one of --budgets or --total-tokens"
+            )
         _init_ray(args.num_cpus)
         t0 = time.perf_counter()
         import ray.data as rd
 
         ds = rd.read_parquet(os.path.join(args.sf_dir, "documents.parquet"))
+        if args.budgets is not None:
+            budgets = {}
+            for part in args.budgets.split(","):
+                s, _, v = part.partition(":")
+                budgets[s] = int(v)
+        else:
+            totals = source_token_totals(ds, tok_col=args.tok_col)
+            budgets = temperature_budgets(
+                totals, args.total_tokens, args.temperature
+            )
         out = token_budget_sample(ds, budgets, tok_col=args.tok_col)
         if args.output:
             if os.path.isdir(args.output) and any(

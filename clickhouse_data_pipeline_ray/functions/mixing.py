@@ -67,6 +67,75 @@ def _bucket_shift(n_buckets: int) -> int:
     return 31 - n_buckets.bit_length() + 1
 
 
+def source_token_totals(
+    ds: ray.data.Dataset,
+    source_col: str = "source",
+    tok_col: str = "n_tok",
+) -> dict[str, int]:
+    """Per-source token totals in one map-only pass (per-block partials →
+    tiny driver sum; O(sources × blocks) rows move, never the corpus)."""
+
+    def part(b: pa.Table) -> pa.Table:
+        t = (
+            b.select([source_col, tok_col])
+            .group_by(source_col)
+            .aggregate([(tok_col, "sum")])
+        )
+        return t.rename_columns([source_col, "n"])
+
+    pdf = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    if pdf.empty:
+        return {}
+    return {
+        str(s): int(n)
+        for s, n in pdf.groupby(source_col)["n"].sum().items()
+    }
+
+
+def temperature_budgets(
+    totals: dict[str, int],
+    total_tokens: int,
+    temperature: float = 1.0,
+) -> dict[str, int]:
+    """Per-source token budgets for a ``total_tokens`` mixture at sampling
+    temperature τ — the multilingual-pretraining mixing rule (Conneau &
+    Lample 2019): target share ∝ totals^τ. τ=1 keeps natural proportions,
+    τ→0 approaches uniform across sources, τ>1 exaggerates big sources.
+
+    Exact water-filling: a source whose τ-share exceeds what it HAS is
+    capped at its total and the surplus is redistributed over the uncapped
+    sources by the same τ-weights (≤ n_sources rounds, deterministic).
+    Feed the result to :func:`token_budget_sample`."""
+    if total_tokens < 0 or temperature < 0:
+        raise ValueError("total_tokens and temperature must be >= 0")
+    remaining = {s: t for s, t in totals.items() if t > 0}
+    budgets = {s: 0 for s in totals}
+    pool = min(int(total_tokens), sum(remaining.values()))
+    while pool > 0 and remaining:
+        w = {s: float(t) ** temperature for s, t in remaining.items()}
+        z = sum(w.values())
+        # deterministic largest-remainder rounding on sorted names
+        alloc = {s: int(pool * w[s] / z) for s in sorted(remaining)}
+        short = pool - sum(alloc.values())
+        for s in sorted(remaining)[:short]:
+            alloc[s] += 1
+        capped = {s for s in remaining if alloc[s] >= remaining[s]}
+        if not capped:
+            for s, a in alloc.items():
+                budgets[s] += a
+            break
+        # capped sources take their whole total; the uncapped re-allocate
+        # the rest by the same weights next round
+        for s in capped:
+            budgets[s] += remaining[s]
+            pool -= remaining[s]
+        remaining = {s: t for s, t in remaining.items() if s not in capped}
+    return budgets
+
+
 def token_budget_sample(
     ds: ray.data.Dataset,
     budgets: dict[str, int],

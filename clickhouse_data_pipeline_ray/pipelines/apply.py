@@ -719,14 +719,27 @@ def ttl_expire(
                     candidates.append(pid)
         else:
             candidates = list(man.partitions)
-        # footer min-stat pruning: rewrite only partitions that provably (or
-        # unprovably — missing stats) hold rows before the cutoff
+        # prune partitions that provably hold no pre-cutoff rows: skip-index
+        # zones first (pure manifest read — free when the TTL column is a
+        # declared skip col; zones are already int64 us), parquet FOOTER
+        # min-stats as the fallback (metadata-only, but one open per file)
+        zones_on = ttl_col in (man.skip_cols or [])
         scan_pids: list[str] = []
         for pid in candidates:
-            files = man.partitions[pid].get("files") or []
+            part = man.partitions[pid]
+            files = part.get("files") or []
             if not files:
                 continue
-            mn = _files_min_ts_us(table_dir, files, ttl_col)
+            mn = None
+            if zones_on:
+                zs = [
+                    ((part.get("zones") or {}).get(f) or {}).get(ttl_col)
+                    for f in files
+                ]
+                if all(z is not None for z in zs):
+                    mn = min(z[0] for z in zs)
+            if mn is None:
+                mn = _files_min_ts_us(table_dir, files, ttl_col)
             if mn is None or mn < cutoff_us:
                 scan_pids.append(pid)
         if not drop_pids and not scan_pids:

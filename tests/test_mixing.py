@@ -161,3 +161,66 @@ def test_budget_sample_greedy_maximality(ray_session):
         else:
             assert total + row["n_chars"] > budgets["src2"]
             break
+
+
+# ---------------------------------------------------------------- temperature
+
+
+def test_temperature_budgets_analytic():
+    from clickhouse_data_pipeline_ray.functions.mixing import temperature_budgets
+
+    totals = {"web": 8000, "code": 1000, "books": 1000}
+    # τ=1: natural proportions of the 5000 budget → 4000/500/500
+    b1 = temperature_budgets(totals, 5000, temperature=1.0)
+    assert b1 == {"web": 4000, "code": 500, "books": 500}
+    # τ=0 with headroom: uniform thirds (largest-remainder, deterministic)
+    b0 = temperature_budgets(totals, 2400, temperature=0.0)
+    assert b0 == {"web": 800, "code": 800, "books": 800}
+    # water-filling: at τ=0 the small sources cap at their totals and the
+    # surplus flows to the big one (uniform is impossible at 5000)
+    bc = temperature_budgets(totals, 5000, temperature=0.0)
+    assert bc == {"web": 3000, "code": 1000, "books": 1000}
+    # budget larger than the corpus: everything kept, nothing invented
+    ball = temperature_budgets(totals, 10**9, temperature=0.7)
+    assert ball == totals
+    # zero-budget and empty-corpus edges
+    assert temperature_budgets(totals, 0, 0.7) == {k: 0 for k in totals}
+    assert temperature_budgets({}, 100, 0.7) == {}
+
+
+def test_temperature_budgets_monotone_in_tau():
+    from clickhouse_data_pipeline_ray.functions.mixing import temperature_budgets
+
+    totals = {"big": 90_000, "small": 10_000}
+    shares = []
+    for tau in (0.0, 0.3, 0.7, 1.0):
+        b = temperature_budgets(totals, 20_000, temperature=tau)
+        assert sum(b.values()) == 20_000
+        shares.append(b["big"] / 20_000)
+    # bigger τ → bigger share for the big source, natural share at τ=1
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 0.9) < 0.01
+
+
+def test_source_token_totals_and_end_to_end(ray_session):
+    import ray.data as rd
+
+    from clickhouse_data_pipeline_ray.functions.mixing import (
+        source_token_totals,
+        temperature_budgets,
+        token_budget_sample,
+    )
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    totals = source_token_totals(ds, tok_col="n_chars")
+    pdf = ds.to_pandas()
+    want = pdf.groupby("source")["n_chars"].sum().to_dict()
+    assert totals == {str(k): int(v) for k, v in want.items()}
+
+    budget = sum(totals.values()) // 3
+    budgets = temperature_budgets(totals, budget, temperature=0.5)
+    assert sum(budgets.values()) == budget
+    out = token_budget_sample(ds, budgets, tok_col="n_chars").to_pandas()
+    got = out.groupby("source")["n_chars"].sum().to_dict()
+    for s, b in budgets.items():
+        assert got.get(s, 0) <= b  # never exceeds its derived budget

@@ -360,6 +360,40 @@ def test_multi_predicate_conjunction_prunes_by_all_zones(ray_session, tmp_path):
     assert ds2.count() == 0
 
 
+def test_ttl_pruning_uses_zones_without_footer_reads(ray_session, tmp_path, monkeypatch):
+    """When the TTL column is a skip col, ttl_expire's no-expired-rows
+    answer must come from manifest zones alone — zero parquet opens."""
+    import datetime as dt
+
+    from clickhouse_data_pipeline_ray.pipelines.apply import ttl_expire
+
+    wal = str(tmp_path / "wal")
+    generate_fact_wal(
+        wal, FactGenParams(total_events=1_000, events_per_segment=500)
+    )
+    table = str(tmp_path / "t")
+    create_table(
+        table, num_partitions=4, schema=FACT_SNAPSHOT_SCHEMA, mode="append",
+        key_col="event_id", skip_cols=["event_ts"],
+    )
+    replay(table, wal, ApplyConfig(max_segments=1), final_compact=False)
+    snap = snapshot_table(table)
+    min_us = int(pc.min(snap.column("event_ts").cast(pa.int64())).as_py())
+    cutoff = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=min_us)
+
+    calls = []
+    real = pq.ParquetFile
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pq, "ParquetFile", spy)
+    # cutoff == table min → nothing strictly before it → no-op, zones only
+    assert ttl_expire(table, "event_ts", cutoff) is None
+    assert calls == []  # zone path never opened a footer
+
+
 def test_scan_projection_and_timestamp_bounds(ray_session, tmp_path):
     wal = str(tmp_path / "wal")
     generate_fact_wal(
