@@ -431,6 +431,20 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--dim-b", type=int, default=1 << 22)
 
     sp = sub.add_parser(
+        "gopher-filter",
+        help="Gopher quality-rule bundle (Rae et al. 2021): per-doc rule "
+             "signals + gopher_pass verdict; optionally keep passing docs "
+             "only (one vectorized RE2 pass, actor pool)",
+    )
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--min-words", type=int, default=50)
+    sp.add_argument("--keep", action="store_true",
+                    help="emit only docs that pass every rule")
+    sp.add_argument("--output", default=None)
+    sp.add_argument("--limit", type=int, default=3)
+
+    sp = sub.add_parser(
         "train-bpe",
         help="learn a BPE tokenizer: one distributed word-count pass "
              "(corpus compressed to a top-N frequency dict), deterministic "
@@ -1540,6 +1554,42 @@ def _run(argv: list[str] | None = None) -> int:
                ("indexed_epoch", "dim_u", "dim_b", "feature_col")},
             "refreshed_pids": meta["refreshed_pids"],
             "output": args.output,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "gopher-filter":
+        from .functions.textstats import GopherRules
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import pyarrow.compute as _pc
+        import ray.data as rd
+
+        ds = rd.read_parquet(os.path.join(args.sf_dir, "documents.parquet"))
+        out = ds.map_batches(
+            GopherRules,
+            fn_constructor_kwargs={
+                "text_col": args.text_col, "min_words": args.min_words
+            },
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            num_cpus=1,
+        )
+        if args.keep:
+            out = out.map_batches(
+                lambda b: b.filter(_pc.equal(b.column("gopher_pass"), True)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        if args.output:
+            out.write_parquet(args.output)
+            out = rd.read_parquet(args.output)
+        n = out.count()
+        n_pass = out.sum("gopher_pass") if not args.keep else n
+        print(json.dumps({
+            "rows": int(n),
+            "gopher_pass": int(n_pass or 0),
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
         return 0

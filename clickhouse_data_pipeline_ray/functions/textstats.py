@@ -88,6 +88,125 @@ class QualityScore:
         return batch
 
 
+class GopherRules:
+    """The Gopher quality-rule bundle (Rae et al. 2021, Appendix A) minus
+    the repetition signals (those are :class:`RepetitionStats`): per doc,
+    compute every rule's signal and a single ``gopher_pass`` verdict.
+
+    Rules (thresholds configurable, defaults = the paper's):
+    - word count in [min_words, max_words] (50 … 100,000)
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (# and ellipsis) ≤ 0.1
+    - ≤ 90% of lines start with a bullet, ≤ 30% end with an ellipsis
+    - ≥ 80% of words contain at least one alphabetic character
+    - at least 2 DISTINCT stopwords present (the "harmful boilerplate" cue)
+
+    One vectorized Arrow pass (RE2 kernels only — the identical patterns run
+    in DuckDB for oracle parity); stateful actor stage (patterns compiled
+    once per actor)."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        min_words: int = 50,
+        max_words: int = 100_000,
+        min_mean_word_len: float = 3.0,
+        max_mean_word_len: float = 10.0,
+        max_symbol_ratio: float = 0.1,
+        max_bullet_frac: float = 0.9,
+        max_ellipsis_frac: float = 0.3,
+        min_alpha_word_frac: float = 0.8,
+        min_distinct_stopwords: int = 2,
+    ):
+        self.text_col = text_col
+        self.p = dict(
+            min_words=min_words, max_words=max_words,
+            min_mean_word_len=min_mean_word_len,
+            max_mean_word_len=max_mean_word_len,
+            max_symbol_ratio=max_symbol_ratio,
+            max_bullet_frac=max_bullet_frac,
+            max_ellipsis_frac=max_ellipsis_frac,
+            min_alpha_word_frac=min_alpha_word_frac,
+            min_distinct_stopwords=min_distinct_stopwords,
+        )
+
+    STOPWORDS = QualityScore.STOPWORDS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        f64 = pa.float64()
+        n_words = pc.count_substring_regex(text, pattern=WORD_RE).cast(f64)
+        n_alpha = pc.count_substring_regex(text, pattern=r"[A-Za-z]").cast(f64)
+        # an alnum run containing at least one letter matches exactly once
+        n_alpha_words = pc.count_substring_regex(
+            text, pattern=r"[0-9]*[A-Za-z][A-Za-z0-9]*"
+        ).cast(f64)
+        n_symbols = pc.count_substring_regex(
+            text, pattern=r"#|\.\.\.|…"
+        ).cast(f64)
+        n_lines = pc.add(
+            pc.count_substring_regex(text, pattern=r"\n").cast(f64), 1.0
+        )
+        n_bullet = pc.count_substring_regex(
+            text, pattern=r"(?m)^\s*[\-\*•]"
+        ).cast(f64)
+        n_ellipsis_end = pc.count_substring_regex(
+            text, pattern=r"(?m)(\.\.\.|…)$"
+        ).cast(f64)
+        n_stop_distinct = pa.nulls(batch.num_rows, pa.int64()).fill_null(0)
+        for w in self.STOPWORDS:
+            hit = pc.match_substring_regex(text, pattern=rf"\b{w}\b")
+            n_stop_distinct = pc.add(
+                n_stop_distinct, pc.fill_null(hit, False).cast(pa.int64())
+            )
+        safe_words = pc.max_element_wise(n_words, 1.0)
+        mean_wl = pc.divide(n_alpha, safe_words)
+        sym_ratio = pc.divide(n_symbols, safe_words)
+        alpha_frac = pc.divide(n_alpha_words, safe_words)
+        bullet_frac = pc.divide(n_bullet, n_lines)
+        ellipsis_frac = pc.divide(n_ellipsis_end, n_lines)
+        p = self.p
+        ok = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(n_words, float(p["min_words"])),
+                    pc.less_equal(n_words, float(p["max_words"])),
+                ),
+                pc.and_(
+                    pc.greater_equal(mean_wl, p["min_mean_word_len"]),
+                    pc.less_equal(mean_wl, p["max_mean_word_len"]),
+                ),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.less_equal(sym_ratio, p["max_symbol_ratio"]),
+                    pc.greater_equal(alpha_frac, p["min_alpha_word_frac"]),
+                ),
+                pc.and_(
+                    pc.and_(
+                        pc.less_equal(bullet_frac, p["max_bullet_frac"]),
+                        pc.less_equal(ellipsis_frac, p["max_ellipsis_frac"]),
+                    ),
+                    pc.greater_equal(
+                        n_stop_distinct,
+                        pa.scalar(p["min_distinct_stopwords"], pa.int64()),
+                    ),
+                ),
+            ),
+        )
+        rnd = dict(ndigits=6, round_mode="half_towards_infinity")
+        batch = batch.append_column("g_n_words", n_words.cast(pa.int64()))
+        batch = batch.append_column("g_mean_word_len", pc.round(mean_wl, **rnd))
+        batch = batch.append_column("g_symbol_ratio", pc.round(sym_ratio, **rnd))
+        batch = batch.append_column("g_alpha_word_frac", pc.round(alpha_frac, **rnd))
+        batch = batch.append_column("g_bullet_frac", pc.round(bullet_frac, **rnd))
+        batch = batch.append_column(
+            "g_ellipsis_frac", pc.round(ellipsis_frac, **rnd)
+        )
+        batch = batch.append_column("g_distinct_stopwords", n_stop_distinct)
+        return batch.append_column("gopher_pass", pc.fill_null(ok, False))
+
+
 class CorpusFreqScore:
     """Two-phase corpus-statistics scorer — the CCNet / perplexity-filter
     SHAPE (build a model over the whole corpus, broadcast it, score every

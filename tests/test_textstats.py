@@ -166,3 +166,78 @@ def test_token_count_batch_bpe_hand_computed():
     # ASCII-only word runs: é/ï split "émojis"/"naïve" -> it,s,a,test,case,
     # 42,mojis,na,ve = 9
     assert out.column("n_words").to_pylist() == [9, 0, 0, 2]
+
+
+# ---------------------------------------------------------------- gopher
+
+
+def test_gopher_rules_per_doc_oracle():
+    """Every rule pinned against a per-doc Python recompute on planted texts
+    that each trip exactly one rule."""
+    import re
+
+    from clickhouse_data_pipeline_ray.functions.textstats import GopherRules
+
+    good = "the cat and the dog sat on a mat for " + " ".join(
+        f"word{i}" for i in range(60)
+    )
+    texts = {
+        "good": good,
+        "too_short": "the cat and a dog",
+        "long_words": "the a " + " ".join(["anticonstitutionnellement"] * 80),
+        "symbols": "the a " + "# " * 40 + " ".join(f"w{i}" for i in range(60)),
+        "numbers": "the a " + " ".join(str(i) for i in range(200)),
+        "bullets": "the a of "
+        + "\n".join(f"- item {i} with some words here" for i in range(50)),
+        "ellipsis": "the a of "
+        + "\n".join(f"line {i} trailing off..." for i in range(50)),
+        "no_stopwords": " ".join(f"token{i}" for i in range(100)),
+    }
+    batch = pa.table(
+        {"doc_id": list(texts), "text": pa.array(list(texts.values()))}
+    )
+    out = GopherRules()(batch).to_pylist()
+    got = {r["doc_id"]: r for r in out}
+    assert got["good"]["gopher_pass"] is True
+    for k in texts:
+        if k != "good":
+            assert got[k]["gopher_pass"] is False, k
+
+    # signal-level recompute for every doc
+    stop = GopherRules.STOPWORDS
+    for r in out:
+        t = texts[r["doc_id"]]
+        words = re.findall(r"[A-Za-z0-9]+", t)
+        assert r["g_n_words"] == len(words)
+        alpha = len(re.findall(r"[A-Za-z]", t))
+        assert abs(r["g_mean_word_len"] - alpha / max(len(words), 1)) < 1e-5
+        lines = t.split("\n")
+        bullets = sum(bool(re.match(r"\s*[-*•]", ln)) for ln in lines)
+        assert abs(r["g_bullet_frac"] - bullets / len(lines)) < 1e-5
+        ell = sum(ln.endswith("...") or ln.endswith("…") for ln in lines)
+        assert abs(r["g_ellipsis_frac"] - ell / len(lines)) < 1e-5
+        distinct = sum(
+            bool(re.search(rf"\b{w}\b", t)) for w in stop
+        )
+        assert r["g_distinct_stopwords"] == distinct
+        aw = sum(bool(re.search(r"[A-Za-z]", w)) for w in words)
+        assert abs(r["g_alpha_word_frac"] - aw / max(len(words), 1)) < 1e-5
+
+
+def test_gopher_rules_dataset_pass(ray_session):
+    import ray.data as rd
+
+    from clickhouse_data_pipeline_ray.functions.textstats import GopherRules
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ds.map_batches(
+        GopherRules,
+        fn_constructor_kwargs={"min_words": 5},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    rows = out.take_all()
+    assert len(rows) == 500
+    assert all("gopher_pass" in r for r in rows)
+    # the synthetic corpus is clean prose: most docs pass at min_words=5
+    assert sum(r["gopher_pass"] for r in rows) > 250
