@@ -311,6 +311,89 @@ def bench_corpus_models(ray) -> dict:
     return out
 
 
+def bench_storage_ops(ray) -> dict:
+    """Storage-engine op timings (not queries() entries — the driver cap):
+    collapse-mode replay throughput, skip-index-pruned range scan, and a
+    zone-pruned predicate mutation, at the bench scale factor."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from clickhouse_data_pipeline_ray.pipelines.apply import (
+        ApplyConfig,
+        create_table,
+        mutate_table,
+        replay,
+    )
+    from clickhouse_data_pipeline_ray.pipelines.queries import (
+        _fact_params,
+        _fact_wal,
+    )
+    from clickhouse_data_pipeline_ray.pipelines.scan import read_where
+    from clickhouse_data_pipeline_ray.schemas import FACT_SNAPSHOT_SCHEMA
+    from clickhouse_data_pipeline_ray.sources.gen import (
+        CollapseGenParams,
+        ensure_collapse_wal,
+    )
+
+    out = {}
+    # --- collapse replay: canonical ±1 state/cancel stream, same volume as
+    # the fact workload
+    params, tag = _fact_params(SF_DIR)
+    cwal = ensure_collapse_wal(
+        os.path.join(CACHE_ROOT, "collapse_wal"),
+        CollapseGenParams(
+            total_events=params.total_events,
+            events_per_segment=params.events_per_segment,
+        ),
+        tag,
+    )
+    ctab = tempfile.mkdtemp(prefix="cdp_bench_collapse_")
+    try:
+        create_table(
+            ctab,
+            schema=FACT_SNAPSHOT_SCHEMA.append(pa.field("sign", pa.int32())),
+            mode="collapse",
+            num_partitions=64,
+        )
+        t0 = time.perf_counter()
+        replay(ctab, cwal, ApplyConfig(write_mode="delta"), final_compact=False)
+        out["cdc_collapse_replay"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(ctab, ignore_errors=True)
+
+    # --- skip-index scan + zone-pruned mutation on an lsn/value-indexed
+    # append table (multi-epoch replay → per-epoch files → lsn zones prune)
+    fwal = _fact_wal(SF_DIR)
+    stab = tempfile.mkdtemp(prefix="cdp_bench_skip_")
+    try:
+        create_table(
+            stab, schema=FACT_SNAPSHOT_SCHEMA, mode="append",
+            key_col="event_id", num_partitions=64,
+            skip_cols=["lsn", "value"],
+        )
+        replay(stab, fwal, ApplyConfig(max_segments=2), final_compact=False)
+        t0 = time.perf_counter()
+        ds, plan = read_where(
+            stab, "lsn", lo=1, hi=params.total_events // 5,
+            columns=["lsn", "value"],
+        )
+        n = ds.count()
+        out["skip_scan_pruned"] = round(time.perf_counter() - t0, 3)
+        out["skip_scan_files_pruned_frac"] = round(
+            plan["files_pruned"] / max(plan["files_total"], 1), 3
+        )
+        assert n == params.total_events // 5, (n, plan)
+        t0 = time.perf_counter()
+        mutate_table(stab, "lsn", lo=1, hi=params.total_events // 10,
+                     delete=True)
+        out["mutate_delete"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(stab, ignore_errors=True)
+    return out
+
+
 def run_once() -> dict:
     import ray
 
@@ -329,6 +412,7 @@ def run_once() -> dict:
         queries = {"cdc_replay": cdc["wall_s"]}
         if os.environ.get("BENCH_HEADLINE_ONLY") != "1":
             queries.update(bench_queries(ray))
+            queries.update(bench_storage_ops(ray))
             # short micro-batch latency probe (12 × 1k-event single-segment
             # epochs through the follow-tail path) so the per-round JSON also
             # records streaming freshness, not just bulk throughput

@@ -368,3 +368,107 @@ def ensure_wal(cache_root: str, params: GenParams, tag: str, parallel: bool = Fa
     with open(marker, "w") as f:
         f.write(want)
     return wal_dir
+
+
+@dataclass
+class CollapseGenParams:
+    """Canonical CollapsingMergeTree change stream: to update a key, emit a
+    cancel COPY of its live state (sign=-1) then the new state (sign=+1); to
+    delete, emit the cancel only; first sight of a key is a bare state row.
+    Deterministic (seeded), so oracles can replay the same stream."""
+
+    total_events: int = 5_000
+    events_per_segment: int = 2_000
+    seed: int = 99
+    n_docs: int = 2_000
+    start_epoch_s: int = 1_704_067_200  # 2024-01-01T00:00:00Z
+    span_s: int = 90 * 86_400
+    delete_frac: float = 0.2  # of actions on a live key, cancel-only
+
+
+def generate_collapse_wal(wal_dir: str, params: CollapseGenParams) -> list[str]:
+    """Emit the stream as LSN-named parquet segments with a ``sign`` int32
+    column (the collapse-mode fact schema). Generation keeps the live-state
+    dict so cancels carry exact state copies (the canonical usage the
+    ClickHouse docs prescribe)."""
+    rng = np.random.default_rng(params.seed)
+    live: dict[int, float] = {}
+    keys: list[int] = []
+    signs: list[int] = []
+    values: list[float] = []
+    while len(keys) < params.total_events:
+        k = int(rng.integers(0, params.n_docs))
+        if k not in live:
+            v = float(rng.integers(0, 100_000))
+            keys.append(k); signs.append(1); values.append(v)
+            live[k] = v
+        elif rng.random() < params.delete_frac:
+            keys.append(k); signs.append(-1); values.append(live.pop(k))
+        else:
+            keys.append(k); signs.append(-1); values.append(live[k])
+            v = float(rng.integers(0, 100_000))
+            keys.append(k); signs.append(1); values.append(v)
+            live[k] = v
+    keys = keys[: params.total_events]
+    signs = signs[: params.total_events]
+    values = values[: params.total_events]
+
+    os.makedirs(wal_dir, exist_ok=True)
+    paths = []
+    n_total = len(keys)
+    ts_step = params.span_s * 1_000_000 // max(n_total, 1)
+    start_us = params.start_epoch_s * 1_000_000
+    lsn0 = 1
+    for i in range(0, n_total, params.events_per_segment):
+        j = min(i + params.events_per_segment, n_total)
+        n = j - i
+        lsn = np.arange(lsn0, lsn0 + n, dtype=np.int64)
+        t = pa.table(
+            {
+                "lsn": pa.array(lsn),
+                "op": pa.array(["c"] * n, pa.string()),
+                "event_id": pa.array([f"ev-{x:012d}" for x in lsn], pa.string()),
+                "doc_id": pa.array(
+                    [f"doc-{k:08d}" for k in keys[i:j]], pa.string()
+                ),
+                "event_ts": pa.array(
+                    start_us + lsn * ts_step, pa.timestamp("us")
+                ),
+                "event_type": pa.array(
+                    ["state" if s > 0 else "cancel" for s in signs[i:j]],
+                    pa.string(),
+                ),
+                "value": pa.array(values[i:j], pa.float64()),
+                "sign": pa.array(signs[i:j], pa.int32()),
+            }
+        )
+        path = segment_path(wal_dir, lsn0, lsn0 + n - 1)
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(t, tmp, compression="lz4", row_group_size=8192)
+        os.replace(tmp, path)
+        paths.append(path)
+        lsn0 += n
+    return paths
+
+
+def ensure_collapse_wal(
+    cache_root: str, params: CollapseGenParams, tag: str
+) -> str:
+    """Idempotent cached collapse-WAL generation (the ensure_fact_wal
+    contract: DONE marker records params, mismatches regenerate)."""
+    import shutil
+
+    wal_dir = os.path.join(cache_root, tag)
+    marker = os.path.join(wal_dir, "_DONE")
+    want = repr(params)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == want:
+                return wal_dir
+        shutil.rmtree(wal_dir)
+    elif os.path.isdir(wal_dir):
+        shutil.rmtree(wal_dir)
+    generate_collapse_wal(wal_dir, params)
+    with open(marker, "w") as f:
+        f.write(want)
+    return wal_dir

@@ -303,3 +303,32 @@ def test_collapse_rejects_mutations_and_updates(ray_session, tmp_path):
     apply_once(table, wal, ApplyConfig())
     with pytest.raises(ValueError, match="cancel"):
         mutate_table(table, "value", lo=0.0, delete=True)
+
+
+def test_collapse_generator_canonical_stream(ray_session, tmp_path):
+    """The seeded generator emits canonical collapse usage (±1 only, cancels
+    copy live state) and a full replay matches the DuckDB oracle."""
+    from clickhouse_data_pipeline_ray.sources.gen import (
+        CollapseGenParams,
+        generate_collapse_wal,
+    )
+
+    wal = str(tmp_path / "wal")
+    generate_collapse_wal(
+        wal, CollapseGenParams(total_events=4_000, events_per_segment=1_000,
+                               n_docs=300)
+    )
+    raw = duckdb.sql(
+        f"SELECT sign, count(*) AS n FROM read_parquet('{wal}/seg-*.parquet') "
+        "GROUP BY sign ORDER BY sign"
+    ).fetchall()
+    assert {s for s, _ in raw} == {-1, 1}
+    table = str(tmp_path / "t")
+    create_table(table, num_partitions=4, schema=SCHEMA, mode="collapse")
+    replay(table, wal, ApplyConfig(write_mode="delta", max_segments=1),
+           final_compact=False)
+    snap = snapshot_table(table)
+    want = _duck_oracle(wal)
+    assert snap.num_rows == want.num_rows
+    assert snap.column("doc_id").to_pylist() == want.column("doc_id").to_pylist()
+    assert snap.column("value").to_pylist() == want.column("value").to_pylist()
