@@ -1178,13 +1178,21 @@ def _repartition_locked(
     return out
 
 
-def read_snapshot(table_dir: str, epoch: int | None = None) -> ray.data.Dataset:
+def read_snapshot(
+    table_dir: str,
+    epoch: int | None = None,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
     """The committed table as a Ray Dataset.
 
     MERGE-on-read: each task reconstructs one partition from its file chain
     (base snapshot + deltas → LWW → drop tombstones). Partition chains are
     independent, so this is an embarrassingly parallel map — no shuffle. After
     a compaction the chain is one clean file and the merge is a no-op cast.
+
+    ``columns`` pushes projection into the parquet reads (only the requested
+    columns + the mode's merge keys leave storage — pass it whenever a
+    pipeline touches a few columns of a wide table).
 
     ``epoch`` time-travels to a retained historical commit (see
     manifest.load_manifest) — GC keeps files referenced by retained epochs."""
@@ -1193,7 +1201,12 @@ def read_snapshot(table_dir: str, epoch: int | None = None) -> ray.data.Dataset:
     man = load_manifest(table_dir, epoch=epoch)
     pids = [int(pid) for pid, p in man.partitions.items() if p.get("files")]
     if not pids:
-        return ray.data.from_arrow(man.schema.empty_table())
+        schema = (
+            pa.schema([man.schema.field(c) for c in columns])
+            if columns
+            else man.schema
+        )
+        return ray.data.from_arrow(schema.empty_table())
     items = [{"pid": pid} for pid in sorted(pids)]
     reader = make_partition_reader(
         table_dir,
@@ -1201,6 +1214,7 @@ def read_snapshot(table_dir: str, epoch: int | None = None) -> ray.data.Dataset:
         {pid: man.partitions[pid]["files"] for pid in map(str, pids)},
         mode=man.mode,
         sum_cols=man.sum_cols,
+        columns=columns,
     )
     return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
         reader, batch_format="pyarrow", batch_size=None

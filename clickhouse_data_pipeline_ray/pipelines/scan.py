@@ -206,14 +206,21 @@ def read_where_multi(
                 pa.scalar(hi).cast(ftype) if hi is not None else None,
             )
         )
+    # projection pushdown: fetch the requested columns + every predicate
+    # column from parquet (merge keys are added internally); project to the
+    # user's columns after the row filter
+    cols = list(columns) if columns else None
+    read_cols = None
+    if cols is not None:
+        read_cols = list(dict.fromkeys(cols + [c for c, _, _ in bounds]))
     reader = make_partition_reader(
         table_dir,
         man.schema_b64,
         plan["partitions"],
         mode=man.mode,
         sum_cols=man.sum_cols,
+        columns=read_cols,
     )
-    cols = list(columns) if columns else None
 
     def read_and_filter(batch: pa.Table) -> pa.Table:
         t = reader(batch)

@@ -539,12 +539,59 @@ def _stats_row(
     )
 
 
+def merge_needed_columns(
+    snapshot_schema: pa.Schema,
+    columns: list[str] | None,
+    mode: str,
+    key_col: str = "doc_id",
+) -> tuple[pa.Schema, list[str]] | tuple[None, None]:
+    """Column pushdown for merge-on-read: the physical columns a pruned
+    partition read must fetch = the requested ``columns`` plus whatever the
+    mode's merge kernel keys on (key + lsn for LWW/sum/collapse, + sign for
+    collapse; append folds nothing). Returns (pruned snapshot schema in
+    declared order, physical column list), or (None, None) for a full read.
+    At the 100-TB design point this is the difference between moving the
+    wide ``tokens`` payload for a 2-column scan and not."""
+    if columns is None:
+        return None, None
+    need = set(columns)
+    if mode in ("upsert", "sum"):
+        need |= {key_col, "lsn"}
+    elif mode == "collapse":
+        need |= {key_col, "lsn", "sign"}
+    missing = need - set(snapshot_schema.names)
+    if missing:
+        raise ValueError(
+            f"columns {sorted(missing)} not in table schema "
+            f"{list(snapshot_schema.names)}"
+        )
+    sub = pa.schema([f for f in snapshot_schema if f.name in need])
+    return sub, list(sub.names)
+
+
+def _read_file_cols(path: str, want: list[str] | None) -> pa.Table:
+    """Read one part file, fetching only ``want`` columns that physically
+    exist in it (delta files carry ``op``; snapshots don't — a blind
+    ``columns=`` would error on the difference). ``op`` is always fetched
+    when present: the merge kernel needs tombstones regardless of the
+    user's projection."""
+    if want is None:
+        return pq.read_table(path)
+    pf = pq.ParquetFile(path)
+    names = set(pf.schema_arrow.names)
+    cols = [c for c in want if c in names]
+    if "op" in names:
+        cols.append("op")
+    return pf.read(columns=cols)
+
+
 def read_partition(
     table_dir: str,
     files: list[str],
     snapshot_schema: pa.Schema,
     mode: str = "upsert",
     sum_cols: list[str] | tuple = (),
+    columns: list[str] | None = None,
 ) -> pa.Table:
     """Reconstruct one partition's merged state from its file chain.
 
@@ -552,8 +599,22 @@ def read_partition(
     (no sort, no merge) — the common case after compaction. Append mode:
     the chain is immutable rows, so reconstruction is a plain concat —
     never an LWW merge (duplicate business keys are legal in facts). Sum
-    mode: the chain is partial sums, folded by :func:`sum_merge_file_tables`."""
-    tables = [pq.read_table(os.path.join(table_dir, f)) for f in files]
+    mode: the chain is partial sums, folded by :func:`sum_merge_file_tables`.
+
+    ``columns`` pushes projection into the parquet reads: only the requested
+    columns plus the mode's merge keys leave storage (see
+    :func:`merge_needed_columns`); the result still contains the merge keys
+    — callers select the final projection."""
+    phys = None
+    if columns is not None:
+        snapshot_schema, phys = merge_needed_columns(
+            snapshot_schema, columns, mode
+        )
+    tables = [
+        _read_file_cols(os.path.join(table_dir, f), phys) for f in files
+    ]
+    if mode == "sum" and columns is not None:
+        sum_cols = [c for c in sum_cols if c in snapshot_schema.names]
     if mode == "append":
         parts = [cast_table(t, snapshot_schema) for t in tables if t.num_rows]
         if not parts:
@@ -575,8 +636,12 @@ def make_partition_reader(
     files_by_pid: dict[str, list[str]],
     mode: str = "upsert",
     sum_cols: list[str] | tuple = (),
+    columns: list[str] | None = None,
 ):
-    """Stateless map_batches fn for MERGE-on-read over pid-descriptor rows."""
+    """Stateless map_batches fn for MERGE-on-read over pid-descriptor rows.
+    ``columns`` pushes projection into the parquet reads (merge keys are
+    fetched as needed and dropped again — the emitted batches hold exactly
+    the requested columns)."""
 
     def read_pids(batch: pa.Table) -> pa.Table:
         schema = schema_from_b64(snapshot_schema_b64)
@@ -584,12 +649,20 @@ def make_partition_reader(
         for pid in batch.column("pid").to_pylist():
             files = files_by_pid.get(str(pid)) or []
             if files:
-                t = read_partition(table_dir, files, schema, mode, sum_cols)
+                t = read_partition(
+                    table_dir, files, schema, mode, sum_cols, columns
+                )
                 if mode == "collapse":
                     # user-facing read: partial state → alive winners only
                     t = collapse_finalize(t)
+                if columns is not None:
+                    t = t.select(columns)
                 out.append(t)
         if not out:
+            if columns is not None:
+                return pa.schema(
+                    [schema.field(c) for c in columns]
+                ).empty_table()
             return schema.empty_table()
         return pa.concat_tables(out)
 
