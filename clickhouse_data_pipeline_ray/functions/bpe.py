@@ -348,7 +348,9 @@ def refresh_table_bpe(
             "pid", pa.array(np.full(part.num_rows, pid), pa.int64())
         )
 
-    return refresh_table_partials(table_dir, model_dir, params, derive_partial)
+    return refresh_table_partials(
+        table_dir, model_dir, params, derive_partial, columns=[text_col]
+    )
 
 
 def load_table_bpe(

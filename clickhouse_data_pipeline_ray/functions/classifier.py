@@ -591,7 +591,12 @@ def refresh_table_classifier(
             snap, pid, label_col, feature_col, dim, bigrams
         )
 
-    return refresh_table_partials(table_dir, model_dir, params, derive_partial)
+    return refresh_table_partials(
+        table_dir, model_dir, params, derive_partial,
+        # pushdown: counts touch only the label + feature columns — the
+        # wide payload never leaves parquet
+        columns=list(dict.fromkeys([label_col, feature_col])),
+    )
 
 
 def refresh_table_partials(
@@ -599,6 +604,7 @@ def refresh_table_partials(
     model_dir: str,
     params: dict,
     derive_partial,
+    columns: list[str] | None = None,
 ) -> dict:
     """The generic per-partition derived-counts maintenance engine (shared
     by the NB classifier and the n-gram LM): cache ``derive_partial(merged
@@ -607,7 +613,9 @@ def refresh_table_partials(
     ``meta.json`` LAST (crash-safe/idempotent), and force a full rebuild
     when any ``params`` entry differs or the indexed epoch is unretained.
     ``derive_partial`` must return a table that includes an int64 ``pid``
-    column (the hive partition key of the cache layout)."""
+    column (the hive partition key of the cache layout). ``columns`` pushes
+    projection into the partition reads — derive functions that touch one
+    feature column should pass it so the wide payload never leaves parquet."""
     import shutil
 
     from ..state.manifest import load_manifest
@@ -663,7 +671,9 @@ def refresh_table_partials(
             for pid in batch.column("pid").to_pylist():
                 files = files_by_pid.get(str(pid)) or []
                 snap = (
-                    read_partition(table_dir, files, schema, mode, sum_cols)
+                    read_partition(
+                        table_dir, files, schema, mode, sum_cols, columns
+                    )
                     if files
                     else schema.empty_table()
                 )
@@ -755,12 +765,16 @@ def score_table_snapshot(
     table_dir: str,
     make_scorer,
     concurrency: int | tuple = (1, 8),
+    columns: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Apply a per-batch scorer to a committed table's merged snapshot: one
     MERGE-on-read pass over pid descriptors with the scorer applied in the
     same actor — no shuffle, no driver materialization. ``make_scorer`` is
     a zero-arg factory evaluated once per ACTOR (broadcast fetch / pattern
-    compile happens there, never per batch)."""
+    compile happens there, never per batch). ``columns`` prunes the
+    partition reads (None = full rows — scorers emit the snapshot columns
+    plus their score columns, so pruning changes the output schema; opt in
+    when the caller only consumes a subset)."""
     from ..stages.merge import read_partition
     from ..state.manifest import load_manifest
 
@@ -780,7 +794,9 @@ def score_table_snapshot(
             for pid in batch.column("pid").to_pylist():
                 files = files_by_pid.get(str(pid)) or []
                 snap = (
-                    read_partition(table_dir, files, schema, mode, sum_cols)
+                    read_partition(
+                        table_dir, files, schema, mode, sum_cols, columns
+                    )
                     if files
                     else schema.empty_table()
                 )

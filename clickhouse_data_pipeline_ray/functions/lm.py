@@ -347,7 +347,9 @@ def refresh_table_lm(
             }
         )
 
-    return refresh_table_partials(table_dir, model_dir, params, derive_partial)
+    return refresh_table_partials(
+        table_dir, model_dir, params, derive_partial, columns=[feature_col]
+    )
 
 
 def load_table_lm(

@@ -631,7 +631,11 @@ def refresh_table_token_index(
             for pid in batch.column("pid").to_pylist():
                 files = files_by_pid.get(str(pid)) or []
                 snap = (
-                    read_partition(table_dir, files, man.schema, man.mode, man.sum_cols)
+                    read_partition(
+                        table_dir, files, man.schema, man.mode, man.sum_cols,
+                        # postings touch doc_id + the token lists only
+                        columns=["doc_id", tokens_col],
+                    )
                     if files
                     else man.schema.empty_table()
                 )

@@ -60,7 +60,8 @@ def kpi_report(table_dir: str, epoch: int | None = None) -> dict:
                 f"kpi needs a tokenized-docs table with a {c!r} column; "
                 f"this table's schema is {list(man.schema.names)}"
             )
-    snap = read_snapshot(table_dir, epoch=epoch)
+    # pruned read: the rollup touches 3 columns of a wide-token table
+    snap = read_snapshot(table_dir, epoch=epoch, columns=["source", "n_tok", "lsn"])
     per_source = source_stats(snap).to_pandas()
     if per_source.empty:
         # zero-row table: Ray's grouped aggregate yields a columnless frame
