@@ -365,11 +365,17 @@ def load_table_bpe(
     import pyarrow.dataset as pds
 
     part_dir = os.path.join(model_dir, "partials")
-    t = (
-        pds.dataset(part_dir, format="parquet", partitioning="hive")
-        .to_table(columns=["word", "n"])
-        .to_pandas()
-    )
+    # an EMPTY table legitimately refreshes to zero partial files (Ray's
+    # write_parquet emits nothing for an all-empty dataset), leaving a
+    # schema-less hive dir — train on empty counts instead of crashing
+    try:
+        dset = pds.dataset(part_dir, format="parquet", partitioning="hive")
+        empty = "word" not in dset.schema.names
+    except FileNotFoundError:
+        empty = True
+    if empty:
+        return train_bpe_from_counts([], np.array([], dtype=np.int64), num_merges)
+    t = dset.to_table(columns=["word", "n"]).to_pandas()
     g = t.groupby("word", sort=False)["n"].sum()
     g = g[g >= min_count]
     g = g.sort_values(ascending=False, kind="stable")

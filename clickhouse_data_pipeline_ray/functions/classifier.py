@@ -715,11 +715,26 @@ def load_table_model(
     with open(os.path.join(model_dir, "meta.json")) as f:
         meta = json.load(f)
     part_dir = os.path.join(model_dir, "partials")
-    dset = pds.dataset(part_dir, format="parquet", partitioning="hive")
-    total_rows = sum(
-        frag.metadata.num_rows for frag in dset.get_fragments()
-    )
-    if total_rows <= driver_limit:
+    # an EMPTY table refreshes to zero partial files (write_parquet emits
+    # nothing for an all-empty dataset) → a schema-less hive dir; compose
+    # the zero-count model instead of crashing on the missing columns
+    try:
+        dset = pds.dataset(part_dir, format="parquet", partitioning="hive")
+        no_data = "label" not in dset.schema.names
+    except FileNotFoundError:
+        no_data = True
+    if no_data:
+        import pandas as pd
+
+        g = pd.DataFrame({"label": [], "bucket": [], "count": []})
+        total_rows = 0
+    else:
+        total_rows = sum(
+            frag.metadata.num_rows for frag in dset.get_fragments()
+        )
+    if no_data:
+        pass
+    elif total_rows <= driver_limit:
         t = dset.to_table(columns=["label", "bucket", "count"]).to_pandas()
         g = t.groupby(["label", "bucket"], as_index=False)["count"].sum()
     else:
@@ -736,8 +751,9 @@ def load_table_model(
     dim = int(meta["dim"])
     fc = np.zeros((len(classes), dim), dtype=np.int64)
     dc = np.zeros(len(classes), dtype=np.int64)
-    ci = g["label"].map(idx).to_numpy()
-    bk = g["bucket"].to_numpy()
+    # astype: the empty-table frame's columns default to object/float dtype
+    ci = g["label"].map(idx).to_numpy(dtype=np.int64, na_value=0) if len(g) else np.array([], dtype=np.int64)
+    bk = g["bucket"].to_numpy().astype(np.int64)
     cn = g["count"].to_numpy().astype(np.int64)
     is_doc = bk == -1
     np.add.at(dc, ci[is_doc], cn[is_doc])

@@ -365,10 +365,23 @@ def load_table_lm(
     dim_u, dim_b = int(meta["dim_u"]), int(meta["dim_b"])
     size = dim_u + dim_b + 1
     part_dir = os.path.join(model_dir, "partials")
-    dset = pds.dataset(part_dir, format="parquet", partitioning="hive")
-    total_rows = sum(frag.metadata.num_rows for frag in dset.get_fragments())
+    # empty-table refresh → zero partial files → schema-less hive dir:
+    # compose the zero-count LM instead of crashing (same contract as the
+    # classifier/BPE loaders)
+    try:
+        dset = pds.dataset(part_dir, format="parquet", partitioning="hive")
+        no_data = "key" not in dset.schema.names
+    except FileNotFoundError:
+        no_data = True
+    total_rows = (
+        0
+        if no_data
+        else sum(frag.metadata.num_rows for frag in dset.get_fragments())
+    )
     counts = np.zeros(size, dtype=np.int64)
-    if total_rows <= driver_limit:
+    if no_data:
+        pass
+    elif total_rows <= driver_limit:
         t = dset.to_table(columns=["key", "count"])
         np.add.at(
             counts,

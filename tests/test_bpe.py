@@ -174,3 +174,36 @@ def test_table_bpe_incremental_composes_to_retrain(ray_session, tmp_path):
     # second refresh with no new epochs: no partition re-derived
     meta2 = refresh_table_bpe(table, model_dir, text_col="source")
     assert meta2["refreshed_pids"] == []
+
+
+def test_empty_table_partials_compose_cleanly(ray_session, tmp_path):
+    """An EMPTY table's refresh writes zero partial files; every composer
+    must handle the schema-less partials dir: BPE/LM compose zero-count
+    models, the classifier fails loudly with its no-documents contract
+    (scoring with zero classes is meaningless)."""
+    from clickhouse_data_pipeline_ray.functions.classifier import (
+        load_table_model,
+        refresh_table_classifier,
+    )
+    from clickhouse_data_pipeline_ray.functions.lm import (
+        load_table_lm,
+        refresh_table_lm,
+    )
+    from clickhouse_data_pipeline_ray.pipelines.apply import create_table
+
+    table = str(tmp_path / "t")
+    create_table(table, num_partitions=2)
+
+    m = str(tmp_path / "bpe")
+    refresh_table_bpe(table, m, text_col="source")
+    model = load_table_bpe(m, num_merges=5)
+    assert model.merges == [] and list(model.vocab) == ["</w>"]
+
+    m2 = str(tmp_path / "lm")
+    refresh_table_lm(table, m2, feature_col="tokens")
+    assert load_table_lm(m2).n_tokens == 0
+
+    m3 = str(tmp_path / "clf")
+    refresh_table_classifier(table, m3, label_col="source", feature_col="tokens")
+    with pytest.raises(ValueError, match="no training documents"):
+        load_table_model(m3)
