@@ -158,6 +158,16 @@ def table_diff(
                 if new_files
                 else schema.empty_table()
             )
+            if mode == "collapse":
+                # diff FINAL states, not the partial encoding: partials hold
+                # winner + adjustment rows (duplicate keys, residual cancel
+                # balances) that would surface as phantom changes. The
+                # emitted stream is LWW ops over alive rows — replayable
+                # onto an upsert replica (a collapse replica takes cancel
+                # rows, not ops; see merge.collapse_compact).
+                from ..stages.merge import collapse_finalize
+
+                new_t = collapse_finalize(new_t)
             if mode == "append":
                 # immutable rows: the diff IS the new rows
                 d = new_t.filter(pc.greater(new_t.column("lsn"), pa.scalar(old_wm)))
@@ -170,6 +180,10 @@ def table_diff(
                     if old_files
                     else old_schema.empty_table()
                 )
+                if mode == "collapse":
+                    from ..stages.merge import collapse_finalize
+
+                    old_t = collapse_finalize(old_t)
                 d = _diff_partition(
                     cast_table(old_t, schema), new_t, key_col, new_wm
                 )

@@ -332,3 +332,31 @@ def test_collapse_generator_canonical_stream(ray_session, tmp_path):
     assert snap.num_rows == want.num_rows
     assert snap.column("doc_id").to_pylist() == want.column("doc_id").to_pylist()
     assert snap.column("value").to_pylist() == want.column("value").to_pylist()
+
+
+def test_collapse_epoch_diff_emits_final_state_changes(ray_session, tmp_path):
+    """CDC-out over a collapse table must diff FINAL states (alive winners),
+    never the partial encoding's residual rows."""
+    from clickhouse_data_pipeline_ray.pipelines.diff import table_diff
+
+    wal = str(tmp_path / "wal")
+    nxt = _write_segment(wal, 1, [("a", 1, 10.0), ("b", 1, 20.0), ("c", 1, 30.0)])
+    table = str(tmp_path / "t")
+    create_table(table, num_partitions=2, schema=SCHEMA, mode="collapse")
+    cfg = ApplyConfig(write_mode="delta", max_segments=1)
+    apply_once(table, wal, cfg)
+    epoch1 = load_manifest(table).epoch
+    # epoch 2: delete a, update b (cancel + new state)
+    _write_segment(wal, nxt, [("a", -1, 10.0), ("b", -1, 20.0), ("b", 1, 25.0)])
+    apply_once(table, wal, cfg)
+
+    d = table_diff(table, epoch1).take_all()
+    by_key = {}
+    for r in d:
+        by_key.setdefault(r["doc_id"], []).append(r)
+    assert set(by_key) == {"a", "b"}  # c unchanged: no phantom rows
+    assert [r["op"] for r in by_key["a"]] == ["d"]
+    b_ops = sorted(r["op"] for r in by_key["b"])
+    assert b_ops in (["u"], ["c", "d"], ["u", "u"]) or "u" in b_ops
+    b_new = [r for r in by_key["b"] if r["op"] != "d"]
+    assert b_new and b_new[0]["value"] == 25.0
