@@ -665,13 +665,16 @@ def refresh_table_partials(
         sum_cols = man.sum_cols
 
         def derive(batch: pa.Table) -> pa.Table:
-            from ..stages.merge import read_partition
+            # read_partition_final: collapse tables contribute alive winners
+            # only — partial artifacts counted over cancelled-key winner rows
+            # or null-payload adjustment rows would poison the model counts
+            from ..stages.merge import read_partition_final
 
             out = []
             for pid in batch.column("pid").to_pylist():
                 files = files_by_pid.get(str(pid)) or []
                 snap = (
-                    read_partition(
+                    read_partition_final(
                         table_dir, files, schema, mode, sum_cols, columns
                     )
                     if files
@@ -790,8 +793,10 @@ def score_table_snapshot(
     compile happens there, never per batch). ``columns`` prunes the
     partition reads (None = full rows — scorers emit the snapshot columns
     plus their score columns, so pruning changes the output schema; opt in
-    when the caller only consumes a subset)."""
-    from ..stages.merge import read_partition
+    when the caller only consumes a subset). Collapse tables are read
+    FINALIZED: scorers see alive winner rows only, never the partial
+    adjustment encoding."""
+    from ..stages.merge import read_partition_final
     from ..state.manifest import load_manifest
 
     man = load_manifest(table_dir)
@@ -810,7 +815,7 @@ def score_table_snapshot(
             for pid in batch.column("pid").to_pylist():
                 files = files_by_pid.get(str(pid)) or []
                 snap = (
-                    read_partition(
+                    read_partition_final(
                         table_dir, files, schema, mode, sum_cols, columns
                     )
                     if files

@@ -81,7 +81,12 @@ def source_token_totals(
             .group_by(source_col)
             .aggregate([(tok_col, "sum")])
         )
-        return t.rename_columns([source_col, "n"])
+        # select by NAME before renaming: pyarrow's group_by output column
+        # order (keys-first vs aggregates-first) has differed across
+        # versions — a positional rename could silently swap source/total
+        return t.select([source_col, f"{tok_col}_sum"]).rename_columns(
+            [source_col, "n"]
+        )
 
     pdf = (
         ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)

@@ -625,13 +625,16 @@ def refresh_table_token_index(
         }
 
         def derive(batch: pa.Table) -> pa.Table:
-            from ..stages.merge import read_partition
+            # read_partition_final: collapse tables index alive winners only
+            # (cancelled keys' winner rows / null adjustment rows would
+            # otherwise enter the postings as live documents)
+            from ..stages.merge import read_partition_final
 
             out = []
             for pid in batch.column("pid").to_pylist():
                 files = files_by_pid.get(str(pid)) or []
                 snap = (
-                    read_partition(
+                    read_partition_final(
                         table_dir, files, man.schema, man.mode, man.sum_cols,
                         # postings touch doc_id + the token lists only
                         columns=["doc_id", tokens_col],

@@ -1044,7 +1044,7 @@ def refresh_table_ann_index(
             files = man.partitions[p].get("files") or []
             if not files:
                 continue
-            t = _read_chain_columns(table_dir, files, narrow, man.mode)
+            t = _read_chain_columns(table_dir, files, narrow, man.mode, man.sum_cols)
             sample_parts.append(t)
             seen += t.num_rows
             if seen >= sample_rows:
@@ -1063,7 +1063,7 @@ def refresh_table_ann_index(
 
     if pids:
         files_by_pid = {p: (man.partitions[p].get("files") or []) for p in pids}
-        mode = man.mode
+        mode, man_sum_cols = man.mode, list(man.sum_cols)
 
         def derive(batch: pa.Table) -> pa.Table:
             # `narrow`/`mode` captured from the DRIVER's manifest snapshot —
@@ -1073,7 +1073,9 @@ def refresh_table_ann_index(
             for pid in batch.column("pid").to_pylist():
                 files = files_by_pid.get(str(pid)) or []
                 snap = (
-                    _read_chain_columns(table_dir, files, narrow, mode)
+                    _read_chain_columns(
+                        table_dir, files, narrow, mode, man_sum_cols
+                    )
                     if files
                     else narrow.empty_table()
                 )

@@ -426,25 +426,38 @@ def _combine_states(frames: list[pd.DataFrame], spec: dict) -> pd.DataFrame:
 
 def _narrow_schema(man, cols: list[str]) -> pa.Schema:
     """Projection schema for a column-pruned merged read: the requested
-    columns plus (for upsert chains) the physical key/version columns the
-    LWW kernel needs."""
+    columns plus the physical key/version (and collapse sign) columns the
+    mode's merge kernel needs."""
     need = list(cols)
     if man.mode != "append":
-        # the LWW kernel keys on the physical doc_id column; version is lsn
+        # the merge kernels key on the physical doc_id column; version is lsn
         need += [c for c in ("doc_id", "lsn") if c not in need]
+    if man.mode == "collapse" and "sign" not in need:
+        need.append("sign")
     return pa.schema([man.schema.field(c) for c in need])
 
 
 def _read_chain_columns(
-    table_dir: str, files: list[str], narrow: pa.Schema, mode: str
+    table_dir: str,
+    files: list[str],
+    narrow: pa.Schema,
+    mode: str,
+    sum_cols: list[str] | tuple = (),
 ) -> pa.Table:
-    """One partition's merged state restricted to ``narrow`` — column-pruned
-    parquet reads (the wide ``tokens`` payload is never decoded). Respects
-    the table's mode like ``read_partition`` does: upsert chains LWW-merge,
-    append chains plain-concat — an append table must never lose legal
-    duplicate rows to an LWW pass."""
+    """One partition's merged USER-FACING state restricted to ``narrow`` —
+    column-pruned parquet reads (the wide ``tokens`` payload is never
+    decoded). Mode-complete, like ``read_partition_final``: upsert chains
+    LWW-merge, append chains plain-concat (legal duplicate rows must
+    survive), sum chains fold partial sums, collapse chains fold partials
+    then FINALIZE to alive winners (MV/ANN consumers must never see
+    cancelled-key winner rows or null adjustment rows)."""
     from ..schemas import cast_table
-    from ..stages.merge import merge_file_tables
+    from ..stages.merge import (
+        collapse_finalize,
+        collapse_merge_file_tables,
+        merge_file_tables,
+        sum_merge_file_tables,
+    )
 
     want = set(narrow.names) | {"op"}
     tables = []
@@ -459,6 +472,12 @@ def _read_chain_columns(
         if not parts:
             return narrow.empty_table()
         return pa.concat_tables(parts, promote_options="none")
+    if mode == "sum":
+        return sum_merge_file_tables(
+            tables, narrow, [c for c in sum_cols if c in narrow.names]
+        )
+    if mode == "collapse":
+        return collapse_finalize(collapse_merge_file_tables(tables, narrow))
     return merge_file_tables(tables, narrow)
 
 
@@ -473,7 +492,7 @@ def _read_dim_columns(table_dir: str, cols: list[str]) -> pa.Table:
         files = man.partitions[pid].get("files") or []
         if not files:
             continue
-        t = _read_chain_columns(table_dir, files, narrow, man.mode)
+        t = _read_chain_columns(table_dir, files, narrow, man.mode, man.sum_cols)
         if t.num_rows:
             parts.append(t)
     if not parts:
@@ -670,7 +689,9 @@ def _refresh_upsert_mv_locked(table_dir: str, name: str) -> dict | None:
     changed_rows = sum(int(man.partitions[pid].get("rows") or 0) for pid in changed)
 
     def pid_partial(pid: str) -> pa.Table:
-        t = _read_chain_columns(table_dir, cur_chains[pid], narrow, man.mode)
+        t = _read_chain_columns(
+            table_dir, cur_chains[pid], narrow, man.mode, man.sum_cols
+        )
         return partial_fn(t)
 
     if changed_rows <= SMALL_TICK_EVENTS:
@@ -683,11 +704,12 @@ def _refresh_upsert_mv_locked(table_dir: str, name: str) -> dict | None:
         import ray.data as rd
 
         mode, nar, chains = man.mode, narrow, dict(cur_chains)
+        scols = list(man.sum_cols)
 
         def one(b: pa.Table) -> pa.Table:
             out = []
             for pid in b.column("pid").to_pylist():
-                t = _read_chain_columns(table_dir, chains[pid], nar, mode)
+                t = _read_chain_columns(table_dir, chains[pid], nar, mode, scols)
                 p = partial_fn(t)
                 out.append(
                     p.append_column("__pid", pa.array([pid] * p.num_rows))

@@ -64,12 +64,17 @@ def _normalize_preds(man, predicates: dict) -> list[tuple]:
     out = []
     bounded = False
     for col, (lo, hi) in predicates.items():
+        if col not in man.schema.names:
+            # reject up front (like mutate_table does) instead of crashing
+            # later with a raw KeyError when read_where builds its bounds
+            raise ValueError(
+                f"predicate column {col!r} not in table schema "
+                f"{list(man.schema.names)}"
+            )
         if lo is None and hi is None:
             continue
         bounded = True
-        ftype = (
-            man.schema.field(col).type if col in man.schema.names else pa.string()
-        )
+        ftype = man.schema.field(col).type
         usable = (
             col in (man.skip_cols or [])
             # merged sum measures / collapse nets are SUMS of per-file

@@ -630,6 +630,27 @@ def read_partition(
     return merge_file_tables(tables, snapshot_schema)
 
 
+def read_partition_final(
+    table_dir: str,
+    files: list[str],
+    snapshot_schema: pa.Schema,
+    mode: str = "upsert",
+    sum_cols: list[str] | tuple = (),
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """:func:`read_partition` + user-facing finalize: collapse tables return
+    alive winners only (the partial winner+adjustment encoding stripped, as
+    :func:`make_partition_reader` does). Every OTHER mode's merged state is
+    already final. Artifact derivers / snapshot scorers must read through
+    this, never raw :func:`read_partition` — counting a cancelled key's
+    winner row or a null-payload adjustment row would poison derived counts
+    (token indexes, classifier/LM/BPE partials, quality scores)."""
+    t = read_partition(table_dir, files, snapshot_schema, mode, sum_cols, columns)
+    if mode == "collapse":
+        t = collapse_finalize(t)
+    return t
+
+
 def make_partition_reader(
     table_dir: str,
     snapshot_schema_b64: str,
@@ -1063,6 +1084,35 @@ class TTLWorker:
             cutoff = pa.scalar(self.cutoff_us, pa.timestamp("us")).cast(col.type)
             # keep = ttl_col >= cutoff; nulls keep (never expire)
             keep = pc.fill_null(pc.greater_equal(col, cutoff), True)
+            if self.mode == "collapse":
+                # an expiring winner must take its key's adjustment rows
+                # with it: adjustments carry null payloads (null TTL never
+                # expires), so leaving them would turn a revivable cancelled
+                # key (net 0) into an unrevivable one (net -1). Drop the
+                # WHOLE key when its winner row expires; winnerless
+                # adjustment keys have no TTL value and persist until a
+                # mutation removes them (documented semantics).
+                sign = merged.column("sign")
+                ver = merged.column("lsn")
+                winner_mask = pc.and_(
+                    pc.fill_null(
+                        pc.greater(sign, pa.scalar(0).cast(sign.type)), False
+                    ),
+                    pc.is_valid(ver),
+                )
+                expired_keys = merged.filter(
+                    pc.and_(winner_mask, pc.invert(keep))
+                ).column("doc_id")
+                if len(expired_keys):
+                    keep = pc.and_(
+                        keep,
+                        pc.invert(
+                            pc.is_in(
+                                merged.column("doc_id"),
+                                value_set=expired_keys.combine_chunks(),
+                            )
+                        ),
+                    )
             kept = merged.filter(keep)
             expired = merged.num_rows - kept.num_rows
             rel, nbytes = write_part_tmp(self.table_dir, pid, self.epoch, kind, kept)

@@ -360,3 +360,75 @@ def test_collapse_epoch_diff_emits_final_state_changes(ray_session, tmp_path):
     assert b_ops in (["u"], ["c", "d"], ["u", "u"]) or "u" in b_ops
     b_new = [r for r in by_key["b"] if r["op"] != "d"]
     assert b_new and b_new[0]["value"] == 25.0
+
+
+# ------------------------------------------- finalized artifact/scorer reads
+
+
+def test_collapse_artifact_reads_are_finalized(ray_session, tmp_path):
+    """Every derived-artifact read path must see FINALIZED collapse state
+    (alive winners only) — counting cancelled keys' winner rows or
+    null-payload adjustment rows would poison token indexes, model
+    partials, quality scores, MV partials, and ANN vectors."""
+    from clickhouse_data_pipeline_ray.functions.classifier import (
+        score_table_snapshot,
+    )
+    from clickhouse_data_pipeline_ray.pipelines.mv import (
+        _narrow_schema,
+        _read_chain_columns,
+    )
+    from clickhouse_data_pipeline_ray.stages.merge import read_partition_final
+
+    wal, state = _canonical_wal(tmp_path, seed=21)
+    table = str(tmp_path / "t")
+    create_table(table, num_partitions=4, schema=SCHEMA, mode="collapse")
+    replay(table, wal,
+           ApplyConfig(write_mode="delta", compact_threshold=3, max_segments=2),
+           final_compact=False)
+    man = load_manifest(table)
+    fin = snapshot_table(table)  # finalized truth (matches the DuckDB oracle)
+    # the partial encoding really does hold residual rows beyond the
+    # finalized state — otherwise this test proves nothing
+    raw = pa.concat_tables(
+        [pq.read_table(os.path.join(table, f)) for f in man.snapshot_files()]
+    )
+    assert raw.num_rows > fin.num_rows
+
+    # 1. read_partition_final (shared by classifier/LM/BPE partials and the
+    # token-index deriver)
+    got = 0
+    for pid in man.partitions:
+        files = man.partitions[pid].get("files") or []
+        if files:
+            got += read_partition_final(
+                table, files, man.schema, man.mode, man.sum_cols,
+                columns=["doc_id", "value"],
+            ).num_rows
+    assert got == fin.num_rows
+
+    # 2. score_table_snapshot sees finalized rows only
+    def make_scorer():
+        def score(t: pa.Table) -> pa.Table:
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+        return score
+
+    n = sum(
+        r["n"]
+        for r in score_table_snapshot(table, make_scorer, concurrency=1)
+        .take_all()
+    )
+    assert n == fin.num_rows
+
+    # 3. _read_chain_columns (MV partials, ANN vector derivation)
+    narrow = _narrow_schema(man, ["value"])
+    assert "sign" in narrow.names
+    vals = []
+    for pid in man.partitions:
+        files = man.partitions[pid].get("files") or []
+        if files:
+            t = _read_chain_columns(table, files, narrow, man.mode, man.sum_cols)
+            vals.extend(t.column("value").to_pylist())
+    assert sorted(vals, key=lambda v: (v is None, v)) == sorted(
+        fin.column("value").to_pylist(), key=lambda v: (v is None, v)
+    )
+    assert None not in vals  # no adjustment-row null payloads leaked

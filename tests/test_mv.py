@@ -187,9 +187,9 @@ def test_upsert_mv_prunes_unchanged_partitions(ray_session, tmp_path, monkeypatc
     calls = []
     real = mv_mod._read_chain_columns
 
-    def spy(table_dir, files, narrow, mode):
+    def spy(table_dir, files, narrow, mode, sum_cols=()):
         calls.append(files)
-        return real(table_dir, files, narrow, mode)
+        return real(table_dir, files, narrow, mode, sum_cols)
 
     monkeypatch.setattr(mv_mod, "_read_chain_columns", spy)
     tick = refresh_mv(table, wal, "by_source")

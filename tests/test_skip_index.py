@@ -418,3 +418,12 @@ def test_scan_projection_and_timestamp_bounds(ray_session, tmp_path):
     got = ds.take_all()
     assert len(got) == int((ts >= lo_us).sum())
     assert set(got[0].keys()) == {"event_id", "event_ts"}
+
+
+def test_read_where_unknown_column_raises(ray_session, tmp_path):
+    from clickhouse_data_pipeline_ray.pipelines.scan import read_where_multi
+
+    table = str(tmp_path / "t")
+    init_table(table, SNAPSHOT_SCHEMA, 2)
+    with pytest.raises(ValueError, match="not in table schema"):
+        read_where_multi(table, {"no_such_col": (1, 2)})

@@ -164,3 +164,63 @@ def test_ttl_rejects_bad_column(ray_session, fact_wal, tmp_path):
         ttl_expire(table, "no_such_col", "2024-02-01T00:00:00")
     with pytest.raises(ValueError, match="timestamp column"):
         ttl_expire(table, "event_type", "2024-02-01T00:00:00")
+
+
+def test_ttl_collapse_drops_whole_key(ray_session, tmp_path):
+    """TTL × collapse interaction: an expiring winner row must take its
+    key's adjustment rows with it. Adjustment rows carry null payloads
+    (null TTL never expires), so leaving them would turn a revivable
+    cancelled key (net 0: winner sign=1 + adjustment sign=-1) into an
+    unrevivable one (net -1 after the winner alone expires)."""
+    import numpy as np
+
+    from clickhouse_data_pipeline_ray.pipelines.apply import apply_once
+
+    US = 1_000_000
+    schema = FACT_SNAPSHOT_SCHEMA.append(pa.field("sign", pa.int32()))
+
+    def seg(wal, first_lsn, rows):
+        n = len(rows)
+        lsn = np.arange(first_lsn, first_lsn + n, dtype=np.int64)
+        t = pa.table({
+            "lsn": pa.array(lsn),
+            "op": pa.array(["c"] * n),
+            "event_id": pa.array([f"ev-{x:08d}" for x in lsn]),
+            "doc_id": pa.array([r[0] for r in rows]),
+            "event_ts": pa.array([int(x) * US for x in lsn], pa.timestamp("us")),
+            "event_type": pa.array(["state"] * n),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "sign": pa.array([r[1] for r in rows], pa.int32()),
+        })
+        os.makedirs(wal, exist_ok=True)
+        pq.write_table(t, segment_path(wal, first_lsn, first_lsn + n - 1))
+        return first_lsn + n
+
+    wal = str(tmp_path / "wal")
+    table = str(tmp_path / "t")
+    # lsn1: a state, lsn2: a cancel (a now net-0 cancelled: winner ts=1s +
+    # null-ts adjustment), lsn3: b state (ts=3s, stays past the cutoff)
+    nxt = seg(wal, 1, [("a", 1, 10.0), ("a", -1, 10.0), ("b", 1, 20.0)])
+    create_table(table, num_partitions=2, schema=schema, mode="collapse")
+    cfg = ApplyConfig(write_mode="delta", max_segments=1)
+    apply_once(table, wal, cfg)
+    snap = snapshot_table(table)
+    assert snap.column("doc_id").to_pylist() == ["b"]
+
+    # expire everything before 2.5s: a's winner row (ts=1s) expires; the
+    # fix drops a's adjustment row with it instead of stranding sign=-1
+    stats = ttl_expire(table, "event_ts", dt.datetime(1970, 1, 1, 0, 0, 2, 500000))
+    assert stats is not None
+    raw_rows = pa.concat_tables(
+        [pq.read_table(os.path.join(table, f))
+         for f in load_manifest(table).snapshot_files()]
+    )
+    assert "a" not in raw_rows.column("doc_id").to_pylist()
+
+    # revive a: one +1 state must bring it back (net 1, not net 0)
+    seg(wal, nxt, [("a", 1, 30.0)])
+    apply_once(table, wal, cfg)
+    snap = snapshot_table(table)
+    got = dict(zip(snap.column("doc_id").to_pylist(),
+                   snap.column("value").to_pylist()))
+    assert got == {"a": 30.0, "b": 20.0}
