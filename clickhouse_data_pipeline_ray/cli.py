@@ -98,6 +98,11 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--event-time-col", default=None,
                     help="enable event-time watermark + late-data metrics on "
                          "this column (default: event_ts for fact schemas)")
+    sp.add_argument("--store", choices=("posix", "object"), default="posix",
+                    help="commit protocol: posix (atomic rename + flock, "
+                         "default) or object (object-store model: "
+                         "conditional-put manifest swap, no rename/locks — "
+                         "optimistic multi-writer concurrency)")
     sp.add_argument("--retention", type=int, default=None,
                     help="retained versioned manifests for time travel (default 8)")
     sp.add_argument("--skip-cols", default=None,
@@ -883,9 +888,10 @@ def _run(argv: list[str] | None = None) -> int:
             mode=args.mode, key_col=key_col, partition_spec=spec,
             retention=args.retention, event_time_col=ev_col or "",
             sum_cols=sum_cols, skip_cols=skip_cols or None,
+            store=args.store,
         )
         print(json.dumps({"table": args.table, "epoch": man.epoch, "mode": man.mode,
-                          "partition_spec": man.spec,
+                          "partition_spec": man.spec, "store": args.store,
                           "num_partitions": man.num_partitions}))
         return 0
 

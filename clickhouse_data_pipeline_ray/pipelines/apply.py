@@ -51,6 +51,19 @@ from ..sources.wal import (
     segment_schema,
 )
 from ..stages.merge import MergeApply, promote_part
+from ..state.store import store_kind
+
+# object-store auto-GC grace: unreferenced files younger than this survive
+# (a racing optimistic writer may have live uncommitted parts — the Delta
+# VACUUM retention idea). Posix tables hold the flock, so grace is 0 there.
+OBJECT_GC_GRACE_S = 3600.0
+
+
+def _gc(man) -> int:
+    from ..state.manifest import gc_stale_files as _gc_stale
+
+    grace = OBJECT_GC_GRACE_S if store_kind(man.table_dir) == "object" else 0.0
+    return _gc_stale(man, min_age_s=grace)
 from ..stages.normalize import (
     compact_group,
     make_collapse_compact_group,
@@ -61,7 +74,6 @@ from ..state.manifest import (
     Manifest,
     commit_manifest,
     empty_partition,
-    gc_stale_files,
     init_table,
     load_manifest,
     table_lock,
@@ -130,6 +142,7 @@ def create_table(
     event_time_col: str = "",
     sum_cols: list[str] | None = None,
     skip_cols: list[str] | None = None,
+    store: str = "posix",
 ) -> Manifest:
     from ..state.manifest import MANIFEST_RETENTION
 
@@ -144,6 +157,7 @@ def create_table(
         event_time_col=event_time_col,
         sum_cols=sum_cols,
         skip_cols=skip_cols,
+        store=store,
     )
 
 
@@ -542,7 +556,7 @@ def _apply_once_locked(table_dir: str, wal_dir: str, cfg: ApplyConfig | None) ->
     man.history.append(epoch_stats)
     commit_manifest(man)
     if cfg.gc:
-        gc_stale_files(man)
+        _gc(man)
     if ray_stage_stats is not None:
         # returned copy only — the manifest history stays O(small)
         return {**epoch_stats, "stage_stats": ray_stage_stats}
@@ -654,7 +668,7 @@ def _compact_table_locked(table_dir: str, concurrency: int | tuple) -> dict | No
     man.epoch = epoch
     man.history.append(epoch_stats)
     commit_manifest(man)
-    gc_stale_files(man)
+    _gc(man)
     return epoch_stats
 
 
@@ -806,7 +820,7 @@ def ttl_expire(
         man.epoch = epoch
         man.history.append(out)
         commit_manifest(man)
-        gc_stale_files(man)
+        _gc(man)
         return out
 
 
@@ -936,7 +950,7 @@ def mutate_table(
         man.epoch = epoch
         man.history.append(out)
         commit_manifest(man)
-        gc_stale_files(man)
+        _gc(man)
         return out
 
 
@@ -1081,7 +1095,7 @@ def import_base(
         man.epoch = epoch
         man.history.append(out)
         commit_manifest(man)
-        gc_stale_files(man)
+        _gc(man)
         return out
 
 
@@ -1174,7 +1188,7 @@ def _repartition_locked(
     }
     man.history.append(out)
     commit_manifest(man)
-    gc_stale_files(man)
+    _gc(man)
     return out
 
 

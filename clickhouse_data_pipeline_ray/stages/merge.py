@@ -67,10 +67,25 @@ def write_part_tmp(
     advanced past the WAL. The unique scratch name means a retried task
     never interleaves bytes with a concurrent writer's file.
 
-    Returns (relative final path, bytes)."""
+    Returns (relative final path, bytes).
+
+    OBJECT-STORE tables (state/store.py) skip the tmp/rename dance: the
+    worker PUTs the part directly at its final, deterministic,
+    epoch-stamped key (the Delta/Iceberg data-file model). The file is
+    invisible until a committed manifest references it; a retried epoch
+    re-puts identical bytes; a losing writer's parts become GC-able
+    orphans."""
     part_dir = os.path.join(table_dir, "parts", f"pid={pid:05d}")
     os.makedirs(part_dir, exist_ok=True)
     rel = os.path.join("parts", f"pid={pid:05d}", f"{kind}-{epoch:06d}.parquet")
+    from ..state.store import put_file_object, store_kind
+
+    if store_kind(table_dir) == "object":
+        size = put_file_object(
+            os.path.join(table_dir, rel),
+            lambda staging: pq.write_table(table, staging, compression=compression),
+        )
+        return rel, size
     tmp_path = os.path.join(table_dir, rel + ".tmp")
     scratch = f"{tmp_path}.{os.getpid()}"
     pq.write_table(table, scratch, compression=compression)
@@ -82,7 +97,13 @@ def write_part_tmp(
 def promote_part(table_dir: str, rel: str) -> None:
     """The driver half of the commit protocol: rename a worker-written
     ``.tmp`` part to its final name and fsync the parent directory, so the
-    rename is durable BEFORE the manifest swap that references it."""
+    rename is durable BEFORE the manifest swap that references it.
+    Object-store tables have nothing to promote — parts were PUT at their
+    final keys and visibility is decided by the manifest swap alone."""
+    from ..state.store import store_kind
+
+    if store_kind(table_dir) == "object":
+        return
     final = os.path.join(table_dir, rel)
     os.replace(final + ".tmp", final)
     fsync_path(os.path.dirname(final))

@@ -164,7 +164,7 @@ def _fsck_locked(table_dir: str, repair: bool) -> dict:
         # state, it does not advance the table)
         from .manifest import commit_manifest
 
-        commit_manifest(man)
+        commit_manifest(man, allow_overwrite_version=True)
 
     errors = sum(1 for f in findings if f["severity"] == "error")
     return {

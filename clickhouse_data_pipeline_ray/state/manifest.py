@@ -27,6 +27,13 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 
 from ..schemas import schema_from_b64, schema_to_b64
+from .store import (
+    ConcurrentCommitError,  # noqa: F401  (re-export: callers catch it here)
+    mark_object_store,
+    put_json_if_absent,
+    put_json_object,
+    store_kind,
+)
 
 MANIFEST_NAME = "manifest.json"
 # Retained versioned manifests (time travel): manifest-{epoch:06d}.json.
@@ -139,12 +146,17 @@ def init_table(
     event_time_col: str = "",
     sum_cols: list[str] | None = None,
     skip_cols: list[str] | None = None,
+    store: str = "posix",
 ) -> Manifest:
     """Create an empty table layout + manifest v0 (idempotent, the analog of
     the reference's ``CREATE TABLE IF NOT EXISTS`` DDL path,
     /root/reference/etl/core/schema.py:16-24). Hash-partitioned tables
     pre-create their fixed partition set; time-partitioned tables start empty
-    (partitions appear as their months do)."""
+    (partitions appear as their months do).
+
+    ``store`` picks the commit protocol: ``"posix"`` (rename + flock,
+    default) or ``"object"`` (conditional-put manifest swap, no rename/lock
+    — see ``state/store.py``). Immutable after creation."""
     if mode not in ("upsert", "append", "sum", "collapse"):
         raise ValueError(
             f"unknown table mode {mode!r} (upsert|append|sum|collapse)"
@@ -231,8 +243,18 @@ def init_table(
             f"hash partition_spec num ({spec.get('num')}) must equal "
             f"num_partitions ({num_partitions})"
         )
+    if store not in ("posix", "object"):
+        raise ValueError(f"unknown store {store!r} (posix|object)")
+    if store == "object":
+        # marker precedes the first commit so every subsequent read/commit
+        # dispatches to the conditional-put protocol
+        mark_object_store(table_dir)
     existing = os.path.join(table_dir, MANIFEST_NAME)
-    if os.path.exists(existing):
+    if os.path.exists(existing) or (
+        store_kind(table_dir) == "object" and retained_epochs(table_dir)
+    ):
+        # idempotent re-create; the object-mode pointer may lag the
+        # committed versions (crash between version PUT and pointer PUT)
         return load_manifest(table_dir)
     os.makedirs(os.path.join(table_dir, "parts"), exist_ok=True)
     partitions = (
@@ -262,8 +284,17 @@ def load_manifest(table_dir: str, epoch: int | None = None) -> Manifest:
     every commit also writes ``manifest-{epoch:06d}.json`` and keeps the last
     ``MANIFEST_RETENTION`` of them; file GC preserves any file referenced by
     a retained manifest, so historical snapshots stay readable — the
-    Iceberg/Delta snapshot-isolation idea on the same atomic-swap commit)."""
+    Iceberg/Delta snapshot-isolation idea on the same atomic-swap commit).
+
+    Object-store tables resolve the CURRENT manifest by listing versioned
+    manifests and reading the max — ``manifest.json`` is only a pointer
+    there and may lag a crash between the version PUT (the commit point)
+    and the pointer PUT."""
     name = MANIFEST_NAME if epoch is None else f"manifest-{epoch:06d}.json"
+    if epoch is None and store_kind(table_dir) == "object":
+        eps = retained_epochs(table_dir)
+        if eps:
+            name = f"manifest-{eps[-1]:06d}.json"
     try:
         with open(os.path.join(table_dir, name)) as f:
             doc = json.load(f)
@@ -314,8 +345,15 @@ def atomic_json_write(path: str, doc: dict, fsync_dir: bool = True) -> None:
             os.close(dfd)
 
 
-def commit_manifest(man: Manifest) -> None:
-    """Atomic swap: tmp write + fsync + os.replace."""
+def commit_manifest(man: Manifest, allow_overwrite_version: bool = False) -> None:
+    """Atomic manifest swap (posix: tmp write + fsync + os.replace; object
+    store: conditional PUT of the versioned manifest — see state/store.py).
+
+    ``allow_overwrite_version`` is the fsck-repair escape hatch: repairs
+    persist metadata fixes at the SAME epoch, which on an object store means
+    overwriting an existing versioned manifest instead of the normal
+    put-if-absent commit. Maintenance-only; every epoch-advancing commit
+    must leave it False so racing writers keep losing loudly."""
     man.updated_at = time.time()
     doc = {
         "version": 2,
@@ -337,14 +375,27 @@ def commit_manifest(man: Manifest) -> None:
         "skip_cols": man.skip_cols,
     }
     path = os.path.join(man.table_dir, MANIFEST_NAME)
-    # versioned copy first (readable only once the swap lands), then the
-    # atomic swap that makes this epoch current; both writes fsync content
-    # and directory (a power loss must not resurface the previous manifest
-    # after the caller reported the epoch committed — parts are fsynced
-    # before this, see stages/merge.py write_part_tmp / promote_part)
     versioned = os.path.join(man.table_dir, f"manifest-{man.epoch:06d}.json")
-    atomic_json_write(versioned, doc, fsync_dir=False)
-    atomic_json_write(path, doc)
+    if store_kind(man.table_dir) == "object":
+        # object-store protocol: the CONDITIONAL PUT of the immutable
+        # versioned manifest IS the commit point (exactly one of N racing
+        # writers wins — the Delta/Iceberg metadata swap); the current
+        # pointer is a best-effort overwrite PUT readers don't rely on.
+        # No os.replace, no flock anywhere on this path.
+        if allow_overwrite_version:
+            put_json_object(versioned, doc)
+        else:
+            put_json_if_absent(versioned, doc)
+        put_json_object(path, doc)
+    else:
+        # posix protocol: versioned copy first (readable only once the swap
+        # lands), then the atomic rename swap that makes this epoch current;
+        # both writes fsync content and directory (a power loss must not
+        # resurface the previous manifest after the caller reported the
+        # epoch committed — parts are fsynced before this, see
+        # stages/merge.py write_part_tmp / promote_part)
+        atomic_json_write(versioned, doc, fsync_dir=False)
+        atomic_json_write(path, doc)
     for old in retained_epochs(man.table_dir)[: -man.retention]:
         os.remove(os.path.join(man.table_dir, f"manifest-{old:06d}.json"))
 
@@ -358,11 +409,20 @@ def retained_epochs(table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def gc_stale_files(man: Manifest) -> int:
+def gc_stale_files(man: Manifest, min_age_s: float = 0.0) -> int:
     """Remove snapshot/tmp files referenced by NO retained manifest (fully
     dead epochs, leftover tmps from crashed runs). Files still referenced by
     a retained historical manifest survive so time-travel reads keep working.
-    Returns count removed."""
+    Returns count removed.
+
+    ``min_age_s`` is the object-store grace period (the Delta VACUUM
+    retention idea): with optimistic concurrency a racing writer may have
+    live *uncommitted* parts on disk, so object-mode auto-GC only removes
+    unreferenced files older than the grace window. Posix tables hold the
+    flock while writing, so 0 is safe there."""
+    import time as _time
+
+    now = _time.time()
     live = {os.path.join(man.table_dir, f) for p in man.partitions.values() for f in p["files"]}
     for ep in retained_epochs(man.table_dir):
         try:
@@ -380,6 +440,12 @@ def gc_stale_files(man: Manifest) -> int:
         for name in names:
             path = os.path.join(root, name)
             if path not in live:
+                if min_age_s > 0:
+                    try:
+                        if now - os.path.getmtime(path) < min_age_s:
+                            continue
+                    except OSError:
+                        continue
                 os.remove(path)
                 removed += 1
     return removed
@@ -409,13 +475,21 @@ class table_lock:
     the reference's docker-compose implicitly puts it — it has NO guard and
     runs concurrent batch + streaming writers against the same ClickHouse
     tables, /root/reference/docker-compose.yaml).
+
+    OBJECT-STORE tables skip the lock entirely (object stores have no
+    advisory locks): concurrency there is optimistic — racing writers both
+    run, and the conditional-put manifest swap picks exactly one winner;
+    the loser raises ConcurrentCommitError and retries from fresh state.
     """
 
     def __init__(self, table_dir: str):
         self.path = os.path.join(table_dir, "table.lock")
         self.fd = None
+        self._object = store_kind(table_dir) == "object"
 
     def __enter__(self):
+        if self._object:
+            return self
         import fcntl
 
         fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
