@@ -259,22 +259,66 @@ class BPEEncoder:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern_regex(
-            batch.column(self.text_col), pattern=SPLIT_RE
+        """Vectorized occurrence path: the Python BPE merge loop runs over
+        the batch's UNIQUE words only (dictionary-encode), and the
+        per-occurrence expansion back to rows is a pure numpy ragged gather
+        — no Python iteration per row/word/occurrence. Bitwise-identical
+        ids to the per-row loop (pinned by test_bpe)."""
+        if batch.num_rows == 0:
+            batch = batch.append_column(
+                "bpe_ids", pa.array([], pa.list_(pa.int32()))
+            )
+            return batch.append_column("n_bpe_pieces", pa.array([], pa.int64()))
+        text = pc.fill_null(batch.column(self.text_col), "")
+        words = pc.split_pattern_regex(text, pattern=SPLIT_RE)
+        n_words = (
+            pc.list_value_length(words)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
+        flat = pc.list_flatten(words).combine_chunks()
+        darr = pc.dictionary_encode(flat)
+
+        # encode each distinct word once (per-actor cache persists across
+        # batches, so steady-state cost is new-distinct-words only)
         enc = self.model.encode_word_ids
-        ids, lens = [], []
-        for row in words.to_pylist():
-            row_ids: list[int] = []
-            for w in row:
-                if w:
-                    row_ids.extend(enc(w))
-            ids.append(row_ids)
-            lens.append(len(row_ids))
-        batch = batch.append_column(
-            "bpe_ids", pa.array(ids, pa.list_(pa.int32()))
+        uniq_ids = [enc(w) if w else [] for w in darr.dictionary.to_pylist()]
+        uniq_lens = np.array([len(u) for u in uniq_ids], dtype=np.int64)
+        uniq_flat = np.concatenate(
+            [np.asarray(u, dtype=np.int32) for u in uniq_ids]
+            or [np.array([], dtype=np.int32)]
         )
-        return batch.append_column("n_bpe_pieces", pa.array(lens, pa.int64()))
+        uniq_starts = np.concatenate(([0], np.cumsum(uniq_lens)[:-1])) if len(
+            uniq_lens
+        ) else np.array([], dtype=np.int64)
+
+        # ragged gather: occurrence j expands to
+        # uniq_flat[uniq_starts[idx[j]] : + uniq_lens[idx[j]]]
+        idx = darr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        occ_lens = uniq_lens[idx] if len(idx) else np.array([], dtype=np.int64)
+        occ_cs = np.concatenate(([0], np.cumsum(occ_lens)))
+        total = int(occ_cs[-1])
+        run_off = np.arange(total, dtype=np.int64) - np.repeat(
+            occ_cs[:-1], occ_lens
+        )
+        gather = np.repeat(uniq_starts[idx], occ_lens) + run_off
+        out_flat = (
+            uniq_flat[gather] if total else np.array([], dtype=np.int32)
+        )
+
+        # rows rebuilt from list offsets: row r's pieces end where its last
+        # word occurrence ends
+        row_ends = occ_cs[np.cumsum(n_words)]
+        offsets = np.concatenate(([0], row_ends))
+        batch = batch.append_column(
+            "bpe_ids",
+            pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(out_flat, pa.int32())
+            ),
+        )
+        return batch.append_column(
+            "n_bpe_pieces", pa.array(np.diff(offsets), pa.int64())
+        )
 
 
 # ---------------------------------------------------------------- pipelines
