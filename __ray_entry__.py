@@ -36,8 +36,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
     names, fixed-point integer aggregates for hash-stable comparison) —
-    49 of the 50 queries() entries; only sketch_profile (approximate
-    sketches by construction, pinned by tests/test_sketch.py) is rows-only.
+    ALL 50 queries() entries since round 5: sketch_profile now hashes the
+    Misra–Gries exact regime (its approximate families run in-query with
+    bounds assertions; tight error bounds stay in tests/test_sketch.py).
 
     Includes the flagship CDC replay family: their oracles read the same
     deterministic WAL parquet (generated here if absent) that the Ray

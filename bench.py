@@ -216,6 +216,8 @@ BENCH_QUERIES = [
     "cdc_sum_replay",
     "cdc_fact_monthly_kpi",
     "lww_latest_event_per_user",
+    "storage_ops",
+    "bm25_topk",
     "kpi_daily_events",
     "kpi_rollup_daily",
     "kpi_source_stats",
@@ -262,12 +264,12 @@ BENCH_QUERIES = [
 
 def bench_queries(ray) -> dict:
     import ray.data as rd
-    from clickhouse_data_pipeline_ray.pipelines.queries import QUERIES
+    from clickhouse_data_pipeline_ray.pipelines.queries import ALL_QUERIES
 
     out = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        res = QUERIES[name](SF_DIR)
+        res = ALL_QUERIES[name](SF_DIR)
         if isinstance(res, rd.Dataset):
             for _ in res.iter_batches(batch_format="pyarrow"):
                 pass

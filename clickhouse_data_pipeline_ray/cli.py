@@ -2149,18 +2149,18 @@ def _run(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "query":
-        from .pipelines.queries import QUERIES
+        from .pipelines.queries import ALL_QUERIES
 
         if args.list_queries or args.name is None:
-            print(json.dumps(sorted(QUERIES)))
+            print(json.dumps(sorted(ALL_QUERIES)))
             return 0
-        if args.name not in QUERIES:
+        if args.name not in ALL_QUERIES:
             raise ValueError(
                 f"unknown query {args.name!r} — `query --list` prints the names"
             )
         _init_ray(args.num_cpus)
         t0 = time.perf_counter()
-        res = QUERIES[args.name](args.sf_dir)
+        res = ALL_QUERIES[args.name](args.sf_dir)
         import pandas as pd
         import pyarrow as pa
 

@@ -45,19 +45,31 @@ def con():
 
 
 def _oracle_pairs():
-    from clickhouse_data_pipeline_ray.pipelines.queries import QUERIES, build_oracle_sql
+    from clickhouse_data_pipeline_ray.pipelines.queries import (
+        ALL_QUERIES,
+        EXTRA_ORACLE_SQL,
+        QUERIES,
+        build_oracle_sql,
+    )
 
     oracle = build_oracle_sql(SF_DIR)
     assert set(oracle) <= set(QUERIES)
-    return sorted(oracle)
+    # retired-from-driver extras keep full oracle coverage in pytest
+    assert set(EXTRA_ORACLE_SQL) <= set(ALL_QUERIES)
+    return sorted(set(oracle) | set(EXTRA_ORACLE_SQL))
 
 
 @pytest.mark.parametrize("name", _oracle_pairs())
 def test_query_matches_oracle(ray_session, con, name):
-    from clickhouse_data_pipeline_ray.pipelines.queries import QUERIES, build_oracle_sql
+    from clickhouse_data_pipeline_ray.pipelines.queries import (
+        ALL_QUERIES,
+        EXTRA_ORACLE_SQL,
+        build_oracle_sql,
+    )
 
-    got = _canon(_to_pandas(QUERIES[name](SF_DIR)))
-    want = _canon(con.execute(build_oracle_sql(SF_DIR)[name]).df())
+    got = _canon(_to_pandas(ALL_QUERIES[name](SF_DIR)))
+    sql = {**build_oracle_sql(SF_DIR), **EXTRA_ORACLE_SQL}[name]
+    want = _canon(con.execute(sql).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
