@@ -785,12 +785,19 @@ def cdc_registry_sync(sf_dir: str) -> pa.Table:
     pre-aggregate per doc inside map_batches, both sides are hash-bucketed on
     doc_id into O(CPUs) groups, and each group left-joins vectorized and
     emits per-source partials — so the shuffle moves one row per (doc, side),
-    and only tiny (source, sums) partials reach the driver."""
+    and only tiny (source, sums) partials reach the driver.
+
+    The cross-table read is PINNED to the lake epoch the sync round
+    committed (state/registry.py lake vector): both tables resolve through
+    one atomically-committed {table → epoch} vector, so the join stays
+    consistent even if another sync were advancing tables one at a time
+    concurrently — asserted in-query by committing an extra dim-only epoch
+    AFTER the lake pin and checking the pinned read doesn't see it."""
     import shutil
 
     from ..schemas import FACT_SNAPSHOT_SCHEMA as _FS
     from ..schemas import SNAPSHOT_SCHEMA as _DS
-    from ..state.registry import register_table, sync_all, table_dir
+    from ..state.registry import load_lake, register_table, sync_all, table_dir
     from .apply import read_snapshot
 
     lake = tempfile.mkdtemp(prefix="cdp_lake_")
@@ -807,9 +814,26 @@ def cdc_registry_sync(sf_dir: str) -> pa.Table:
         bad = [r for r in results if "error" in r or r.get("skipped")]
         if bad:
             raise RuntimeError(f"registry sync failed: {bad}")
+        vec = load_lake(lake)
+        if vec is None:
+            raise AssertionError("clean sync round committed no lake epoch")
+        # simulate a concurrent half-finished next round: advance the DIM
+        # table past the pinned vector; the pinned reads below must not see it
+        from ..state.manifest import commit_manifest, load_manifest as _lm
 
-        dim = read_snapshot(table_dir(lake, "docs"))
-        facts = read_snapshot(table_dir(lake, "facts"))
+        dim_dir = table_dir(lake, "docs")
+        dman = _lm(dim_dir)
+        if dman.epoch != vec["tables"]["docs"]:
+            raise AssertionError("lake vector out of step with the dim table")
+        dman.epoch += 1
+        commit_manifest(dman)  # same files, one epoch ahead of the pin
+
+        dim = read_snapshot(dim_dir, epoch=int(vec["tables"]["docs"]))
+        facts = read_snapshot(
+            table_dir(lake, "facts"), epoch=int(vec["tables"]["facts"])
+        )
+        if _lm(dim_dir).epoch != vec["tables"]["docs"] + 1:
+            raise AssertionError("concurrent-commit simulation did not land")
         n_buckets = _n_reduce_buckets()
 
         def _bucketed(t: pa.Table) -> pa.ChunkedArray:

@@ -26,6 +26,9 @@ from ..schemas import schema_from_b64, schema_to_b64
 from .manifest import atomic_json_write, init_table, load_manifest
 
 REGISTRY_NAME = "registry.json"
+LAKE_NAME = "lake.json"
+# retained lake epoch vectors (lake-{epoch:06d}.json) for pinned reads
+LAKE_RETENTION = 8
 
 
 @dataclass(frozen=True)
@@ -200,13 +203,19 @@ def sync_all(
     root: str,
     wals: dict[str, str],
     cfg=None,
+    commit_lake: bool = True,
 ) -> list[dict]:
     """One sync cycle over every registered table, in dependency order
     (the run_sync_cycle analog, pipeline.py:332-365, minus its
     watermark-loss bug): each table replays its pending WAL to caught-up.
     Tables without a WAL entry are skipped. A table's failure is recorded
     and does not abort later INDEPENDENT tables; tables depending on a
-    failed one are skipped (their inputs may be inconsistent)."""
+    failed one are skipped (their inputs may be inconsistent).
+
+    When every table synced cleanly, the round ends by committing a LAKE
+    EPOCH (see :func:`commit_lake_epoch`) so readers can pin a
+    cross-table-consistent snapshot; a round with any failure commits no
+    lake epoch (the vector would mix old and new table states)."""
     from ..pipelines.apply import replay
 
     tables = load_registry(root)
@@ -229,7 +238,96 @@ def sync_all(
         except Exception as e:  # degrade per table, like the reference
             failed.add(name)
             out.append({"table": name, "error": f"{type(e).__name__}: {e}"})
+    if commit_lake and not failed:
+        out.append({"lake": commit_lake_epoch(root)})
     return out
+
+
+# ---------------------------------------------------------------- lake epochs
+#
+# Per-table commits are atomic, but sync_all commits tables ONE AT A TIME: a
+# reader joining dims with facts mid-sync can pair sync-round-N dims with
+# round-N−1 facts (the reference has the same hazard — its fixed
+# dims-before-facts ordering, pipeline.py:341-347, is exactly this
+# consistency concern, unguarded). A LAKE EPOCH is an atomically committed
+# {table → manifest epoch} vector captured after a clean sync round;
+# pinned reads resolve every table through one vector and the per-table
+# time-travel manifests, giving a cross-table-consistent snapshot no matter
+# what a concurrent sync is doing.
+
+
+def _lake_path(root: str, lake_epoch: int | None = None) -> str:
+    name = LAKE_NAME if lake_epoch is None else f"lake-{lake_epoch:06d}.json"
+    return os.path.join(root, name)
+
+
+def lake_epochs(root: str) -> list[int]:
+    """Retained lake epochs, ascending."""
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("lake-") and name.endswith(".json"):
+            out.append(int(name[len("lake-"):-len(".json")]))
+    return sorted(out)
+
+
+def commit_lake_epoch(root: str) -> dict:
+    """Atomically commit the current {table → epoch} vector as the next lake
+    epoch (versioned copy + pointer swap, the manifest commit discipline).
+    The pinned-read window is bounded by BOTH retentions: a lake epoch is
+    readable while every table still retains its pinned manifest epoch."""
+    import time as _time
+
+    with _registry_lock(root):
+        vector = {
+            name: load_manifest(table_dir(root, name)).epoch
+            for name in sorted(load_registry(root))
+        }
+        prev = load_lake(root)
+        lake_epoch = (int(prev["lake_epoch"]) + 1) if prev else 1
+        doc = {
+            "version": 1,
+            "lake_epoch": lake_epoch,
+            "tables": vector,
+            "updated_at": _time.time(),
+        }
+        atomic_json_write(_lake_path(root, lake_epoch), doc, fsync_dir=False)
+        atomic_json_write(_lake_path(root), doc)
+        for old in lake_epochs(root)[:-LAKE_RETENTION]:
+            os.remove(_lake_path(root, old))
+    return doc
+
+
+def load_lake(root: str, lake_epoch: int | None = None) -> dict | None:
+    """The current (or a retained historical) lake vector; None before the
+    first commit."""
+    try:
+        with open(_lake_path(root, lake_epoch)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        if lake_epoch is not None:
+            raise ValueError(
+                f"lake epoch {lake_epoch} is not retained; available: "
+                f"{lake_epochs(root)}"
+            ) from None
+        return None
+
+
+def lake_snapshot(root: str, name: str, lake_epoch: int | None = None) -> pa.Table:
+    """Merged snapshot of one table AT the pinned lake vector — combine with
+    other tables' lake_snapshot at the SAME lake epoch for a cross-table-
+    consistent read. Raises if the table's pinned manifest epoch has aged
+    out of its retention."""
+    from ..pipelines.apply import snapshot_table
+
+    lake = load_lake(root, lake_epoch)
+    if lake is None:
+        raise ValueError(f"no lake epoch committed yet at {root}")
+    if name not in lake["tables"]:
+        raise ValueError(
+            f"table {name!r} not in lake epoch {lake['lake_epoch']} "
+            f"(tables: {sorted(lake['tables'])})"
+        )
+    return snapshot_table(table_dir(root, name), epoch=int(lake["tables"][name]))
 
 
 def registry_status(root: str) -> dict:

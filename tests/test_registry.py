@@ -65,7 +65,7 @@ def test_sync_all_dims_before_facts(ray_session, tmp_path):
                                               events_per_segment=500))
     out = R.sync_all(root, {"documents": dim_wal, "doc_events": fact_wal},
                      ApplyConfig(salt_factor=1))
-    names = [o["table"] for o in out]
+    names = [o["table"] for o in out if "table" in o]  # skip the lake-commit entry
     assert names == ["documents", "doc_events"]  # dependency order
     assert all("error" not in o for o in out)
     assert out[1]["events"] == 1_500
@@ -126,3 +126,74 @@ def test_failed_registration_does_not_poison_registry(ray_session, tmp_path):
     register_table(root, "t", schema, key_col="doc_id", mode="upsert")
     assert "t" in load_registry(root)
     assert registry_status(root)["t"]["epoch"] == 0
+
+
+# ---------------------------------------------------------------- lake epochs
+
+
+def test_lake_epoch_pins_cross_table_consistent_reads(ray_session, tmp_path):
+    """sync_all commits tables one at a time; the lake epoch vector gives
+    readers an atomically-consistent {table -> epoch} snapshot. A reader
+    pinned at lake epoch N must keep seeing round-N state for EVERY table
+    even while a later sync round advances tables one by one."""
+    from clickhouse_data_pipeline_ray.sources.gen import GenParams, generate_wal
+    from clickhouse_data_pipeline_ray.state.registry import (
+        commit_lake_epoch,
+        lake_snapshot,
+        load_lake,
+        register_table,
+        sync_all,
+        table_dir,
+    )
+    from clickhouse_data_pipeline_ray.pipelines.apply import ApplyConfig, replay
+    from clickhouse_data_pipeline_ray.schemas import SNAPSHOT_SCHEMA
+
+    root = str(tmp_path / "lake")
+    register_table(root, "dim", SNAPSHOT_SCHEMA, mode="upsert")
+    register_table(root, "fact", SNAPSHOT_SCHEMA, mode="upsert",
+                   depends_on=("dim",))
+    dim_wal = str(tmp_path / "dw")
+    fact_wal = str(tmp_path / "fw")
+    generate_wal(dim_wal, GenParams(total_events=1_000, base_events=500,
+                                    events_per_segment=500, seed=3))
+    generate_wal(fact_wal, GenParams(total_events=1_000, base_events=500,
+                                     events_per_segment=500, seed=4))
+
+    out = sync_all(root, {"dim": dim_wal, "fact": fact_wal})
+    lake1 = load_lake(root)
+    assert lake1 is not None and lake1["lake_epoch"] == 1
+    assert any("lake" in r for r in out)
+    dim1 = lake_snapshot(root, "dim")
+    fact1 = lake_snapshot(root, "fact")
+
+    # half-finished round 2: ONLY the dim table advances (more WAL), no lake
+    # commit — the reference's mid-sync inconsistency window
+    generate_wal(dim_wal, GenParams(total_events=2_000, base_events=500,
+                                    events_per_segment=500, seed=3))
+    replay(table_dir(root, "dim"), dim_wal, ApplyConfig())
+    assert load_lake(root)["lake_epoch"] == 1  # vector unchanged mid-round
+    assert lake_snapshot(root, "dim").equals(dim1)  # pinned: old dim state
+    assert lake_snapshot(root, "fact").equals(fact1)
+
+    # round 2 completes: explicit lake commit captures the new vector
+    lake2 = commit_lake_epoch(root)
+    assert lake2["lake_epoch"] == 2
+    assert not lake_snapshot(root, "dim").equals(dim1)
+    # historical pin still resolves the OLD pair together
+    assert lake_snapshot(root, "dim", lake_epoch=1).equals(dim1)
+    assert lake_snapshot(root, "fact", lake_epoch=1).equals(fact1)
+
+
+def test_lake_epoch_skipped_on_failed_round(ray_session, tmp_path):
+    from clickhouse_data_pipeline_ray.state.registry import (
+        load_lake,
+        register_table,
+        sync_all,
+    )
+    from clickhouse_data_pipeline_ray.schemas import SNAPSHOT_SCHEMA
+
+    root = str(tmp_path / "lake")
+    register_table(root, "dim", SNAPSHOT_SCHEMA, mode="upsert")
+    out = sync_all(root, {"dim": str(tmp_path / "missing_wal")})
+    assert any("error" in r for r in out)
+    assert load_lake(root) is None  # failed round commits no lake epoch
