@@ -156,6 +156,11 @@ def _run(argv: list[str] | None = None) -> int:
                          "arrival counts as late (event_time_col tables only)")
     sp.add_argument("--compact-threshold", type=int, default=8,
                     help="compact a partition when its file chain reaches this")
+    sp.add_argument("--auto-compact", type=float, default=None, metavar="RATIO",
+                    help="size-tiered background compaction: after each "
+                         "committed epoch, compact partitions whose delta "
+                         "bytes exceed RATIO x base snapshot bytes (bounds "
+                         "merge-on-read amplification at (1+RATIO)x)")
     sp.add_argument("--dlq", default=None,
                     help="dead-letter directory: quarantine malformed change "
                          "events (invalid op / null lsn / null key) there "
@@ -170,6 +175,10 @@ def _run(argv: list[str] | None = None) -> int:
         "compact", help="fold delta chains into clean per-partition snapshots"
     )
     sp.add_argument("--table", required=True)
+    sp.add_argument("--size-ratio", type=float, default=None,
+                    help="size-tiered selection: compact only partitions "
+                         "whose delta bytes exceed RATIO x base bytes "
+                         "(default: major compaction, every dirty chain)")
 
     sp = sub.add_parser(
         "ttl-expire",
@@ -1094,11 +1103,20 @@ def _run(argv: list[str] | None = None) -> int:
                     compact_threshold=args.compact_threshold,
                     allowed_lateness_s=args.allowed_lateness,
                     dlq_dir=args.dlq,
+                    auto_compact_ratio=args.auto_compact,
                 )
                 while True:
                     stats = apply_once(args.table, args.wal, cfg)
                     if stats:
                         print(json.dumps(stats))
+                        if args.auto_compact is not None:
+                            from .pipelines.apply import compact_table
+
+                            cstats = compact_table(
+                                args.table, size_ratio=args.auto_compact
+                            )
+                            if cstats:
+                                print(json.dumps(cstats))
                         if args.refresh_mvs:
                             from .pipelines.mv import list_mvs, refresh_mv
 
@@ -1119,7 +1137,7 @@ def _run(argv: list[str] | None = None) -> int:
             elif args.cmd == "compact":
                 from .pipelines.apply import compact_table
 
-                stats = compact_table(args.table)
+                stats = compact_table(args.table, size_ratio=args.size_ratio)
                 print(json.dumps(stats if stats else {"compacted": 0, "clean": True}))
             elif args.cmd == "ttl-expire":
                 from .pipelines.apply import ttl_expire

@@ -129,6 +129,13 @@ class ApplyConfig:
     # epoch never double-quarantines; `dlq_rows` lands in the epoch stats.
     # None (default) keeps the strict fail-loudly contract.
     dlq_dir: str | None = None
+    # Size-tiered background compaction (the LSM/ClickHouse background-merge
+    # policy, see compact_plan): after each committed epoch, compact the
+    # partitions whose delta bytes exceed ratio × base snapshot bytes.
+    # Bounds read amplification at (1+ratio)× without the per-replay-config
+    # chain-length heuristic (compact_threshold still applies inside the
+    # merge workers). None = off (explicit compact_table calls only).
+    auto_compact_ratio: float | None = None
 
 
 def create_table(
@@ -581,6 +588,14 @@ def replay(
         if stats is None:
             break
         out.append(stats)
+        if cfg.auto_compact_ratio is not None:
+            cstats = compact_table(
+                table_dir,
+                concurrency=cfg.merge_concurrency,
+                size_ratio=cfg.auto_compact_ratio,
+            )
+            if cstats is not None:
+                out.append(cstats)
     if final_compact:
         # No-op when every partition chain is already a single clean file
         # (snapshot-mode upsert tables); folds delta chains (upsert) or
@@ -602,24 +617,74 @@ def _dirty_pids(man: Manifest) -> list[int]:
     return sorted(out)
 
 
+def compact_plan(
+    table_dir: str, size_ratio: float | None = None
+) -> dict:
+    """Pick the partitions a compaction pass should rewrite.
+
+    ``size_ratio=None`` is the major compaction: every dirty chain. A float
+    is the SIZE-TIERED policy (the LSM/ClickHouse background-merge shape):
+    compact a partition only when its accumulated delta bytes exceed
+    ``size_ratio × base snapshot bytes`` — so read amplification is bounded
+    (a reader merges at most ``(1+ratio)×`` the base bytes) while write
+    amplification stays O(log) instead of rewrite-the-base-every-epoch. A
+    chain with NO base snapshot yet compacts once its delta count exceeds 1
+    (there is nothing cheap to merge against). Planning is metadata-only:
+    file sizes come from stat/LIST, no parquet is opened."""
+    man = load_manifest(table_dir)
+    chosen: list[int] = []
+    accounting: dict[str, dict] = {}
+    for pid in _dirty_pids(man):
+        files = man.partitions[str(pid)].get("files") or []
+        base = delta = 0
+        n_deltas = 0
+        for f in files:
+            try:
+                sz = os.path.getsize(os.path.join(table_dir, f))
+            except OSError:
+                sz = 0
+            if os.path.basename(f).startswith("delta-"):
+                delta += sz
+                n_deltas += 1
+            else:
+                base += sz
+        pick = (
+            size_ratio is None
+            or (base == 0 and n_deltas > 1)
+            or (base > 0 and delta > size_ratio * base)
+        )
+        accounting[str(pid)] = {
+            "base_bytes": base, "delta_bytes": delta,
+            "chain_len": len(files), "compact": pick,
+        }
+        if pick:
+            chosen.append(pid)
+    return {"pids": chosen, "partitions": accounting}
+
+
 def compact_table(
-    table_dir: str, concurrency: int | tuple = (1, 8)
+    table_dir: str,
+    concurrency: int | tuple = (1, 8),
+    size_ratio: float | None = None,
 ) -> dict | None:
-    """Compact every dirty partition's delta chain into one clean snapshot
-    file (LSM-style major compaction). Same exactly-once protocol as an apply
-    epoch: all tmp writes land, then one atomic manifest swap. Returns stats,
-    or None when nothing is dirty."""
+    """Compact delta chains into clean snapshot files. ``size_ratio=None``
+    = major compaction (every dirty partition); a float selects partitions
+    by the size-tiered policy (see :func:`compact_plan`). Same exactly-once
+    protocol as an apply epoch: all tmp writes land, then one atomic
+    manifest swap. Returns stats, or None when nothing qualifies."""
     with table_lock(table_dir):
-        return _compact_table_locked(table_dir, concurrency)
+        return _compact_table_locked(table_dir, concurrency, size_ratio)
 
 
-def _compact_table_locked(table_dir: str, concurrency: int | tuple) -> dict | None:
+def _compact_table_locked(
+    table_dir: str, concurrency: int | tuple, size_ratio: float | None = None
+) -> dict | None:
     import json as _json
 
     from ..stages.merge import CompactWorker
 
     man = load_manifest(table_dir)
-    dirty = _dirty_pids(man)
+    dirty = compact_plan(table_dir, size_ratio)["pids"]
     if not dirty:
         return None
     epoch = man.epoch + 1
