@@ -10,11 +10,13 @@ Three decoder tiers, auto-selected once per actor (never per batch):
 - ``"real"``: third-party codec library (PIL / soundfile / ffmpeg) — not
   present in this container; raises ``NotImplementedError`` at the clearly
   marked point when forced without the library.
-- ``"numpy"``: pure-numpy parsers for one UNCOMPRESSED public container per
-  modality — BMP (24-bit BI_RGB) for images, WAV (RIFF PCM16) for audio,
-  Y4M (YUV4MPEG2) for video. These are real decoders of real byte layouts
-  (encode/decode round-trip tested), needing no third-party dependency, so
-  the multimodal path is genuinely functional in-container.
+- ``"numpy"``: pure-numpy parsers for public container formats — baseline
+  JPEG (full T.81 sequential DCT: huffman entropy coding, restart markers,
+  4:2:0/4:2:2/4:4:4 sampling — functions/jpeg.py) and BMP (24-bit BI_RGB)
+  for images, WAV (RIFF PCM16) for audio, Y4M (YUV4MPEG2) for video. These
+  are real decoders of real byte layouts (encode/decode round-trip tested),
+  needing no third-party dependency, so the multimodal path is genuinely
+  functional in-container for the most common image format.
 - ``"fake"``: deterministic hash-seeded outputs with the real output schema
   (kept for opaque payloads that are not parseable media).
 
@@ -239,7 +241,15 @@ class ImageDecode:
             feat = np.pad(feat, (0, IMAGE_FEATURE_DIM - len(feat)))
             return h, w, 3, feat
         if self.decoder == "numpy":
-            arr = decode_bmp(payload)  # real decode of a real byte layout
+            # real decodes of real byte layouts, dispatched on magic:
+            # baseline JPEG (functions/jpeg.py — full T.81 sequential DCT
+            # with huffman/restarts/subsampling) or uncompressed BMP
+            if payload[:2] == b"\xFF\xD8":
+                from .jpeg import decode_jpeg_baseline
+
+                arr = decode_jpeg_baseline(payload)
+            else:
+                arr = decode_bmp(payload)
             h, w = arr.shape[:2]
             gray = arr.mean(axis=2, dtype=np.float64)
             feat = _grid_pool(gray, IMAGE_FEATURE_DIM).astype(np.float32)

@@ -2652,8 +2652,22 @@ def _encode_media_chunk(ids: np.ndarray, kind: str) -> list[bytes]:
     payloads = []
     for d in ids:
         if kind == "image":
+            # every third doc is a baseline JPEG (4:2:0 for every sixth) —
+            # the pure-numpy T.81 decoder (functions/jpeg.py) and the BMP
+            # parser share one oracle: (height, width) from the header is
+            # exact for both codecs
             h, w = 8 + int(d) % 16, 8 + int(d) % 32
-            payloads.append(encode_bmp(np.full((h, w, 3), int(d) % 256, np.uint8)))
+            img = np.full((h, w, 3), int(d) % 256, np.uint8)
+            if int(d) % 3 == 0:
+                from ..functions.jpeg import encode_jpeg_baseline
+
+                payloads.append(
+                    encode_jpeg_baseline(
+                        img, 90, subsample=(int(d) % 6 == 0)
+                    )
+                )
+            else:
+                payloads.append(encode_bmp(img))
         elif kind == "audio":
             n = 16 * (50 + int(d) % 50)
             payloads.append(encode_wav(np.full(n, int(d) % 1000, np.int16), 16_000))
@@ -2676,11 +2690,12 @@ def _media_dataset_real(sf_dir: str, kind: str) -> ray.data.Dataset:
     payloads make the cache sound across runs."""
     import pyarrow.parquet as pq
 
-    mime = {"image": "image/bmp", "audio": "audio/wav", "video": "video/y4m"}[kind]
+    mime = {"image": "image/*", "audio": "audio/wav", "video": "video/y4m"}[kind]
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sfX"
     out_dir = os.path.join(tempfile.gettempdir(), "cdp_ray_media")
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, f"{kind}-{tag}.parquet")
+    # v2: image fixtures now mix JPEG + BMP payloads (cache-busting rename)
+    path = os.path.join(out_dir, f"{kind}-v2-{tag}.parquet")
     if not os.path.exists(path):
         src = pq.read_table(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
