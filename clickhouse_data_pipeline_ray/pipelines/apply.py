@@ -581,10 +581,21 @@ def replay(
     full-resync behavior, /root/reference/etl/main.py:116-119). In delta mode
     a final compaction pass (checkpoint) leaves every partition as one clean
     snapshot file, so readers pay zero merge cost afterwards."""
+    from ..state.manifest import ConcurrentCommitError
+
     cfg = cfg or ApplyConfig()
     out = []
     while True:
-        stats = apply_once(table_dir, wal_dir, cfg)
+        try:
+            stats = apply_once(table_dir, wal_dir, cfg)
+        except ConcurrentCommitError:
+            # object-store optimistic concurrency: another writer committed
+            # this epoch first. Progress is guaranteed (losing implies
+            # someone else advanced the table), so re-read the fresh
+            # manifest and continue — the next attempt resumes from the
+            # new watermark and skips the already-applied segments.
+            # Posix tables never reach here (flock serializes writers).
+            continue
         if stats is None:
             break
         out.append(stats)
