@@ -235,6 +235,13 @@ def _run(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("registry-status", help="per-table watermarks/rows")
     sp.add_argument("--root", required=True)
 
+    sp = sub.add_parser(
+        "lake-status",
+        help="lake epoch vectors — the cross-table consistent read pins a "
+             "clean sync round commits (see state/registry.py)",
+    )
+    sp.add_argument("--root", required=True)
+
     sp = sub.add_parser("kpi", help="KPI report over a committed table")
     sp.add_argument("--table", required=True)
     sp.add_argument("--epoch", type=int, default=None,
@@ -986,6 +993,15 @@ def _run(argv: list[str] | None = None) -> int:
         from .state import registry as R
 
         print(json.dumps(R.registry_status(args.root)))
+        return 0
+
+    if args.cmd == "lake-status":
+        from .state import registry as R
+
+        print(json.dumps({
+            "current": R.load_lake(args.root),
+            "retained": R.lake_epochs(args.root),
+        }))
         return 0
 
     if args.cmd == "sync":
