@@ -687,6 +687,15 @@ def compact_table(
         return _compact_table_locked(table_dir, concurrency, size_ratio)
 
 
+# Compactions whose selected chains total at most this many bytes fold
+# DRIVER-SIDE with the same CompactWorker kernel (identical files by
+# construction) instead of paying a Ray Dataset execution's ~1 s fixed cost —
+# the micro-epoch fast-path idea applied to maintenance, so
+# `auto_compact_ratio` stays cheap in the steady-state CDC tail where each
+# tick dirties a few small chains. 0 disables the fast path.
+COMPACT_DRIVER_BYTES = 64 << 20
+
+
 def _compact_table_locked(
     table_dir: str, concurrency: int | tuple, size_ratio: float | None = None
 ) -> dict | None:
@@ -695,32 +704,46 @@ def _compact_table_locked(
     from ..stages.merge import CompactWorker
 
     man = load_manifest(table_dir)
-    dirty = compact_plan(table_dir, size_ratio)["pids"]
+    plan = compact_plan(table_dir, size_ratio)
+    dirty = plan["pids"]
     if not dirty:
         return None
     epoch = man.epoch + 1
     t0 = time.perf_counter()
-    items = [{"pid": pid} for pid in dirty]
-    stats = (
-        ray.data.from_items(items, override_num_blocks=len(items))
-        .map_batches(
-            CompactWorker,
-            fn_constructor_kwargs={
-                "table_dir": table_dir,
-                "epoch": epoch,
-                "partitions": _worker_partitions(man.partitions),
-                "snapshot_schema_b64": man.schema_b64,
-                "mode": man.mode,
-                "sum_cols": man.sum_cols,
-                "skip_cols": man.skip_cols,
-            },
-            batch_format="pyarrow",
-            batch_size=None,
-            concurrency=concurrency,
-            num_cpus=1,
-        )
-        .take_all()
+    worker_kwargs = {
+        "table_dir": table_dir,
+        "epoch": epoch,
+        "partitions": _worker_partitions(man.partitions),
+        "snapshot_schema_b64": man.schema_b64,
+        "mode": man.mode,
+        "sum_cols": man.sum_cols,
+        "skip_cols": man.skip_cols,
+    }
+    chosen_bytes = sum(
+        a["base_bytes"] + a["delta_bytes"]
+        for a in plan["partitions"].values()
+        if a["compact"]
     )
+    if chosen_bytes <= COMPACT_DRIVER_BYTES:
+        stats = (
+            CompactWorker(**worker_kwargs)(
+                pa.table({"pid": pa.array(dirty, pa.int64())})
+            ).to_pylist()
+        )
+    else:
+        items = [{"pid": pid} for pid in dirty]
+        stats = (
+            ray.data.from_items(items, override_num_blocks=len(items))
+            .map_batches(
+                CompactWorker,
+                fn_constructor_kwargs=worker_kwargs,
+                batch_format="pyarrow",
+                batch_size=None,
+                concurrency=concurrency,
+                num_cpus=1,
+            )
+            .take_all()
+        )
     for row in stats:
         pid = str(row["pid"])
         promote_part(table_dir, row["new_file"])
