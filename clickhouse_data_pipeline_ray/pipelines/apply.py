@@ -687,13 +687,48 @@ def compact_table(
         return _compact_table_locked(table_dir, concurrency, size_ratio)
 
 
-# Compactions whose selected chains total at most this many bytes fold
-# DRIVER-SIDE with the same CompactWorker kernel (identical files by
-# construction) instead of paying a Ray Dataset execution's ~1 s fixed cost —
-# the micro-epoch fast-path idea applied to maintenance, so
-# `auto_compact_ratio` stays cheap in the steady-state CDC tail where each
-# tick dirties a few small chains. 0 disables the fast path.
+# Maintenance passes (compaction / TTL / mutation) whose selected chains
+# total at most this many bytes fold DRIVER-SIDE with the same worker kernel
+# (identical files by construction) instead of paying a Ray Dataset
+# execution's ~1 s fixed cost — the micro-epoch fast-path idea applied to
+# maintenance, so `auto_compact_ratio` and targeted mutations stay cheap in
+# the steady-state CDC tail where a tick touches a few small chains.
+# 0 disables the fast path.
 COMPACT_DRIVER_BYTES = 64 << 20
+
+
+def _maintenance_stats(
+    worker_cls, worker_kwargs, pids, concurrency, table_dir, man
+) -> list[dict]:
+    """Run a per-partition maintenance worker (Compact/TTL/Mutate) over pid
+    descriptors — driver-side below COMPACT_DRIVER_BYTES of selected chain
+    bytes, Ray actor pool above."""
+    total = 0
+    for pid in pids:
+        for f in man.partitions[str(pid)].get("files") or []:
+            try:
+                total += os.path.getsize(os.path.join(table_dir, f))
+            except OSError:
+                pass
+    if total <= COMPACT_DRIVER_BYTES:
+        return (
+            worker_cls(**worker_kwargs)(
+                pa.table({"pid": pa.array([int(p) for p in pids], pa.int64())})
+            ).to_pylist()
+        )
+    items = [{"pid": int(pid)} for pid in pids]
+    return (
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map_batches(
+            worker_cls,
+            fn_constructor_kwargs=worker_kwargs,
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        .take_all()
+    )
 
 
 def _compact_table_locked(
@@ -719,31 +754,9 @@ def _compact_table_locked(
         "sum_cols": man.sum_cols,
         "skip_cols": man.skip_cols,
     }
-    chosen_bytes = sum(
-        a["base_bytes"] + a["delta_bytes"]
-        for a in plan["partitions"].values()
-        if a["compact"]
+    stats = _maintenance_stats(
+        CompactWorker, worker_kwargs, dirty, concurrency, table_dir, man
     )
-    if chosen_bytes <= COMPACT_DRIVER_BYTES:
-        stats = (
-            CompactWorker(**worker_kwargs)(
-                pa.table({"pid": pa.array(dirty, pa.int64())})
-            ).to_pylist()
-        )
-    else:
-        items = [{"pid": pid} for pid in dirty]
-        stats = (
-            ray.data.from_items(items, override_num_blocks=len(items))
-            .map_batches(
-                CompactWorker,
-                fn_constructor_kwargs=worker_kwargs,
-                batch_format="pyarrow",
-                batch_size=None,
-                concurrency=concurrency,
-                num_cpus=1,
-            )
-            .take_all()
-        )
     for row in stats:
         pid = str(row["pid"])
         promote_part(table_dir, row["new_file"])
@@ -862,28 +875,23 @@ def ttl_expire(
         epoch = man.epoch + 1
         rows_expired = 0
         if scan_pids:
-            items = [{"pid": int(pid)} for pid in scan_pids]
-            stats = (
-                ray.data.from_items(items, override_num_blocks=len(items))
-                .map_batches(
-                    TTLWorker,
-                    fn_constructor_kwargs={
-                        "table_dir": table_dir,
-                        "epoch": epoch,
-                        "partitions": _worker_partitions(man.partitions),
-                        "snapshot_schema_b64": man.schema_b64,
-                        "ttl_col": ttl_col,
-                        "cutoff_us": cutoff_us,
-                        "mode": man.mode,
-                        "sum_cols": man.sum_cols,
-                        "skip_cols": man.skip_cols,
-                    },
-                    batch_format="pyarrow",
-                    batch_size=None,
-                    concurrency=concurrency,
-                    num_cpus=1,
-                )
-                .take_all()
+            stats = _maintenance_stats(
+                TTLWorker,
+                {
+                    "table_dir": table_dir,
+                    "epoch": epoch,
+                    "partitions": _worker_partitions(man.partitions),
+                    "snapshot_schema_b64": man.schema_b64,
+                    "ttl_col": ttl_col,
+                    "cutoff_us": cutoff_us,
+                    "mode": man.mode,
+                    "sum_cols": man.sum_cols,
+                    "skip_cols": man.skip_cols,
+                },
+                scan_pids,
+                concurrency,
+                table_dir,
+                man,
             )
             for row in stats:
                 pid = str(row["pid"])
@@ -989,31 +997,26 @@ def mutate_table(
             return None
         t0 = time.perf_counter()
         epoch = man.epoch + 1
-        items = [{"pid": int(pid)} for pid in candidates]
-        stats = (
-            ray.data.from_items(items, override_num_blocks=len(items))
-            .map_batches(
-                MutateWorker,
-                fn_constructor_kwargs={
-                    "table_dir": table_dir,
-                    "epoch": epoch,
-                    "partitions": _worker_partitions(man.partitions),
-                    "snapshot_schema_b64": man.schema_b64,
-                    "col": col,
-                    "lo": lo,
-                    "hi": hi,
-                    "delete": delete,
-                    "set_cols": set_cols,
-                    "mode": man.mode,
-                    "sum_cols": man.sum_cols,
-                    "skip_cols": man.skip_cols,
-                },
-                batch_format="pyarrow",
-                batch_size=None,
-                concurrency=concurrency,
-                num_cpus=1,
-            )
-            .take_all()
+        stats = _maintenance_stats(
+            MutateWorker,
+            {
+                "table_dir": table_dir,
+                "epoch": epoch,
+                "partitions": _worker_partitions(man.partitions),
+                "snapshot_schema_b64": man.schema_b64,
+                "col": col,
+                "lo": lo,
+                "hi": hi,
+                "delete": delete,
+                "set_cols": set_cols,
+                "mode": man.mode,
+                "sum_cols": man.sum_cols,
+                "skip_cols": man.skip_cols,
+            },
+            candidates,
+            concurrency,
+            table_dir,
+            man,
         )
         rows_deleted = sum(int(r["deletes"]) for r in stats)
         rows_updated = sum(int(r["applied"]) for r in stats)
