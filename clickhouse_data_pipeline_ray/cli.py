@@ -236,6 +236,16 @@ def _run(argv: list[str] | None = None) -> int:
     sp.add_argument("--root", required=True)
 
     sp = sub.add_parser(
+        "verify-queries",
+        help="run driver-contract queries AND their DuckDB oracle SQL "
+             "side-by-side over the same tables and compare values — the "
+             "in-repo correctness gate (exit 1 on any mismatch)",
+    )
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--names", default=None,
+                    help="comma-separated subset (default: all)")
+
+    sp = sub.add_parser(
         "lake-status",
         help="lake epoch vectors — the cross-table consistent read pins a "
              "clean sync round commits (see state/registry.py)",
@@ -994,6 +1004,18 @@ def _run(argv: list[str] | None = None) -> int:
 
         print(json.dumps(R.registry_status(args.root)))
         return 0
+
+    if args.cmd == "verify-queries":
+        from .pipelines.queries import verify_queries
+
+        _init_ray(args.num_cpus)
+        names = [n for n in (args.names or "").split(",") if n] or None
+        res = verify_queries(args.sf_dir, names)
+        for name in sorted(res):
+            print(json.dumps({"query": name, **res[name]}))
+        bad = [n for n, r in res.items() if r.get("err") or not r.get("match")]
+        print(json.dumps({"total": len(res), "mismatches": sorted(bad)}))
+        return 1 if bad else 0
 
     if args.cmd == "lake-status":
         from .state import registry as R

@@ -3628,6 +3628,61 @@ ORACLE_SQL = {
     """,
 }
 
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def verify_queries(sf_dir: str, names: list[str] | None = None) -> dict:
+    """In-repo correctness gate: run each driver-contract query AND its
+    DuckDB oracle SQL side-by-side over the same ``sf_dir`` tables and
+    compare (sorted columns, sorted rows, exact values after the shared
+    fixed-point conventions) — the same discipline the external driver
+    applies. Returns ``{name: {"rows", "match"} | {"err"}}``."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    sql_map = {**build_oracle_sql(sf_dir), **EXTRA_ORACLE_SQL}
+    todo = list(names) if names else sorted(ALL_QUERIES)
+    out: dict[str, dict] = {}
+    for name in todo:
+        fn = ALL_QUERIES.get(name)
+        if fn is None:
+            out[name] = {"err": "unknown query"}
+            continue
+        try:
+            res = fn(sf_dir)
+            got = res.to_pandas() if hasattr(res, "to_pandas") else res
+            sql = sql_map.get(name)
+            if sql is None:
+                out[name] = {"rows": len(got), "err": "no_oracle"}
+                continue
+            want = con.execute(sql).df()
+
+            def canon(df):
+                df = df[sorted(df.columns)]
+                return df.sort_values(
+                    list(df.columns), kind="stable"
+                ).reset_index(drop=True)
+
+            g, w = canon(got), canon(want)
+            match = (
+                len(g) == len(w)
+                and list(g.columns) == list(w.columns)
+                and g.astype(str).values.tolist() == w.astype(str).values.tolist()
+            )
+            out[name] = {"rows": len(w), "match": bool(match)}
+        except Exception as ex:  # keep verifying the rest
+            out[name] = {"err": f"{type(ex).__name__}: {ex}"}
+    return out
+
+
 # Oracles for the EXTRA_QUERIES retired from the driver's capped 50 — still
 # exercised by tests/test_queries_oracle.py over the merged map.
 EXTRA_ORACLE_SQL = {

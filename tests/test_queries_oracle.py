@@ -125,3 +125,13 @@ def test_bucket_count_invariance(ray_session, con, monkeypatch):
         got = _canon(_to_pandas(Q.QUERIES[name](SF_DIR)))
         want = _canon(con.execute(oracle[name]).df())
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_verify_queries_surface(ray_session):
+    """The in-repo correctness gate (CLI `verify-queries`): a fast subset
+    must match, and an unknown name must be reported, not crash."""
+    from clickhouse_data_pipeline_ray.pipelines.queries import verify_queries
+
+    res = verify_queries(SF_DIR, ["ctr_daily", "orders_by_nation", "nope"])
+    assert res["ctr_daily"]["match"] and res["orders_by_nation"]["match"]
+    assert res["nope"]["err"] == "unknown query"
