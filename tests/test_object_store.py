@@ -276,3 +276,54 @@ def test_object_two_process_concurrent_replay(tmp_path):
     # every partition records each segment exactly once
     assert all(c == len(man.partitions) for c in per_seg.values()), per_seg
     assert_snapshots_equal(snapshot_table(table), replay_oracle(wal))
+
+
+def test_object_maintenance_ops(ray_session, tmp_path):
+    """Mutations, TTL, size-tiered compaction, and fsck all run through the
+    object-store commit protocol (conditional-put swaps, no renames)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_data_pipeline_ray.pipelines.apply import (
+        compact_table,
+        mutate_table,
+        ttl_expire,
+    )
+    from clickhouse_data_pipeline_ray.schemas import FACT_SNAPSHOT_SCHEMA
+    from clickhouse_data_pipeline_ray.sources.gen import (
+        FactGenParams,
+        generate_fact_wal,
+    )
+    from clickhouse_data_pipeline_ray.state.fsck import fsck_table
+
+    wal = str(tmp_path / "fw")
+    generate_fact_wal(wal, FactGenParams(total_events=3_000,
+                                         events_per_segment=1_000, seed=19))
+    table = str(tmp_path / "t")
+    create_table(table, num_partitions=4, schema=FACT_SNAPSHOT_SCHEMA,
+                 mode="append", key_col="event_id", store="object")
+    replay(table, wal, ApplyConfig(max_segments=1, salt_factor=1),
+           final_compact=False)
+    base = load_manifest(table).total_rows()
+    assert base == 3_000
+
+    m = mutate_table(table, "value", lo=0.0, hi=20.0, delete=True)
+    assert m is not None and m["rows_deleted"] > 0
+    t = ttl_expire(table, "event_ts", dt.datetime(2024, 1, 10))
+    assert t is not None and t["rows_expired"] > 0
+    c = compact_table(table, size_ratio=0.0)
+    assert c is None or c["partitions_compacted"] >= 0
+    # state agrees with a relational recompute over the WAL
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{wal}/seg-*.parquet') "
+        "WHERE NOT (value >= 0.0 AND value <= 20.0) "
+        "AND event_ts >= TIMESTAMP '2024-01-10'"
+    ).fetchone()[0]
+    assert load_manifest(table).total_rows() == want
+    res = fsck_table(table)
+    assert res["ok"], res["findings"]
+    _no_tmps(table)
