@@ -589,6 +589,21 @@ def _run(argv: list[str] | None = None) -> int:
                     help="write the duplicate table (key, rep, keep) here")
 
     sp = sub.add_parser(
+        "span-dedup",
+        help="corpus-level repeated-SPAN dedup (Lee et al. 2021 substring "
+             "dedup role): every duplicated k-word window keeps only its "
+             "canonical occurrence; other occurrences' words are removed "
+             "from their documents",
+    )
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--span", type=int, default=8,
+                    help="window length in words")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--output", default=None,
+                    help="write the cleaned docs parquet here")
+    sp.add_argument("--limit", type=int, default=3)
+
+    sp = sub.add_parser(
         "curate",
         help="end-to-end curation: committed table -> LM perplexity cut -> "
              "classifier cut -> deterministic shuffled training shards "
@@ -1842,6 +1857,40 @@ def _run(argv: list[str] | None = None) -> int:
             },
             "positive": args.positive, "min_prob": args.min_prob,
             "output": args.output,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.cmd == "span-dedup":
+        from .functions.dedup import span_dedup
+
+        _init_ray(args.num_cpus)
+        t0 = time.perf_counter()
+        import pyarrow as pa_
+        import ray.data as rd
+
+        ds = rd.read_parquet(
+            os.path.join(args.sf_dir, "documents.parquet"),
+            columns=["doc_id", args.text_col],
+        )
+        out = span_dedup(ds, text_col=args.text_col, span=args.span)
+        tables = [b for b in out.iter_batches(batch_format="pyarrow")]
+        t = pa_.concat_tables([b for b in tables if b.num_rows])
+        if args.output:
+            import pyarrow.parquet as pq_
+
+            os.makedirs(args.output, exist_ok=True)
+            pq_.write_table(t, os.path.join(args.output, "part-00000.parquet"))
+        import pyarrow.compute as pc_
+
+        n_docs = t.num_rows
+        n_touched = int(
+            pc_.sum(pc_.greater(t.column("n_removed_words"), 0).cast("int64")).as_py()
+            or 0
+        )
+        print(json.dumps({
+            "span": args.span, "docs": n_docs, "docs_touched": n_touched,
+            "words_removed": int(pc_.sum(t.column("n_removed_words")).as_py() or 0),
             "wall_s": round(time.perf_counter() - t0, 3),
         }))
         return 0

@@ -2387,3 +2387,219 @@ def semdedup(
     members["keep"] = members["key"].isin(keepers)
     members = members.sort_values("key").reset_index(drop=True)
     return _over_cap_stats(counts, max_cluster, "semdedup", members)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level repeated-SPAN dedup — the substring-dedup role of Lee et al.
+# 2021, "Deduplicating Training Data Makes Language Models Better"
+# (overlapping windows, any alignment — the operator segment_dedup's
+# non-overlapping tiling cannot express).
+# ---------------------------------------------------------------------------
+
+
+def _batch_window_hashes(
+    texts: list[str], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling k-word window hashes with POSITIONS for a whole batch: doc
+    i's windows are ``flat[offsets[i]:offsets[i+1]]``, window j starting at
+    word j. Docs shorter than k words emit nothing (a short doc has no
+    k-span to deduplicate). Same one-hash-pass + rolling-polynomial shape
+    as _batch_shingle_hashes."""
+    from pandas.util import hash_array
+
+    n = len(texts)
+    words_per_doc = [t.split() for t in texts]
+    lens = np.fromiter((len(w) for w in words_per_doc), np.int64, count=n)
+    total = int(lens.sum())
+    if total:
+        all_words = np.empty(total, dtype=object)
+        pos = 0
+        for w in words_per_doc:
+            all_words[pos : pos + len(w)] = w
+            pos += len(w)
+        h = hash_array(all_words, categorize=False).astype(np.uint64)
+    else:
+        h = np.empty(0, np.uint64)
+    w_off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=w_off[1:])
+
+    counts = np.where(lens >= k, lens - k + 1, 0)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    flat = np.zeros(int(offsets[-1]), np.uint64)
+    if total >= k:
+        with np.errstate(over="ignore"):
+            acc = h[: total - k + 1].copy()
+            for j in range(1, k):
+                acc = acc * _FNV + h[j : total - k + 1 + j]
+        roll = lens >= k
+        if roll.any():
+            cnt = counts[roll]
+            seq = _grouped_arange(cnt)
+            flat[np.repeat(offsets[:-1][roll], cnt) + seq] = acc[
+                np.repeat(w_off[:-1][roll], cnt) + seq
+            ]
+    return flat, offsets
+
+
+def span_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    span: int = 8,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Remove REPEATED k-word spans corpus-wide: every k-word window whose
+    hash occurs more than once across the corpus keeps exactly its
+    canonical occurrence — lexicographically min ``(key, position)`` — and
+    every OTHER occurrence's word positions are removed from their
+    documents (overlapping removal intervals union). Exact with respect to
+    window hashes, fully deterministic, partitioning-independent.
+
+    Output per doc: ``(key, text_clean, n_words, n_removed_words)`` — docs
+    whose every word was covered by duplicate spans come back empty-text
+    (callers typically drop ``text_clean == ""``).
+
+    Plan — two bucket shuffles, no all-pairs, the corpus text crosses the
+    wire once:
+
+    1. map: rolling window hashes + positions per batch (vectorized; one
+       ``(h, key, pos)`` row per window occurrence).
+    2. ``groupby(h % B)``: per bucket, sort + run masking finds duplicated
+       hashes and their canonical occurrence; ONLY non-canonical occurrence
+       rows (the removal set) leave the bucket.
+    3. docs ∪ removal rows co-shuffled on ``hash(key) % B`` (the hash_join
+       union trick): each group rebuilds its affected docs' texts with one
+       interval-stabbing cumsum mask per doc; untouched docs pass through
+       without even splitting.
+
+    Scale notes: step 1 emits one row per word (stride 1) — the honest cost
+    of substring-level dedup; the rows are 24 bytes each and shuffle once.
+    Adversarially hot windows (boilerplate repeated millions of times)
+    concentrate in one h-group; their removal rows are per-occurrence and
+    proportional to the duplication being removed, which is the useful
+    output, not overhead.
+    """
+    import pandas as pd
+    from pandas.util import hash_array
+
+    nb = num_buckets or n_reduce_buckets()
+    key_type = None  # resolved from the first batch schema at build time
+
+    def emit_windows(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_pylist()
+        texts = [t if t is not None else "" for t in b.column(text_col).to_pylist()]
+        flat, offsets = _batch_window_hashes(texts, span)
+        counts = np.diff(offsets)
+        rep_keys = np.repeat(np.asarray(keys, dtype=object), counts)
+        pos = _grouped_arange(counts)
+        hb = (flat % np.uint64(nb)).astype(np.int32)
+        return pa.table(
+            {
+                "h": pa.array(flat),
+                "k": pa.array(rep_keys, b.schema.field(key_col).type),
+                "pos": pa.array(pos),
+                "hb": pa.array(hb),
+            }
+        )
+
+    def removals(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        df = df.sort_values(["h", "k", "pos"], kind="mergesort")
+        h = df["h"].to_numpy()
+        first_of_run = np.ones(len(h), dtype=bool)
+        first_of_run[1:] = h[1:] != h[:-1]
+        run_id = np.cumsum(first_of_run) - 1
+        run_sizes = np.bincount(run_id)
+        dup = run_sizes[run_id] > 1
+        # canonical (first row of a duplicated run) survives; the rest are
+        # removal rows
+        out = df[dup & ~first_of_run]
+        return pa.table(
+            {
+                "k": pa.array(out["k"].to_numpy(), g.schema.field("k").type),
+                "pos": pa.array(out["pos"].to_numpy(), pa.int64()),
+            }
+        )
+
+    windows = ds.map_batches(
+        emit_windows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    rem = windows.groupby("hb").map_groups(removals, batch_format="pyarrow")
+
+    def doc_side(b: pa.Table) -> pa.Table:
+        kb = (
+            hash_array(
+                b.column(key_col).to_numpy(zero_copy_only=False),
+                categorize=False,
+            )
+            % np.uint64(nb)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "k": b.column(key_col),
+                "text": b.column(text_col),
+                "pos": pa.nulls(b.num_rows, pa.int64()),
+                "kb": pa.array(kb),
+            }
+        )
+
+    def rem_side(b: pa.Table) -> pa.Table:
+        kb = (
+            hash_array(b.column("k").to_numpy(zero_copy_only=False), categorize=False)
+            % np.uint64(nb)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "k": b.column("k"),
+                "text": pa.nulls(b.num_rows, pa.string()),
+                "pos": b.column("pos"),
+                "kb": pa.array(kb),
+            }
+        )
+
+    unioned = ds.map_batches(doc_side, batch_format="pyarrow").union(
+        rem.map_batches(rem_side, batch_format="pyarrow")
+    )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        docs = df[df["text"].notna()]
+        rems = df[df["text"].isna()]
+        by_key = rems.groupby("k")["pos"] if len(rems) else None
+        # pos arrives float64 (the union's doc rows hold nulls in the column)
+        rem_map = (
+            {k: v.to_numpy().astype(np.int64) for k, v in by_key}
+            if by_key is not None
+            else {}
+        )
+        keys, cleans, n_words, n_removed = [], [], [], []
+        for k, text in zip(docs["k"], docs["text"]):
+            words = text.split()
+            n = len(words)
+            starts = rem_map.get(k)
+            if starts is None or n == 0:
+                keys.append(k)
+                cleans.append(text)
+                n_words.append(n)
+                n_removed.append(0)
+                continue
+            cover = np.zeros(n + 1, np.int64)
+            np.add.at(cover, np.minimum(starts, n), 1)
+            np.add.at(cover, np.minimum(starts + span, n), -1)
+            covered = np.cumsum(cover[:-1]) > 0
+            kept = [w for w, c in zip(words, covered) if not c]
+            keys.append(k)
+            cleans.append(" ".join(kept))
+            n_words.append(n)
+            n_removed.append(int(covered.sum()))
+        return pa.table(
+            {
+                key_col: pa.array(keys, g.schema.field("k").type),
+                "text_clean": pa.array(cleans, pa.string()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_removed_words": pa.array(n_removed, pa.int64()),
+            }
+        )
+
+    return unioned.groupby("kb").map_groups(rebuild, batch_format="pyarrow")
