@@ -111,3 +111,27 @@ def test_short_docs_untouched(ray_session):
     got = _run(docs)
     assert got["s1"] == ("one two three", 0)
     assert got["s2"] == ("one two three", 0)
+
+
+def test_randomized_corpora_match_oracle(ray_session):
+    """Seeded random corpora with injected duplications (shared spans at
+    random offsets, self-repetitions, near-misses one word off) must equal
+    the per-contract oracle exactly."""
+    rng = np.random.default_rng(123)
+    vocab = [f"w{i}" for i in range(40)]
+    for trial in range(8):
+        docs = {}
+        n_docs = int(rng.integers(4, 10))
+        for i in range(n_docs):
+            n = int(rng.integers(0, 30))
+            docs[f"d{i:02d}"] = " ".join(rng.choice(vocab, size=n))
+        # inject a shared span into a random subset at random offsets
+        span_words = " ".join(rng.choice(vocab, size=SPAN + 2))
+        for i in rng.choice(n_docs, size=min(3, n_docs), replace=False):
+            k = f"d{i:02d}"
+            words = docs[k].split()
+            at = int(rng.integers(0, len(words) + 1))
+            docs[k] = " ".join(words[:at] + span_words.split() + words[at:])
+        got = _run(docs, num_blocks=int(rng.integers(1, 5)))
+        want = _oracle(docs)
+        assert got == want, f"trial {trial}: {got} != {want}"
