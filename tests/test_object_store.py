@@ -327,3 +327,21 @@ def test_object_maintenance_ops(ray_session, tmp_path):
     res = fsck_table(table)
     assert res["ok"], res["findings"]
     _no_tmps(table)
+
+
+def test_object_repartition(ray_session, wal, tmp_path):
+    from clickhouse_data_pipeline_ray.pipelines.apply import repartition_table
+
+    table = str(tmp_path / "t")
+    create_table(table, num_partitions=4, store="object")
+    replay(table, wal, CFG)
+    before = snapshot_table(table)
+    stats = repartition_table(table, 8)
+    assert stats["num_partitions"] == 8
+    man = load_manifest(table)
+    assert len(man.partitions) == 8
+    after = snapshot_table(table)
+    assert after.sort_by("doc_id").equals(before.sort_by("doc_id"))
+    _no_tmps(table)
+    # applies keep working against the new layout
+    assert apply_once(table, wal, ApplyConfig()) is None
