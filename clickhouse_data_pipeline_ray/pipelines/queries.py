@@ -554,14 +554,32 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     in-query: (a) the two-pass streaming scorer (corpus stats pass + scoring
     pass, no shuffle) and (b) the PERSISTED term-bucketed inverted index
     (built once per scale factor, queries open only their terms' buckets).
-    Output is the integer (rank, doc_id) ranking — scores are IEEE doubles
-    agreed to 1e-9 between engines but excluded from the hash; ranking ties
-    break by doc_id identically on both sides. Oracle: full BM25
-    (Robertson/Sparck-Jones idf, k1/b) recomputed relationally."""
+
+    The hashed output is the top-k doc SET with integer doc lengths, sorted
+    by doc_id — deliberately ORDER-FREE: scores are IEEE doubles, and
+    DuckDB's PARALLEL double summation reorders near-tied docs run to run
+    (observed: two docs tied to the last ulp swapping ranks between oracle
+    executions), so a rank column can never be hash-stable across engines.
+    Set stability is ASSERTED instead: the score gap between rank k and the
+    first excluded doc must exceed 1e-6 (≫ the ~1e-15 cross-engine noise) —
+    a corpus that ever near-ties the boundary fails loudly, never flakes.
+    The full ranking machinery is still proven by the in-query
+    streaming-vs-index identity assertion (engine-internal, deterministic).
+    Oracle: full BM25 (Robertson/Sparck-Jones idf, k1/b) recomputed
+    relationally."""
     from ..functions.retrieval import bm25_index_topk, bm25_topk, build_text_index
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    streaming = bm25_topk(docs, _BM25_QUERY, k=_BM25_K)
+    # k+1: the extra row exists only to verify the k-boundary gap
+    over = bm25_topk(docs, _BM25_QUERY, k=_BM25_K + 1)
+    scores = over.column("score").to_numpy()
+    if len(scores) > _BM25_K and (scores[_BM25_K - 1] - scores[_BM25_K]) <= 1e-6:
+        raise AssertionError(
+            f"bm25 top-{_BM25_K} boundary is a near-tie "
+            f"({scores[_BM25_K - 1]} vs {scores[_BM25_K]}) — the set hash "
+            "would be engine-dependent; pick a different query/k"
+        )
+    streaming = over.slice(0, _BM25_K)
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sfX"
     idx_dir = os.path.join(tempfile.gettempdir(), "cdp_ray_textidx", tag)
@@ -587,12 +605,30 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
         rtol=1e-9,
     ):
         raise AssertionError("index-backed BM25 scores diverged")
-    return pa.table(
-        {
-            "rank": streaming.column("rank").cast(pa.int64()),
-            "doc_id": streaming.column("doc_id"),
-        }
+    # integer doc lengths (whitespace tokens, the scorer's own convention)
+    # enrich the hashed set — recomputed map-side for ONLY the k winners
+    # (the id set is broadcast into the batch filter; O(k) rows return)
+    top = streaming.column("doc_id").combine_chunks()
+
+    def dl_part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("doc_id"), value_set=top))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "dl": pc.list_value_length(
+                    pc.split_pattern(b.column("text"), pattern=" ")
+                ).cast(pa.int64()),
+            }
+        )
+
+    hits = pa.concat_tables(
+        list(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(dl_part, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow")
+        )
     )
+    return hits.sort_by([("doc_id", "ascending")])
 
 
 def _fact_table_cached(sf_dir: str) -> str:
@@ -3331,8 +3367,12 @@ ORACLE_SQL = {
         GROUP BY o_orderpriority
     """,
     # same BM25 variant as functions/retrieval.py (Robertson/Sparck-Jones
-    # idf with +1, k1/b from the module constants), whitespace tokens, ties
-    # by doc_id; the hashed output is the integer ranking only
+    # idf with +1, k1/b from the module constants), whitespace tokens. The
+    # hashed output is the ORDER-FREE top-k doc set + integer doc lengths:
+    # rank order cannot be hash-stable across engines (DuckDB's parallel
+    # double summation reorders last-ulp ties run to run); the engine side
+    # asserts a real (>1e-6) score gap at the k boundary so the SET is
+    # stable on both sides
     "bm25_topk": """
         WITH d AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -3362,12 +3402,12 @@ ORACLE_SQL = {
           CROSS JOIN corpus
           GROUP BY tf.doc_id
         )
-        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
-                   AS rank,
-               doc_id
-        FROM scored
-        ORDER BY score DESC, doc_id
-        LIMIT 20
+        SELECT t.doc_id, CAST(dl.dl AS BIGINT) AS dl
+        FROM (
+          SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT 20
+        ) t
+        JOIN dl ON t.doc_id = dl.doc_id
+        ORDER BY t.doc_id
     """,
     "window_events": """
         SELECT 'hourly' AS win_kind,
